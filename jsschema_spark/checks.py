@@ -1,0 +1,126 @@
+"""Table-level integrity checks: uniqueness (skew-salted) and referential.
+
+Absent in the reference (its ``uniqueItems`` is array-local only,
+interface.go:117) — these are the north_rule's table-scale requirements:
+"uniqueness runs as salted repartition + hash-aggregate dedup, referential
+checks as broadcast or sort-merge anti-joins ... with explicit skew salting
+on clip_id hot keys".
+
+Scale design:
+
+* ``duplicate_keys`` two-phase: phase 1 aggregates ``(key, salt)`` so a hot
+  key's billions of rows are reduced by S salts × map-side combine before
+  any single reducer sees them; phase 2 re-aggregates by key over the tiny
+  phase-1 output. For uniform keys use ``salt_buckets=1`` (plain hash-agg —
+  map-side combine already collapses duplicates per partition).
+* ``referential_violations`` broadcasts the dim side when told (or when
+  Spark's AQE decides); otherwise sort-merge anti-join. The LEFT ANTI join
+  never materializes matches — output is only the violating keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keys appearing more than once, with their multiplicity.
+
+    Two-phase salted hash aggregation: ``groupBy(key, salt).count`` (partial,
+    spreads a hot key over ``salt_buckets`` reducers) → ``groupBy(key).sum``
+    (final, over at most ``salt_buckets`` rows per key) → ``filter(n > 1)``.
+    Output: key columns + ``n_rows``.
+    """
+    keys = [F.col(c) for c in key_cols]
+    if salt_buckets <= 1:
+        counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    else:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        partial = (
+            df.withColumn("__salt", salt)
+            .groupBy(*keys, F.col("__salt"))
+            .agg(F.count(F.lit(1)).alias("__partial"))
+        )
+        counted = partial.groupBy(*key_cols).agg(F.sum("__partial").alias("n_rows"))
+    return counted.where(F.col("n_rows") > 1)
+
+
+def uniqueness_report(df: DataFrame, key_cols: Sequence[str], salt_buckets: int = 16) -> dict:
+    """Driver-side rollup: total rows, distinct keys, duplicate keys, extra
+    rows that dedup would drop."""
+    dups = duplicate_keys(df, key_cols, salt_buckets)
+    agg = dups.agg(
+        F.count(F.lit(1)).alias("dup_keys"),
+        F.coalesce(F.sum(F.col("n_rows") - 1), F.lit(0)).alias("extra_rows"),
+    ).collect()[0]
+    n = df.count()
+    return {
+        "n_rows": n,
+        "dup_keys": agg["dup_keys"],
+        "extra_rows": int(agg["extra_rows"]),
+        "n_unique_keys": None,  # derivable: n - extra_rows
+    }
+
+
+def dedup_keep_first(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Optional[Sequence] = None
+) -> DataFrame:
+    """Keep one row per key. With ``order_cols``: deterministic keep-first via
+    row_number window (one shuffle on key). Without: ``dropDuplicates`` —
+    cheaper (partial agg) but keeps an arbitrary row."""
+    if not order_cols:
+        return df.dropDuplicates(list(key_cols))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def referential_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | dict[str, str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact rows whose key has no match in ``dim`` (LEFT ANTI join).
+
+    ``on``: list of same-named columns, or ``{fact_col: dim_col}`` mapping.
+    ``broadcast_dim=True`` forces a broadcast hash anti-join — correct for
+    dimension tables that fit in executor memory (the codecs table, nation,
+    region...); set False for big dims → sort-merge anti-join + AQE skew
+    handling.
+    """
+    if isinstance(on, dict):
+        pairs = list(on.items())
+    else:
+        pairs = [(c, c) for c in on]
+    dim_keys = dim.select(*[F.col(d).alias(f"__dim_{d}") for _f, d in pairs]).dropDuplicates()
+    if broadcast_dim:
+        dim_keys = F.broadcast(dim_keys)
+    cond = None
+    for f, d in pairs:
+        c = fact[f] == dim_keys[f"__dim_{d}"]
+        cond = c if cond is None else (cond & c)
+    return fact.join(dim_keys, cond, "left_anti")
+
+
+def referential_report(
+    fact: DataFrame, dim: DataFrame, on, broadcast_dim: bool = True,
+    sample: int = 10,
+) -> dict:
+    viol = referential_violations(fact, dim, on, broadcast_dim)
+    n_bad = viol.count()
+    keys = list(on.keys()) if isinstance(on, dict) else list(on)
+    samples = [tuple(r) for r in viol.select(*keys).limit(sample).collect()] if n_bad else []
+    return {"n_violations": n_bad, "sample_keys": samples}

@@ -1,0 +1,177 @@
+"""Text analysis operators over a document table — all pure Catalyst
+expressions (JVM-side, whole-stage codegen; no Python in any of these).
+
+Operators: token counting (whitespace + BPE-ish subword estimate), quality
+scoring (length / punctuation / stopword / alpha ratios), language ID
+(stopword-hit heuristic over a fixed per-language lexicon), and document
+fingerprinting (normalized xxhash64 + shingle min-hash fingerprint).
+
+Each returns Column expressions so they compose into a single projection —
+one scan, no shuffles, for a full per-document profile at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# tokenization
+
+_WS = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty string ⇒ empty array, not [''])."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def subword_token_estimate(text: Column) -> Column:
+    """BPE-ish token-count estimate without a vocab: words are split into
+    ~4-char subword units and punctuation counts as its own token — the
+    standard chars/4 heuristic, computed exactly per word."""
+    word_units = F.aggregate(
+        tokens(text),
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / 4.0), F.lit(1)),
+    )
+    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return (word_units + punct).cast("long")
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by", "be",
+]
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    return _ratio(F.length(F.regexp_replace(text, r"[^\p{Punct}]", "")), F.length(text))
+
+
+def alpha_ratio(text: Column) -> Column:
+    return _ratio(F.length(F.regexp_replace(text, r"[^\p{L}]", "")), F.length(text))
+
+
+def digit_ratio(text: Column) -> Column:
+    return _ratio(F.length(F.regexp_replace(text, r"[^0-9]", "")), F.length(text))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return _ratio(hits, F.size(toks))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    return _ratio(F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)), F.size(toks))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs with
+    sane punctuation, high alpha ratio and non-zero stopword presence —
+    the usual pre-training garbage filter."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)).otherwise(
+        F.when(n_tok > 0, F.lit(0.4)).otherwise(F.lit(0.0))
+    )
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.3))
+    alpha_ok = F.when(alpha_ratio(text) >= 0.6, F.lit(1.0)).otherwise(
+        F.when(alpha_ratio(text) >= 0.3, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    stop_ok = F.when(stopword_ratio(text) >= 0.05, F.lit(1.0)).otherwise(F.lit(0.5))
+    mwl = mean_word_length(text)
+    word_ok = F.when((mwl >= 2.5) & (mwl <= 12), F.lit(1.0)).otherwise(F.lit(0.4))
+    return (
+        F.lit(0.30) * len_ok + F.lit(0.15) * punct_ok + F.lit(0.25) * alpha_ok
+        + F.lit(0.15) * stop_ok + F.lit(0.15) * word_ok
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic — pure SQL expressions)
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des", "une"],
+    "es": ["el", "los", "las", "es", "que", "una", "por", "para"],
+    "it": ["il", "di", "che", "per", "con", "del", "una", "sono"],
+}
+
+
+def lang_scores(text: Column) -> Column:
+    """Map of language → marker-hit count."""
+    toks = tokens(F.lower(text))
+    entries = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        entries.append(
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+            )
+        )
+    return F.array(*entries)
+
+
+def lang_id(text: Column, min_hits: int = 1) -> Column:
+    """argmax over marker hits; 'und' (undetermined) below min_hits.
+    Deterministic tie-break: higher hits first, then lexicographic lang."""
+    scores = lang_scores(text)
+    best = F.array_sort(
+        scores,
+        lambda a, b: F.when(a["hits"] > b["hits"], F.lit(-1))
+        .when(a["hits"] < b["hits"], F.lit(1))
+        .otherwise(F.when(a["lang"] < b["lang"], F.lit(-1)).otherwise(F.lit(1))),
+    )[0]
+    return F.when(best["hits"] >= min_hits, best["lang"]).otherwise(F.lit("und"))
+
+
+# --------------------------------------------------------------------------
+# fingerprinting
+
+def normalized_text(text: Column) -> Column:
+    """Lowercase, collapse whitespace, strip punctuation — the canonical
+    form for exact-duplicate hashing."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[\p{Punct}]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def content_fingerprint(text: Column) -> Column:
+    """64-bit content hash of the normalized text (exact-dup key)."""
+    return F.xxhash64(normalized_text(text))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (the unit for
+    MinHash / Jaccard)."""
+    toks = tokens(normalized_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
+    return F.array_distinct(sh)
+
+
+def rolling_fingerprint(text: Column, k: int = 3) -> Column:
+    """Min-of-shingle-hashes fingerprint (1-permutation minhash): a compact
+    near-dup signal — equal fingerprints ⇒ likely near-duplicates."""
+    return F.array_min(F.transform(word_shingles(text, k), F.xxhash64))

@@ -1,0 +1,172 @@
+"""Resumable validation runs: per-partition manifest with lineage + metrics.
+
+north_rule: "checkpoints per-partition lineage and metrics to a resumable
+manifest so a killed run restarts without re-validating completed
+partitions". The reference has no execution engine — this is pure
+engine-side design (SURVEY.md §4: application-level, not Spark streaming
+checkpoints).
+
+Design:
+
+* The unit of resumability is a **stable hash bucket** of the id column
+  (``pmod(xxhash64(id), n_buckets)``) — stable across cluster sizes, retries
+  and input re-splits, unlike ``spark_partition_id``.
+* Buckets are processed in chunks; each chunk is one Spark job that writes
+  its violation/valid output partitioned by bucket, then appends one
+  manifest JSON-lines file (write-temp-then-rename, so a kill mid-append
+  never leaves a half-recorded chunk).
+* On restart, completed buckets are anti-filtered BEFORE the scan predicate
+  (`bucket IN (pending)`), so Spark skips whole partitions of work; the
+  output directory is idempotent per bucket (dynamic partition overwrite).
+* Each manifest row: bucket id, row/valid counts, wall seconds, input files
+  (lineage), engine version — enough to audit which inputs produced which
+  verdicts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+import jsschema_spark
+from jsschema_spark.compiler import TableValidator
+
+
+@dataclass
+class BucketResult:
+    bucket: int
+    n_rows: int
+    n_valid: int
+    wall_s: float
+
+
+def bucket_col(id_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+
+
+class Manifest:
+    """JSON-lines manifest directory (one file per completed chunk)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def completed_buckets(self) -> set[int]:
+        done: set[int] = set()
+        for name in os.listdir(self.path):
+            if not name.endswith(".jsonl"):
+                continue
+            with open(os.path.join(self.path, name), encoding="utf-8") as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("status") == "done":
+                        done.add(rec["bucket"])
+        return done
+
+    def records(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if name.endswith(".jsonl"):
+                with open(os.path.join(self.path, name), encoding="utf-8") as f:
+                    out.extend(json.loads(line) for line in f)
+        return out
+
+    def append(self, records: list[dict]) -> None:
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(self.path, f"chunk-{int(time.time()*1000)}-{uuid.uuid4().hex[:8]}.jsonl")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, final)
+
+
+class ResumableValidation:
+    """Drive a TableValidator over a huge table in resumable bucket chunks."""
+
+    def __init__(
+        self,
+        validator: TableValidator,
+        manifest_dir: str,
+        output_dir: Optional[str] = None,
+        id_col: str = "clip_id",
+        n_buckets: int = 64,
+        buckets_per_job: int = 16,
+    ):
+        self.validator = validator
+        self.manifest = Manifest(manifest_dir)
+        self.output_dir = output_dir
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self.buckets_per_job = buckets_per_job
+
+    def pending_buckets(self) -> list[int]:
+        done = self.manifest.completed_buckets()
+        return [b for b in range(self.n_buckets) if b not in done]
+
+    def run(self, df: DataFrame, fail_after_chunks: Optional[int] = None) -> list[BucketResult]:
+        """Process pending buckets. ``fail_after_chunks`` injects a crash
+        after N chunks (kill-and-resume testing)."""
+        pending = self.pending_buckets()
+        results: list[BucketResult] = []
+        lineage = sorted(df.inputFiles()) if df.inputFiles() else []
+        spark = df.sparkSession
+        prev_overwrite = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            chunks = [
+                pending[i : i + self.buckets_per_job]
+                for i in range(0, len(pending), self.buckets_per_job)
+            ]
+            for ci, chunk in enumerate(chunks):
+                if fail_after_chunks is not None and ci >= fail_after_chunks:
+                    raise RuntimeError("injected failure for resume test")
+                t0 = time.time()
+                bcol = bucket_col(self.id_col, self.n_buckets)
+                part = df.withColumn("__bucket", bcol).where(F.col("__bucket").isin(chunk))
+                applied = self.validator.apply(part, with_violations=True)
+                if self.output_dir:
+                    applied.write.mode("overwrite").partitionBy("__bucket").parquet(self.output_dir)
+                    stats_src = part.sparkSession.read.parquet(self.output_dir).where(
+                        F.col("__bucket").isin(chunk)
+                    )
+                else:
+                    stats_src = applied
+                per_bucket = {
+                    r["__bucket"]: r
+                    for r in stats_src.groupBy("__bucket")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+                    )
+                    .collect()
+                }
+                wall = time.time() - t0
+                records = []
+                for b in chunk:
+                    r = per_bucket.get(b)
+                    n_rows = r["n_rows"] if r else 0
+                    n_valid = int(r["n_valid"]) if r and r["n_valid"] is not None else 0
+                    results.append(BucketResult(b, n_rows, n_valid, wall / len(chunk)))
+                    records.append(
+                        {
+                            "bucket": b,
+                            "status": "done",
+                            "n_rows": n_rows,
+                            "n_valid": n_valid,
+                            "wall_s": round(wall / len(chunk), 4),
+                            "input_files": lineage,
+                            "engine_version": jsschema_spark.__version__,
+                            "ts": time.time(),
+                        }
+                    )
+                self.manifest.append(records)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite)
+        return results

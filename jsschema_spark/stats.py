@@ -1,0 +1,192 @@
+"""Single-pass column statistics + distribution drift.
+
+The reference has no aggregation operators (SURVEY.md §2.5) — these come
+from the north_rule: "column stats ... via HLL sketches, KS/PSI histograms
+for distribution drift".
+
+Scale design:
+
+* ``column_stats`` is ONE ``df.agg(...)`` — Catalyst hash-aggregates with
+  map-side partial aggregation, so at 10^12 rows each executor reduces its
+  partitions locally and ships one row of partials; no groupBy shuffle at
+  all (global agg = single-partition final reduce of tiny partials).
+* distinct counts use ``approx_count_distinct`` (HyperLogLog++, fixed-size
+  sketch, mergeable) — exact distinct at this scale would shuffle the world.
+* histograms bucketize with arithmetic (``floor((x-lo)/w)``) then hash-agg
+  on the bucket id: shuffle width = nbins rows per executor, independent of
+  table size.
+* KS / PSI are computed driver-side from the two binned count vectors
+  (O(nbins) — trivial), per SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def column_stats(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    rsd: float = 0.02,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column profile in one aggregation pass.
+
+    Output: ``column, n_rows, n_null, n_distinct, min_num, max_num,
+    min_str, max_str, mean, stddev`` (numeric fields null for non-numerics).
+
+    ``exact_distinct=True`` swaps HLL for ``count_distinct`` — use only for
+    oracle comparisons at test scale; at 100 TB keep the sketch.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if cols is None:
+        cols = [n for n, dt in fields.items() if not isinstance(dt, (T.BinaryType, T.ArrayType, T.MapType, T.StructType))]
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = fields[c]
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__null"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"{c}__dist"))
+        else:
+            aggs.append(F.approx_count_distinct(col, rsd).alias(f"{c}__dist"))
+        if isinstance(dt, _NUMERIC):
+            aggs.extend(
+                [
+                    F.min(col).cast("double").alias(f"{c}__min"),
+                    F.max(col).cast("double").alias(f"{c}__max"),
+                    F.avg(col).alias(f"{c}__mean"),
+                    F.stddev(col).alias(f"{c}__std"),
+                ]
+            )
+        else:
+            str_col = col.cast("string")
+            aggs.extend(
+                [F.min(str_col).alias(f"{c}__smin"), F.max(str_col).alias(f"{c}__smax")]
+            )
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    out_rows = []
+    for c in cols:
+        dt = fields[c]
+        numeric = isinstance(dt, _NUMERIC)
+        out_rows.append(
+            {
+                "column": c,
+                "n_rows": row["__n"],
+                "n_null": row[f"{c}__null"] or 0,
+                "n_distinct": row[f"{c}__dist"],
+                "min_num": row.get(f"{c}__min") if numeric else None,
+                "max_num": row.get(f"{c}__max") if numeric else None,
+                "min_str": row.get(f"{c}__smin") if not numeric else None,
+                "max_str": row.get(f"{c}__smax") if not numeric else None,
+                "mean": row.get(f"{c}__mean") if numeric else None,
+                "stddev": row.get(f"{c}__std") if numeric else None,
+            }
+        )
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_null", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("min_num", T.DoubleType()),
+            T.StructField("max_num", T.DoubleType()),
+            T.StructField("min_str", T.StringType()),
+            T.StructField("max_str", T.StringType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("stddev", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out_rows, schema)
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float, nbins: int = 32) -> DataFrame:
+    """Fixed-width histogram: arithmetic bucketize → hash-agg on bucket id.
+
+    Values outside [lo, hi) clamp into the edge buckets so counts always sum
+    to the non-null row count. Returns ``bucket, lo, hi, n`` sorted.
+    """
+    if hi <= lo or nbins <= 0:
+        raise ValueError("need hi > lo and nbins > 0")
+    w = (hi - lo) / nbins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    out = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.select(
+        "bucket",
+        (F.lit(lo) + F.col("bucket") * F.lit(w)).alias("lo"),
+        (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias("hi"),
+        "n",
+    ).orderBy("bucket")
+
+
+def _dense_counts(hist_rows, nbins: int) -> list[float]:
+    dense = [0.0] * nbins
+    for r in hist_rows:
+        dense[r["bucket"]] = float(r["n"])
+    return dense
+
+
+def psi(hist_expected, hist_actual, nbins: int, eps: float = 1e-6) -> float:
+    """Population Stability Index from two binned count vectors
+    (driver-side, O(nbins)). <0.1 stable, 0.1-0.25 moderate, >0.25 drifted."""
+    e = _dense_counts(hist_expected, nbins)
+    a = _dense_counts(hist_actual, nbins)
+    te, ta = sum(e) or 1.0, sum(a) or 1.0
+    total = 0.0
+    for i in range(nbins):
+        pe = max(e[i] / te, eps)
+        pa = max(a[i] / ta, eps)
+        total += (pa - pe) * math.log(pa / pe)
+    return total
+
+
+def ks_statistic(hist_expected, hist_actual, nbins: int) -> float:
+    """Two-sample Kolmogorov–Smirnov D over binned counts (upper bound of
+    the exact statistic at bin resolution)."""
+    e = _dense_counts(hist_expected, nbins)
+    a = _dense_counts(hist_actual, nbins)
+    te, ta = sum(e) or 1.0, sum(a) or 1.0
+    ce = ca = 0.0
+    d = 0.0
+    for i in range(nbins):
+        ce += e[i] / te
+        ca += a[i] / ta
+        d = max(d, abs(ce - ca))
+    return d
+
+
+def drift_report(
+    df_baseline: DataFrame, df_current: DataFrame, col: str,
+    lo: float, hi: float, nbins: int = 32,
+) -> dict:
+    """Distribution drift of ``col`` between two tables: two histogram jobs
+    (each one shuffle of ≤nbins rows per executor) + driver-side math."""
+    hb = [r.asDict() for r in histogram(df_baseline, col, lo, hi, nbins).collect()]
+    hc = [r.asDict() for r in histogram(df_current, col, lo, hi, nbins).collect()]
+    return {
+        "column": col,
+        "nbins": nbins,
+        "psi": psi(hb, hc, nbins),
+        "ks": ks_statistic(hb, hc, nbins),
+        "baseline_n": int(sum(r["n"] for r in hb)),
+        "current_n": int(sum(r["n"] for r in hc)),
+    }

@@ -1,0 +1,132 @@
+"""Deterministic synthetic ``clips`` table (FIXTURES.md §1).
+
+Generated **in Spark** from ``spark.range(n)`` — every attribute is a pure
+function of the row id / clip_id (Catalyst expressions; the audio payload is
+the one pandas-UDF stage), so generation scales linearly with executors and
+is reproducible across cluster sizes — the property the scaling-efficiency
+benchmark depends on.
+
+Injected negatives (seeded, fixed rates per FIXTURES.md):
+
+* duplicate clip_ids (~0.1%) + a small set of *hot* keys (skew for the
+  salted-uniqueness path),
+* invalid sr_hz / dur_ms (range violations), unknown codec (enum +
+  referential violations), empty transcript (minLength violations),
+* corrupted PCM (SNR invariant negatives) and mismatched transcripts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsschema_spark.audio import audio_payload_udf
+
+CLIPS_DRAFT04_SCHEMA = {
+    "type": "object",
+    "required": ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+    "properties": {
+        "clip_id": {"type": "string", "pattern": "^clip-[0-9]{12}$"},
+        "sr_hz": {"type": "integer", "minimum": 8000, "maximum": 48000},
+        "dur_ms": {"type": "integer", "minimum": 1, "maximum": 60000},
+        "codec": {"type": "string", "enum": ["pcm_s16le", "flac", "opus"]},
+        "transcript": {"type": "string", "minLength": 1, "maxLength": 4096},
+    },
+}
+
+VALID_CODECS = [("pcm_s16le", "wav"), ("flac", "flac"), ("opus", "ogg")]
+
+
+def codecs_dim(spark: SparkSession) -> DataFrame:
+    """The referential dimension table (broadcast side)."""
+    return spark.createDataFrame(VALID_CODECS, "codec string, container string")
+
+
+def clips_table(
+    spark: SparkSession,
+    n: int,
+    with_audio: bool = True,
+    partitions: int | None = None,
+    dup_rate_mod: int = 1000,     # 1/1000 rows duplicate the previous id
+    hot_key_mod: int = 997,       # 1/997 rows collapse onto 2 hot ids (skew)
+    bad_sr_mod: int = 500,        # sr_hz out-of-range rate
+    bad_dur_mod: int = 499,
+    bad_codec_mod: int = 333,
+    empty_txt_mod: int = 487,
+    corrupt_pcm_mod: int = 200,   # 0.5% corrupted payloads
+    mismatch_txt_mod: int = 211,
+) -> DataFrame:
+    base = spark.range(n)
+    if partitions:
+        base = base.repartition(partitions)
+
+    rid = F.col("id")
+    # duplicates + hot keys operate on the numeric id, then format
+    eff_id = (
+        F.when(F.pmod(rid, hot_key_mod) == 0, F.pmod(rid, 2))
+        .when((F.pmod(rid, dup_rate_mod) == 999) & (rid > 0), rid - 1)
+        .otherwise(rid)
+    )
+    clip_id = F.format_string("clip-%012d", eff_id)
+
+    h = lambda tag: F.xxhash64(clip_id, F.lit(tag))  # noqa: E731
+    pick = lambda tag, m: F.pmod(h(tag), F.lit(m))  # noqa: E731
+
+    sr_hz = (
+        F.when(pick("srbad", bad_sr_mod) == 0,
+               F.when(pick("srbad2", 2) == 0, F.lit(0)).otherwise(F.lit(96001)))
+        .otherwise(F.element_at(F.array(F.lit(8000), F.lit(16000), F.lit(44100)), (pick("sr", 3) + 1).cast("int")))
+        .cast("int")
+    )
+    dur_ms = (
+        F.when(pick("durbad", bad_dur_mod) == 0,
+               F.when(pick("durbad2", 2) == 0, F.lit(0)).otherwise(F.lit(70000)))
+        .otherwise((F.lit(200) + pick("dur", 14800)))
+        .cast("int")
+    )
+    codec = (
+        F.when(pick("cbad", bad_codec_mod) == 0, F.lit("unknown"))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(c) for c, _ in VALID_CODECS]), (pick("codec", 3) + 1).cast("int")
+            )
+        )
+    )
+    corrupt = pick("corrupt", corrupt_pcm_mod) == 0
+    mismatch = pick("mismatch", mismatch_txt_mod) == 0
+    empty_txt = pick("etxt", empty_txt_mod) == 0
+
+    df = base.select(
+        clip_id.alias("clip_id"),
+        sr_hz.alias("sr_hz"),
+        dur_ms.alias("dur_ms"),
+        codec.alias("codec"),
+        corrupt.alias("__corrupt"),
+        mismatch.alias("__mismatch"),
+        empty_txt.alias("__empty_txt"),
+    )
+
+    if with_audio:
+        payload = audio_payload_udf(
+            F.col("clip_id"), F.col("sr_hz"), F.col("dur_ms"),
+            F.col("__corrupt"), F.col("__mismatch"),
+        )
+        df = df.withColumn("__payload", payload).select(
+            "clip_id",
+            F.col("__payload.bytes").alias("bytes"),
+            "sr_hz", "dur_ms", "codec",
+            F.when(F.col("__empty_txt"), F.lit("")).otherwise(
+                F.col("__payload.transcript")
+            ).alias("transcript"),
+        )
+    else:
+        # cheap transcript: deterministic hex words (keyword predicates only;
+        # the audio invariant needs with_audio=True)
+        txt = F.when(F.col("__empty_txt"), F.lit("")).otherwise(
+            F.sha2(F.col("clip_id"), 256)
+        )
+        df = df.select(
+            "clip_id", F.lit(None).cast("binary").alias("bytes"),
+            "sr_hz", "dur_ms", "codec", txt.alias("transcript"),
+        )
+    return df

@@ -1,0 +1,126 @@
+"""Uniqueness, referential, stats and drift over the synthetic clips table
+and the driver's star-schema testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsschema_spark.checks import (
+    dedup_keep_first,
+    duplicate_keys,
+    referential_report,
+    referential_violations,
+    uniqueness_report,
+)
+from jsschema_spark.stats import column_stats, drift_report, histogram, ks_statistic, psi
+from jsschema_spark.synth import clips_table, codecs_dim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    df = clips_table(spark, 4000, with_audio=False).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_duplicate_keys_salted_and_plain(spark, clips):
+    plain = {r.clip_id: r.n_rows for r in duplicate_keys(clips, ["clip_id"], salt_buckets=1).collect()}
+    salted = {r.clip_id: r.n_rows for r in duplicate_keys(clips, ["clip_id"], salt_buckets=8).collect()}
+    assert plain == salted  # salting must not change the answer
+    assert plain, "synth injects duplicates — none found"
+    # hot keys carry the bulk of the duplicates (skew present)
+    assert max(plain.values()) >= 3
+
+
+def test_uniqueness_report(spark, clips):
+    rep = uniqueness_report(clips, ["clip_id"])
+    assert rep["n_rows"] == 4000
+    assert rep["dup_keys"] > 0
+    assert rep["extra_rows"] > 0
+    deduped = dedup_keep_first(clips, ["clip_id"])
+    assert deduped.count() == rep["n_rows"] - rep["extra_rows"]
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 2, "x"), ("a", 1, "y"), ("b", 5, "z")], "k string, ord int, v string"
+    )
+    out = {r.k: r.v for r in dedup_keep_first(df, ["k"], order_cols=[F.col("ord")]).collect()}
+    assert out == {"a": "y", "b": "z"}
+
+
+def test_referential_broadcast_anti_join(spark, clips):
+    dim = codecs_dim(spark)
+    viol = referential_violations(clips, dim, ["codec"])
+    n_bad = viol.count()
+    assert n_bad == clips.where(F.col("codec") == "unknown").count()
+    assert n_bad > 0
+    # the anti-join must be broadcast (no sort-merge exchange of the fact side)
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    rep = referential_report(clips, dim, ["codec"])
+    assert rep["n_violations"] == n_bad
+    assert rep["sample_keys"] == [("unknown",)] * min(n_bad, 10)
+
+
+def test_referential_on_star_schema(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    viol = referential_violations(orders, customer, {"o_custkey": "c_custkey"})
+    assert viol.count() == 0  # driver data is referentially clean
+
+
+def test_column_stats_single_pass(spark, clips):
+    stats = {r.column: r for r in column_stats(clips, ["clip_id", "sr_hz", "dur_ms", "codec"]).collect()}
+    assert stats["sr_hz"].n_rows == 4000
+    assert stats["sr_hz"].max_num == 96001.0  # injected invalids visible
+    assert stats["sr_hz"].min_num == 0.0
+    assert stats["codec"].min_str == "flac"
+    assert 3 <= stats["codec"].n_distinct <= 5  # 3 valid + unknown (HLL approx)
+    assert stats["clip_id"].n_null == 0
+
+
+def test_column_stats_exact_vs_duckdb(spark):
+    import duckdb
+
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    stats = {r.column: r for r in column_stats(lineitem, ["l_quantity", "l_returnflag"], exact_distinct=True).collect()}
+    con = duckdb.connect()
+    q = con.execute(
+        f"""SELECT count(*), count(DISTINCT l_quantity), min(l_quantity), max(l_quantity),
+                   avg(l_quantity), count(DISTINCT l_returnflag)
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    ).fetchone()
+    assert stats["l_quantity"].n_rows == q[0]
+    assert stats["l_quantity"].n_distinct == q[1]
+    assert stats["l_quantity"].min_num == q[2]
+    assert stats["l_quantity"].max_num == q[3]
+    assert abs(stats["l_quantity"].mean - q[4]) < 1e-9
+    assert stats["l_returnflag"].n_distinct == q[5]
+
+
+def test_histogram_and_drift(spark, clips):
+    h = histogram(clips, "dur_ms", 0, 15000, nbins=10)
+    rows = h.collect()
+    assert sum(r.n for r in rows) == clips.where(F.col("dur_ms").isNotNull()).count()
+    assert all(0 <= r.bucket < 10 for r in rows)
+
+    # identical distribution ⇒ no drift
+    same = drift_report(clips, clips, "dur_ms", 0, 15000, nbins=10)
+    assert same["psi"] < 1e-9 and same["ks"] < 1e-9
+
+    # shifted distribution ⇒ drift detected
+    shifted = clips.withColumn("dur_ms", F.col("dur_ms") + F.lit(6000))
+    moved = drift_report(clips, shifted, "dur_ms", 0, 15000, nbins=10)
+    assert moved["psi"] > 0.25
+    assert moved["ks"] > 0.2
+
+
+def test_psi_ks_math():
+    a = [{"bucket": 0, "n": 50}, {"bucket": 1, "n": 50}]
+    b = [{"bucket": 0, "n": 90}, {"bucket": 1, "n": 10}]
+    assert psi(a, a, 2) == 0.0
+    assert psi(a, b, 2) > 0.5
+    assert abs(ks_statistic(a, b, 2) - 0.4) < 1e-12
