@@ -1,38 +1,506 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an engine operator from SURVEY.md §2 / the
+training-data operator set, run over the driver's parquet tables; each
+``oracle_sql()`` entry is the equivalent ANSI SQL for DuckDB. Column names
+and types are aligned on both sides (aggregates cast to BIGINT, doubles
+rounded) so the driver's order-insensitive value-hash comparison holds.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+CORPUS = "/root/reference/test"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# schemas used by the validation queries
+
+LINEITEM_SCHEMA = {
+    "type": "object",
+    "required": ["l_orderkey", "l_quantity"],
+    "properties": {
+        "l_quantity": {"type": "number", "minimum": 1, "maximum": 50},
+        "l_discount": {"minimum": 0, "maximum": 0.08},
+        "l_tax": {"maximum": 0.07},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+        "l_linestatus": {"pattern": "^[OF]$"},
+    },
+}
+
+ORDERS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "o_orderstatus": {"enum": ["O", "F"]},
+        "o_totalprice": {"maximum": 400000, "exclusiveMaximum": True},
+        "o_orderpriority": {"pattern": "^[1-3]-"},
+    },
+}
+
+PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}},
+}
+
+
+# --------------------------------------------------------------------------
+# query implementations
+
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark import parse_schema
+    from jsschema_spark.compiler import TableValidator
+
+    df = _t(spark, sf_dir, "lineitem")
+    tv = TableValidator(parse_schema(LINEITEM_SCHEMA), df.schema)
+    return tv.summary(df).select(
+        "path", "keyword",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def q_invalid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark import parse_schema
+    from jsschema_spark.compiler import TableValidator
+
+    df = _t(spark, sf_dir, "orders")
+    tv = TableValidator(parse_schema(ORDERS_SCHEMA), df.schema)
+    applied = tv.apply(df, with_violations=True)
+    return applied.where(~F.col("valid")).select(
+        "o_orderkey",
+        F.size("violations").cast("long").alias("n_viol"),
+        F.array_join(
+            F.array_sort(F.transform("violations", lambda v: v["keyword"])), ","
+        ).alias("keywords"),
+    )
+
+
+def q_customer_acctbal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "customer")
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("c_acctbal") < 0).cast("long")).cast("long").alias("n_below_zero"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+def q_uniqueness_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.checks import duplicate_keys
+
+    df = _t(spark, sf_dir, "events")
+    return duplicate_keys(df, ["user_id"], salt_buckets=8).select(
+        "user_id", F.col("n_rows").cast("long").alias("n_rows")
+    )
+
+
+def q_referential_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.checks import referential_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    return referential_violations(orders, dim, {"o_custkey": "c_custkey"}).select("o_orderkey")
+
+
+def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.stats import column_stats
+
+    df = _t(spark, sf_dir, "lineitem")
+    out = column_stats(df, ["l_quantity", "l_discount", "l_extendedprice"], exact_distinct=True)
+    return out.select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("min_num", 4).alias("min_num"),
+        F.round("max_num", 4).alias("max_num"),
+        F.round("mean", 4).alias("mean"),
+    )
+
+
+def q_histogram_l_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.stats import histogram
+
+    df = _t(spark, sf_dir, "lineitem")
+    return histogram(df, "l_quantity", 1.0, 51.0, nbins=10).select(
+        F.col("bucket").cast("long").alias("bucket"), F.col("n").cast("long").alias("n")
+    )
+
+
+def q_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.functions.text import token_count
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.functions import text as X
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(X.alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
+        F.round(X.digit_ratio(F.col("text")), 4).alias("digit_ratio"),
+        F.round(X.mean_word_length(F.col("text")), 4).alias("mean_word_len"),
+    )
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = base.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return base.unionByName(injected)
+
+
+def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs_with_dups(spark, sf_dir)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return (
+        df.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.functions.text import lang_id
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", lang_id(F.col("text")).alias("lang"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 5).alias("cos_r"),
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.functions.dedup import embedding_brute_force_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = embedding_brute_force_pairs(emb, "vec_id", "embedding", threshold=0.95)
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
+
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsschema_spark.generic import validate_json_column
+
+    df = _t(spark, sf_dir, "events")
+    out = validate_json_column(df, "props", PROPS_SCHEMA)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("validation.valid").cast("long")).cast("long").alias("n_valid"),
+        F.sum((~F.col("validation.valid")).cast("long")).cast("long").alias("n_invalid"),
+    )
+
+
+# ----- non-SQL-expressible operators (rows-only checks) --------------------
+
+def q_conformance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 75-fixture golden corpus through the generic engine;
+    ``agree`` must be true on every row (BASELINE 100% metric)."""
+    from jsschema_spark.generic import validate_json_pairs
+
+    suites = [
+        "allof", "anyof", "array", "arraylength", "arraytuple",
+        "arraytuple_disallow_additional", "arrayunique", "boolean", "business",
+        "integer", "not", "null", "numrange", "numrange_exclmax",
+        "objectpatterns", "objectpropdepend", "objectpropsize",
+        "objectproprequired", "oneof", "strlen", "strpattern",
+    ]
+    rows = []
+    for suite in suites:
+        with open(os.path.join(CORPUS, f"{suite}.json"), encoding="utf-8") as f:
+            schema_text = f.read()
+        for kind, expect in (("pass", True), ("fail", False)):
+            for p in sorted(glob.glob(os.path.join(CORPUS, f"{suite}_{kind}*.json"))):
+                with open(p, encoding="utf-8") as f:
+                    rows.append((suite, os.path.basename(p)[:-5], schema_text, f.read(), expect))
+    df = spark.createDataFrame(
+        rows, "suite string, case_id string, schema_json string, instance_json string, expect_pass boolean"
+    )
+    out = validate_json_pairs(df, "schema_json", "instance_json")
+    return out.select(
+        "suite", "case_id", "expect_pass",
+        F.col("validation.valid").alias("valid"),
+        (F.col("validation.valid") == F.col("expect_pass")).alias("agree"),
+    )
+
+
+def q_clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship typed-column path over the synthetic audio-clip table."""
+    from jsschema_spark import parse_schema
+    from jsschema_spark.compiler import TableValidator
+    from jsschema_spark.synth import CLIPS_DRAFT04_SCHEMA, clips_table
+
+    df = clips_table(spark, 20000, with_audio=False)
+    tv = TableValidator(parse_schema(CLIPS_DRAFT04_SCHEMA), df.schema)
+    return tv.summary(df).select(
+        "path", "keyword",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (xxhash64-based — no SQL oracle)."""
+    from jsschema_spark.functions.dedup import near_duplicates_minhash
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = base.where(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+    )
+    df = base.unionByName(near)
+    out = near_duplicates_minhash(df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash (xxhash64-based — no SQL oracle)."""
+    from jsschema_spark.functions.dedup import simhash
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", simhash(F.col("text")).alias("simhash64"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
+    return q_validate_lineitem(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_lineitem": q_validate_lineitem,
+        "invalid_orders": q_invalid_orders,
+        "customer_acctbal_check": q_customer_acctbal_check,
+        "uniqueness_events_user": q_uniqueness_events_user,
+        "referential_orders_customer": q_referential_orders_customer,
+        "stats_lineitem": q_stats_lineitem,
+        "histogram_l_quantity": q_histogram_l_quantity,
+        "token_count_documents": q_token_count_documents,
+        "text_profile_documents": q_text_profile_documents,
+        "exact_dup_documents": q_exact_dup_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "events_props_json": q_events_props_json,
+        "conformance_corpus": q_conformance_corpus,
+        "clips_validation": q_clips_validation,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_documents": q_simhash_documents,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL over the pre-registered views)
+
+_LINEITEM_ORACLE = """
+WITH agg AS (
+  SELECT
+    count(*) AS n_rows,
+    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_req_ok,
+    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_req_qty,
+    CAST(sum(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity >= 1) THEN 1 ELSE 0 END) AS BIGINT) AS v_min_qty,
+    CAST(sum(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT) AS v_max_qty,
+    CAST(sum(CASE WHEN l_discount IS NOT NULL AND NOT (l_discount >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_min_disc,
+    CAST(sum(CASE WHEN l_discount IS NOT NULL AND NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS v_max_disc,
+    CAST(sum(CASE WHEN l_tax IS NOT NULL AND NOT (l_tax <= 0.07) THEN 1 ELSE 0 END) AS BIGINT) AS v_max_tax,
+    CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_enum_rf,
+    CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS BIGINT) AS v_pat_ls
+  FROM lineitem
+)
+SELECT '$.l_orderkey' AS path, 'required' AS keyword, v_req_ok AS n_violations, n_rows FROM agg
+UNION ALL SELECT '$.l_quantity', 'required', v_req_qty, n_rows FROM agg
+UNION ALL SELECT '$.l_quantity', 'minimum', v_min_qty, n_rows FROM agg
+UNION ALL SELECT '$.l_quantity', 'maximum', v_max_qty, n_rows FROM agg
+UNION ALL SELECT '$.l_discount', 'minimum', v_min_disc, n_rows FROM agg
+UNION ALL SELECT '$.l_discount', 'maximum', v_max_disc, n_rows FROM agg
+UNION ALL SELECT '$.l_tax', 'maximum', v_max_tax, n_rows FROM agg
+UNION ALL SELECT '$.l_returnflag', 'enum', v_enum_rf, n_rows FROM agg
+UNION ALL SELECT '$.l_linestatus', 'pattern', v_pat_ls, n_rows FROM agg
+"""
+
+_INVALID_ORDERS_ORACLE = """
+WITH flags AS (
+  SELECT o_orderkey,
+    (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')) AS bad_enum,
+    (o_totalprice IS NOT NULL AND NOT (o_totalprice < 400000)) AS bad_exmax,
+    (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-')) AS bad_pat
+  FROM orders
+)
+SELECT o_orderkey,
+  CAST((CASE WHEN bad_enum THEN 1 ELSE 0 END) + (CASE WHEN bad_exmax THEN 1 ELSE 0 END)
+     + (CASE WHEN bad_pat THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+  concat_ws(',', CASE WHEN bad_enum THEN 'enum' END,
+                 CASE WHEN bad_exmax THEN 'exclusiveMaximum' END,
+                 CASE WHEN bad_pat THEN 'pattern' END) AS keywords
+FROM flags WHERE bad_enum OR bad_exmax OR bad_pat
+"""
+
+_TOKENS_SQL = "CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+_LANG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(lower(text)) = '' THEN []
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN ('the','and','of','to','is','that','with','for'))) AS h_en,
+    len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS h_de,
+    len(list_filter(t, x -> x IN ('le','la','les','et','est','que','des','une'))) AS h_fr,
+    len(list_filter(t, x -> x IN ('el','los','las','es','que','una','por','para'))) AS h_es,
+    len(list_filter(t, x -> x IN ('il','di','che','per','con','del','una','sono'))) AS h_it
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en,h_de,h_fr,h_es,h_it) < 1 THEN 'und'
+       ELSE (SELECT lang FROM (VALUES ('de',h_de),('en',h_en),('es',h_es),('fr',h_fr),('it',h_it)) v(lang,h)
+             ORDER BY h DESC, lang ASC LIMIT 1)
+  END AS lang
+FROM hits
+"""
+
+_TEXT_PROFILE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CASE WHEN length(text) > 0
+        THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+        ELSE 0.0 END, 4) AS alpha_ratio,
+  round(CASE WHEN length(text) > 0
+        THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+        ELSE 0.0 END, 4) AS digit_ratio,
+  round(CASE WHEN len(toks) > 0
+        THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        ELSE 0.0 END, 4) AS mean_word_len
+FROM base
+"""
+
+_EMB_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.v, q.qv) AS cos
+  FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 5) AS cos_r
+FROM ranked WHERE rank <= 5
+"""
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 5) AS cos_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_lineitem": _LINEITEM_ORACLE,
+        "invalid_orders": _INVALID_ORDERS_ORACLE,
+        "customer_acctbal_check": """
+            SELECT c_mktsegment, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_zero,
+                   round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+            FROM customer GROUP BY c_mktsegment""",
+        "uniqueness_events_user": """
+            SELECT user_id, count(*) AS n_rows FROM events
+            GROUP BY user_id HAVING count(*) > 1""",
+        "referential_orders_customer": """
+            SELECT o_orderkey FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_acctbal > 5000 AND c.c_custkey = o.o_custkey)""",
+        "stats_lineitem": """
+            SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT l_quantity) AS n_distinct,
+                   round(min(l_quantity), 4) AS min_num, round(max(l_quantity), 4) AS max_num,
+                   round(avg(l_quantity), 4) AS mean
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*),
+                   CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT l_discount),
+                   round(min(l_discount), 4), round(max(l_discount), 4), round(avg(l_discount), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT l_extendedprice),
+                   round(min(l_extendedprice), 4), round(max(l_extendedprice), 4), round(avg(l_extendedprice), 4)
+            FROM lineitem""",
+        "histogram_l_quantity": """
+            SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM lineitem WHERE l_quantity IS NOT NULL
+            GROUP BY 1""",
+        "token_count_documents": f"""
+            SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens FROM documents""",
+        "text_profile_documents": _TEXT_PROFILE_ORACLE,
+        "exact_dup_documents": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+            )
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM all_docs GROUP BY 1 HAVING count(*) > 1""",
+        "lang_id_documents": _LANG_ORACLE,
+        "embedding_topk": _EMB_TOPK_ORACLE,
+        "embedding_near_dups": _EMB_NEAR_DUP_ORACLE,
+        "events_props_json": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+            FROM (
+              SELECT json_extract(props, '$.k') IS NOT NULL
+                     AND json_type(json_extract(props, '$.k')) IN ('INTEGER', 'UBIGINT', 'BIGINT')
+                     AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 80 AS ok
+              FROM events)""",
+        # conformance_corpus, clips_validation, minhash_near_dups,
+        # simhash_documents: engine-hash-specific / synthetic-input operators —
+        # rows-only checks by design.
+    }

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is clips validated/sec on the audio+transcript table
+(BASELINE.json metric): q_clips_validate runs the compiled predicate DAG over
+a deterministically synthesized clips table (2M rows), q_clips_audio runs the
+Arrow-batched SNR invariant over 20k real WAV payloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    clips_n = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "2000000"))
+    audio_n = int(os.environ.get("SPARK_GRAFT_AUDIO_N", "20000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from jsschema_spark import parse_schema
+    from jsschema_spark.audio import audio_invariant_udf
+    from jsschema_spark.compiler import TableValidator
+    from jsschema_spark.session import build_session
+    from jsschema_spark.synth import CLIPS_DRAFT04_SCHEMA, clips_table
+
+    spark = build_session(
+        app_name="jsschema-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
+    )
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        log(f"{name}: {dt:.2f}s -> {out}")
+        return out
+
+    try:
+        # q1: flagship — compiled predicate DAG over the clips table
+        clips = clips_table(spark, clips_n, with_audio=False, partitions=cpus * 2)
+        tv = TableValidator(parse_schema(CLIPS_DRAFT04_SCHEMA), clips.schema)
+        n_valid = timed(
+            "clips_validate",
+            lambda: tv.apply(clips, with_violations=False).where(F.col("valid")).count(),
+        )
+        extras["clips_per_sec"] = round(clips_n / times["clips_validate"], 1)
+        extras["clips_n"] = clips_n
+        extras["clips_valid"] = n_valid
+
+        # q2: violation detail pass (valid + violations + summary agg)
+        timed("clips_violation_summary", lambda: tv.summary(clips).collect())
+
+        # q3: audio invariant (Arrow pandas-UDF stage)
+        audio = clips_table(spark, audio_n, with_audio=True, partitions=cpus)
+        def _audio():
+            return (
+                audio.withColumn("inv", audio_invariant_udf(F.col("clip_id"), F.col("bytes")))
+                .where(F.col("inv.snr_db") >= 30.0)
+                .count()
+            )
+        timed("clips_audio_invariant", _audio)
+        extras["audio_clips_per_sec"] = round(audio_n / times["clips_audio_invariant"], 1)
+
+        # q4+: engine queries over the driver tables
+        qs = entry_mod.queries()
+        for name in (
+            "validate_lineitem", "invalid_orders", "uniqueness_events_user",
+            "referential_orders_customer", "stats_lineitem", "histogram_l_quantity",
+            "token_count_documents", "exact_dup_documents", "lang_id_documents",
+            "minhash_near_dups", "simhash_documents", "embedding_topk",
+            "events_props_json", "conformance_corpus",
+        ):
+            q = qs[name]
+            timed(name, lambda q=q: q(spark, sf_dir).count())
+    finally:
+        spark.stop()
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "clips validated/sec (draft-04 predicate DAG) + engine query suite",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir,
+                "cpus": cpus,
+                **{k: v for k, v in extras.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,278 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+and embedding-cosine near-dup.
+
+Scale design (the whole point — 100 TB of documents):
+
+* **Exact**: hash-groupBy on a 64-bit content fingerprint of normalized
+  text. Map-side combine collapses duplicates per partition before the
+  shuffle; shuffle width = #distinct fingerprints, not #rows.
+* **MinHash + LSH**: shingle → K minhashes (pure Catalyst: xxhash64 with a
+  per-hash literal seed, array_min) → B bands of R hashes → explode bands →
+  self-join on (band, band_hash). Candidate pairs only ever meet inside a
+  band bucket — the quadratic blow-up is bounded per bucket, and band
+  buckets hash-partition uniformly. Verification (true Jaccard) runs only
+  on candidates.
+* **SimHash**: 64-bit bit-majority over token hashes, pure Catalyst
+  (aggregate over a 64-wide counter array). Near-dup candidates by the
+  pigeonhole trick: split into C=4 16-bit chunks; hamming ≤ 3 ⇒ at least
+  one chunk equal ⇒ equi-join on (chunk_idx, chunk_value), verify with
+  bit_count(xor) ≤ 3. Again: equi-join, no cross product.
+* **Embedding cosine**: random-hyperplane LSH (deterministic planes,
+  seeded NumPy, shipped as literals) buckets vectors by sign pattern;
+  exact cosine verifies within buckets. Brute-force pairing is only for
+  oracle tests.
+
+Everything except nothing is Python-free; all operators are Column/DataFrame
+compositions (whole-stage codegen + standard shuffles Catalyst can plan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsschema_spark.functions.text import content_fingerprint, normalized_text, word_shingles
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates (normalized-text fingerprint collisions):
+    ``fingerprint, n_docs, doc_ids`` (ids sorted; only groups with n>1)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), content_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id doc per fingerprint (deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(content_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values (empty-shingle docs ⇒ nulls)."""
+    sh = word_shingles(text, shingle_k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(id_a, id_b)`` (id_a < id_b) that share at
+    least one LSH band. rows-per-band R = num_hashes/bands sets the
+    sensitivity threshold ≈ (1/bands)^(1/R)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into bands")
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"), minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig")
+    ).where(F.col("sig")[0].isNotNull())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (verification for candidates, or exact small-scale pairing)
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,  # (id_a, id_b)
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """True n-gram Jaccard on candidate pairs: join shingle sets back to both
+    sides (shuffle on doc id), compute |∩|/|∪|, filter ≥ threshold."""
+    sh = df.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    out = (
+        candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def near_duplicates_minhash(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 64, bands: int = 16, shingle_k: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verification."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    return jaccard_pairs(df, cand, id_col, text_col, shingle_k, threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+
+def simhash(text: Column, shingle_k: int = 1) -> Column:
+    """64-bit SimHash of the token stream (k=1: unigrams), pure Catalyst:
+    per-token xxhash64 → ±1 contribution per bit → sign of the 64 sums."""
+    units = word_shingles(text, shingle_k) if shingle_k > 1 else F.split(normalized_text(text), " ")
+
+    def bit_contribs(u: Column) -> Column:
+        h = F.xxhash64(u)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+                for i in range(64)
+            ]
+        )
+
+    counts = F.aggregate(
+        units,
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, u: F.zip_with(acc, bit_contribs(u), lambda a, b: a + b),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(
+            F.when(
+                F.element_at(counts, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using the
+    pigeonhole chunk join (C = max_hamming + 1 chunks ⇒ one chunk must match
+    exactly). Output: id_a, id_b, hamming."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sh = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sh"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("sh"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    chunked = sh.select("doc_id", "sh", F.explode(chunks).alias("e")).select(
+        "doc_id", "sh", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv")
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
+    """Sign-pattern bucket id from deterministic random hyperplanes (same
+    planes on every executor — literals, no RNG state shipped)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bit = F.when(_dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def embedding_near_dups(
+    df: DataFrame, id_col: str, vec_col: str, dim: int,
+    threshold: float = 0.95, n_planes: int = 12, seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold. LSH-bucketed: only vectors with
+    an identical sign pattern are compared (recall grows with fewer planes;
+    at 100 TB run multiple seeds and union). Output: id_a, id_b, cos."""
+    emb = df.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_brute_force_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+) -> DataFrame:
+    """O(n²) exact pairing — oracle/testing only (the LSH path is the scale
+    path; this one is a cross join)."""
+    emb = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

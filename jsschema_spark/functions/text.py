@@ -39,8 +39,8 @@ def subword_token_estimate(text: Column) -> Column:
     standard chars/4 heuristic, computed exactly per word."""
     word_units = F.aggregate(
         tokens(text),
-        F.lit(0),
-        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / 4.0), F.lit(1)),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / 4.0), F.lit(1).cast("long")),
     )
     punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
     return (word_units + punct).cast("long")

@@ -1,0 +1,228 @@
+"""Training-data operators over the driver's documents/embeddings tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsschema_spark.functions import dedup as D
+from jsschema_spark.functions import similarity as S
+from jsschema_spark.functions import text as X
+from jsschema_spark.functions.multimodal import extract_media_features, frame_sample_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+# ---------------------------------------------------------------- text ops
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text", X.token_count(F.col("text")).alias("n")).collect()
+    for r in rows[:100]:
+        expected = len(r.text.split()) if r.text and r.text.strip() else 0
+        assert r.n == expected, (r.doc_id, r.n, expected)
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("one",), ("a  b\t c",)], "t string")
+    out = [r.n for r in df.select(X.token_count(F.col("t")).alias("n")).collect()]
+    assert out == [0, 0, 1, 3]
+
+
+def test_quality_and_ratios(spark, docs):
+    out = docs.select(
+        X.quality_score(F.col("text")).alias("q"),
+        X.punct_ratio(F.col("text")).alias("p"),
+        X.alpha_ratio(F.col("text")).alias("a"),
+        X.stopword_ratio(F.col("text")).alias("s"),
+    ).agg(
+        F.min("q"), F.max("q"), F.max("p"), F.min("a"), F.avg("s")
+    ).collect()[0]
+    assert 0.0 <= out[0] <= out[1] <= 1.0
+    assert 0.0 <= out[2] <= 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and the dog", "en"),
+            ("der Hund und die Katze ist nicht da", "de"),
+            ("le chat est sur la table et les chiens", "fr"),
+            ("el perro es una mascota para los gatos", "es"),
+            ("xyzzy qwerty 12345", "und"),
+        ],
+        "t string, expect string",
+    )
+    out = df.select("expect", X.lang_id(F.col("t")).alias("got")).collect()
+    for r in out:
+        assert r.got == r.expect, r
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello,   World!",), ("hello world",), ("different text",)], "t string"
+    )
+    fps = [r.f for r in df.select(X.content_fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_subword_estimate(spark):
+    df = spark.createDataFrame([("short text here",), ("internationalization",)], "t string")
+    out = [r.n for r in df.select(X.subword_token_estimate(F.col("t")).alias("n")).collect()]
+    assert out[0] == 4  # ceil(5/4)+ceil(4/4)+ceil(4/4)
+    assert out[1] == 5  # ceil(20/4)
+
+
+# ---------------------------------------------------------------- dedup
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    # inject exact + near duplicates deterministically
+    base = docs.select("doc_id", "text")
+    exact = base.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = base.where(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+    )
+    df = base.unionByName(exact).unionByName(near).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_exact_duplicates(spark, docs_with_dups):
+    groups = D.exact_duplicate_groups(docs_with_dups, "text", "doc_id").collect()
+    injected = {r.doc_ids[0] for r in groups if len(r.doc_ids) == 2 and r.doc_ids[1] >= 1_000_000}
+    assert len(injected) >= 8  # ~500/50 injected exact dups
+    deduped = D.exact_dedup(docs_with_dups, "text", "doc_id")
+    n_groups_extra = sum(len(r.doc_ids) - 1 for r in groups)
+    assert deduped.count() == docs_with_dups.count() - n_groups_extra
+
+
+def test_minhash_lsh_near_dups(spark, docs_with_dups):
+    found = D.near_duplicates_minhash(
+        docs_with_dups, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in found}
+    # every injected near-dup (append 1 token ⇒ Jaccard ~ (n-2)/(n+1) for
+    # 3-shingles of long docs) should be caught
+    injected = {
+        (r.doc_id, r.doc_id + 2_000_000)
+        for r in docs_with_dups.where(
+            (F.col("doc_id") % 71 == 0) & (F.col("doc_id") < 1_000_000)
+            & (X.token_count(F.col("text")) > 30)
+        ).collect()
+    }
+    missed = injected - pairs
+    assert len(missed) <= max(1, len(injected) // 10), f"LSH missed {missed}"
+    # verification step keeps jaccard ≥ threshold only
+    assert all(r.jaccard >= 0.7 for r in found)
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    sh_pairs = D.simhash_near_dups(docs_with_dups, "doc_id", "text", max_hamming=3).collect()
+    pairs = {(r.id_a, r.id_b) for r in sh_pairs}
+    # exact dups have identical simhash (hamming 0) — all must be found
+    exact_injected = {
+        (r.doc_id, r.doc_id + 1_000_000)
+        for r in docs_with_dups.where((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)).collect()
+    }
+    assert exact_injected <= pairs
+    assert all(r.hamming <= 3 for r in sh_pairs)
+
+
+def test_simhash_is_deterministic_and_64bit(spark):
+    df = spark.createDataFrame([("the quick brown fox",), ("the quick brown fox",)], "t string")
+    vals = [r.s for r in df.select(D.simhash(F.col("t")).alias("s")).collect()]
+    assert vals[0] == vals[1]
+    assert isinstance(vals[0], int)
+
+
+def test_embedding_near_dups_lsh_vs_brute(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    brute = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_brute_force_pairs(emb, "vec_id", "embedding", threshold=0.99).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dups(
+            emb, "vec_id", "embedding", dim, threshold=0.99, n_planes=8
+        ).collect()
+    }
+    assert lsh <= brute  # no false positives (cosine verified)
+    if brute:
+        assert len(lsh) >= len(brute) * 0.5  # LSH recall at 0.99 cosine
+
+
+# ---------------------------------------------------------------- similarity
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        # rank 1 is the query itself (cosine 1.0)
+        assert rs[0].vec_id == qid and rs[0].cos > 0.9999
+        assert all(rs[i].cos >= rs[i + 1].cos - 1e-12 for i in range(len(rs) - 1))
+
+
+def test_lsh_topk_recall(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = S.brute_force_topk(emb, queries, k=3).collect()
+    approx = S.lsh_topk(emb, queries, k=3, dim=dim, n_planes=6).collect()
+    exact_top1 = {r.query_id: r.vec_id for r in exact if r.rank == 1}
+    approx_top1 = {r.query_id: r.vec_id for r in approx if r.rank == 1}
+    # self-match must always be found (identical bucket)
+    assert approx_top1 == exact_top1
+
+
+def test_ivf_topk(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4).collect()
+    top1 = {r.query_id: (r.vec_id, r.cos) for r in out if r.rank == 1}
+    for qid, (vid, cos) in top1.items():
+        assert vid == qid and cos > 0.9999  # self always in its own cell
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_media_features_and_frame_plan(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 100), (2, bytes(range(256)) * 4), (3, None)],
+        "id long, payload binary",
+    )
+    feats = {r.id: r for r in extract_media_features(df, "id", "payload").collect()}
+    assert feats[1].byte_entropy == 0.0  # constant bytes
+    assert feats[2].byte_entropy == 4.0  # uniform over 16 bins
+    assert feats[3].byte_entropy == 0.0
+    assert len(feats[2].byte_histogram) == 16
+
+    vids = spark.createDataFrame([(1, 100), (2, 10)], "id long, n_frames int")
+    plan = frame_sample_plan(vids, "id", "n_frames", every_n=30).collect()
+    assert {(r.id, r.frame_idx) for r in plan} == {(1, 0), (1, 30), (1, 60), (1, 90), (2, 0)}
+
+    from jsschema_spark.functions.multimodal import real_image_decode
+    with pytest.raises(NotImplementedError):
+        real_image_decode(b"\xff\xd8\xff")
