@@ -169,26 +169,40 @@ def audio_payload_udf(
         yield _payload_batch(clip_ids, srs, durs, corrupt, mismatch)
 
 
-@F.pandas_udf(INVARIANT_SCHEMA)
-def audio_invariant_udf(
-    it: Iterator[tuple[pd.Series, pd.Series]],
-) -> Iterator[pd.DataFrame]:
-    """(clip_id, bytes) → (snr_db, decode_ok, n_samples): decode the payload
-    and score it against the regenerated reference signal."""
-    for clip_ids, payloads in it:
-        snrs, oks, lens = [], [], []
-        for cid, payload in zip(clip_ids, payloads):
-            try:
-                sr, samples = wav_decode(payload)
-                ref = synth_pcm(cid, sr, len(samples))
-                snrs.append(snr_db(ref, samples))
-                oks.append(True)
-                lens.append(len(samples))
-            except (ValueError, TypeError):
-                snrs.append(float("-inf"))
-                oks.append(False)
-                lens.append(0)
-        yield pd.DataFrame({"snr_db": snrs, "decode_ok": oks, "n_samples": lens})
+def make_audio_invariant_udf(max_check_samples: int | None = None):
+    """Build the invariant UDF. ``max_check_samples`` is the scale knob:
+    None compares the full decoded signal against the full regenerated
+    reference; an integer N compares a deterministic prefix of N samples —
+    at 10^12 clips the reference regeneration dominates compute, and a
+    prefix SNR catches the same corruption classes at a fraction of the
+    cost (full check stays the default and the pytest gate)."""
+
+    @F.pandas_udf(INVARIANT_SCHEMA)
+    def _udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        for clip_ids, payloads in it:
+            snrs, oks, lens = [], [], []
+            for cid, payload in zip(clip_ids, payloads):
+                try:
+                    sr, samples = wav_decode(payload)
+                    n_total = len(samples)
+                    check = samples
+                    if max_check_samples is not None and n_total > max_check_samples:
+                        check = samples[:max_check_samples]
+                    ref = synth_pcm(cid, sr, len(check))
+                    snrs.append(snr_db(ref, check))
+                    oks.append(True)
+                    lens.append(n_total)
+                except (ValueError, TypeError):
+                    snrs.append(float("-inf"))
+                    oks.append(False)
+                    lens.append(0)
+            yield pd.DataFrame({"snr_db": snrs, "decode_ok": oks, "n_samples": lens})
+
+    return _udf
+
+
+# full-signal invariant (the pytest gate / input_hint contract)
+audio_invariant_udf = make_audio_invariant_udf(None)
 
 
 @F.pandas_udf(T.StringType())

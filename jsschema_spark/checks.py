@@ -65,7 +65,7 @@ def uniqueness_report(df: DataFrame, key_cols: Sequence[str], salt_buckets: int 
         "n_rows": n,
         "dup_keys": agg["dup_keys"],
         "extra_rows": int(agg["extra_rows"]),
-        "n_unique_keys": None,  # derivable: n - extra_rows
+        "n_unique_keys": n - int(agg["extra_rows"]),
     }
 
 

@@ -60,12 +60,28 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash + LSH
 
+_MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash values (empty-shingle docs ⇒ nulls)."""
+    """Array of ``num_hashes`` minhash values (null for empty-shingle docs).
+
+    ONE ``aggregate`` pass over the shingle array, folding a vector of
+    ``num_hashes`` running minima — not ``num_hashes`` separate
+    ``array_min(transform(...))`` scans, which would re-evaluate the shingle
+    expression per hash (no CSE inside HOF lambdas)."""
     sh = word_shingles(text, shingle_k)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    init = F.array(*[F.lit(_MAX_LONG).cast("long") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
+    return F.when(F.element_at(sig, 1) == _MAX_LONG, F.lit(None)).otherwise(sig)
 
 
 def minhash_lsh_pairs(
@@ -84,7 +100,7 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("doc_id"), minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig")
-    ).where(F.col("sig")[0].isNotNull())
+    ).where(F.col("sig").isNotNull())
     band_structs = F.array(
         *[
             F.struct(

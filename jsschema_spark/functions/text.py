@@ -163,12 +163,24 @@ def content_fingerprint(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (the unit for
-    MinHash / Jaccard)."""
+    MinHash / Jaccard).
+
+    Built with ``zip_with`` over shifted copies of the token array — NOT
+    ``transform`` + ``element_at(toks, i)``: Catalyst does not CSE
+    subexpressions inside higher-order-function lambdas, so an
+    ``element_at(tokens(...), i)`` form re-tokenizes the whole document per
+    element (O(len²) — measured 100× slower). Each ``slice`` here traverses
+    the token array once."""
     toks = tokens(normalized_text(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
-    return F.array_distinct(sh)
+    if k <= 1:
+        return F.array_distinct(toks)
+    sh = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, 2_147_483_640)
+        # concat propagates null: zip_with pads the shorter side with null,
+        # so incomplete trailing shingles become null and are filtered
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
 
 
 def rolling_fingerprint(text: Column, k: int = 3) -> Column:

@@ -125,8 +125,10 @@ def clips_table(
         txt = F.when(F.col("__empty_txt"), F.lit("")).otherwise(
             F.sha2(F.col("clip_id"), 256)
         )
+        # placeholder payload (non-null so `required` semantics match the
+        # audio path; 8 bytes, negligible I/O)
         df = df.select(
-            "clip_id", F.lit(None).cast("binary").alias("bytes"),
+            "clip_id", F.to_binary(F.substring(F.sha2(F.col("clip_id"), 256), 1, 16), F.lit("hex")).alias("bytes"),
             "sr_hz", "dur_ms", "codec", txt.alias("transcript"),
         )
     return df

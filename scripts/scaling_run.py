@@ -35,13 +35,21 @@ def main() -> None:
     from jsschema_spark.session import build_session
     from jsschema_spark.synth import CLIPS_DRAFT04_SCHEMA, clips_table
 
+    import shutil
+    import tempfile
+
     spark = build_session(
         app_name=f"scaling-{args.cores}", master=f"local[{args.cores}]",
         shuffle_partitions=args.partitions,
         extra_conf={"spark.driver.memory": "24g"},
     )
+    tmp = tempfile.mkdtemp(prefix="jsschema-scaling-")
     try:
-        clips = clips_table(spark, args.rows, with_audio=False, partitions=args.partitions)
+        # materialize the input once: the measured job is validation over a
+        # columnar parquet scan (the real workload shape), not synthesis
+        src = os.path.join(tmp, "clips")
+        clips_table(spark, args.rows, with_audio=False, partitions=args.partitions).write.parquet(src)
+        clips = spark.read.parquet(src)
         tv = TableValidator(parse_schema(CLIPS_DRAFT04_SCHEMA), clips.schema)
         # warm-up (JIT/codegen) on a slice
         tv.apply(clips.limit(10000), with_violations=False).where(F.col("valid")).count()
@@ -60,6 +68,7 @@ def main() -> None:
         wall_audio = time.time() - t0
     finally:
         spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
 
     print(
         json.dumps(
