@@ -213,10 +213,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsschema_spark.generic import validate_json_column
+    # auto tier: this flat schema compiles to the JVM Variant path (no Python)
+    from jsschema_spark.variant import validate_json_auto
 
     df = _t(spark, sf_dir, "events")
-    out = validate_json_column(df, "props", PROPS_SCHEMA)
+    out = validate_json_auto(df, "props", PROPS_SCHEMA)
     return out.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.col("validation.valid").cast("long")).cast("long").alias("n_valid"),

@@ -32,7 +32,6 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
     from jsschema_spark import parse_schema
-    from jsschema_spark.audio import audio_invariant_udf
     from jsschema_spark.compiler import TableValidator
     from jsschema_spark.session import build_session
     from jsschema_spark.synth import CLIPS_DRAFT04_SCHEMA, clips_table
@@ -74,15 +73,17 @@ def main() -> None:
         # q2: violation detail pass (valid + violations + summary agg)
         timed("clips_violation_summary", lambda: tv.summary(clips).collect())
 
-        # q3: audio invariant (Arrow pandas-UDF stage)
-        audio = clips_table(spark, audio_n, with_audio=True, partitions=cpus)
-        def _audio():
-            return (
-                audio.withColumn("inv", audio_invariant_udf(F.col("clip_id"), F.col("bytes")))
-                .where(F.col("inv.snr_db") >= 30.0)
-                .count()
-            )
-        timed("clips_audio_invariant", _audio)
+        # q3: audio invariant — file-granular scan (payload bytes never cross
+        # JVM↔Python IPC; see jsschema_spark/audio.py bandwidth note)
+        from jsschema_spark.audio import audio_invariant_scan
+        from jsschema_spark.synth import clips_audio_to_parquet
+
+        asrc = os.path.join(tmp, "audio")
+        clips_audio_to_parquet(spark, audio_n, asrc, n_files=cpus * 2)
+        timed(
+            "clips_audio_invariant",
+            lambda: audio_invariant_scan(spark, asrc).where(F.col("snr_db") >= 30.0).count(),
+        )
         extras["audio_clips_per_sec"] = round(audio_n / times["clips_audio_invariant"], 1)
 
         # q4+: engine queries over the driver tables

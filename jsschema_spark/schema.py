@@ -168,6 +168,27 @@ class SchemaNode:
         """reference schema.go:273-280."""
         return name in self.required
 
+    def find_by_id(self, schema_id: str) -> Optional["SchemaNode"]:
+        """Full-tree id lookup. The reference's findSchemaByID
+        (schema.go:161-168) only checks self and direct definitions and is
+        marked 'XXX Quite unimplemented' — we walk the whole subtree."""
+        if self.id == schema_id:
+            return self
+        for child in self.children():
+            hit = child.find_by_id(schema_id)
+            if hit is not None:
+                return hit
+        return None
+
+    def resolve_url(self, ref: str) -> str:
+        """Resolve a (possibly relative) reference URL against the nearest
+        ancestor scope (reference ResolveURL schema.go:172-192, BaseURL
+        schema.go:135-144)."""
+        from urllib.parse import urljoin
+
+        base = self.scope() or ""
+        return urljoin(base, ref)
+
     def children(self):
         """Yield every direct child schema (the 9 child slots the reference
         re-parents in applyParentSchema, reference schema.go:82-132)."""

@@ -22,6 +22,66 @@ from pyspark.sql import functions as F
 
 from jsschema_spark.audio import audio_payload_udf
 
+def clips_audio_to_parquet(
+    spark: SparkSession, n: int, out_dir: str, n_files: int = 64,
+) -> list[str]:
+    """Write the audio clips table as parquet directly FROM Python workers
+    (pyarrow), bypassing the JVM↔Python Arrow IPC for the payload bytes —
+    the write-side twin of ``audio.audio_invariant_scan``. Each task owns a
+    contiguous id range and writes one file; returns the file list."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401  (local alias clarity)
+
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = [
+        (i, (n * i) // n_files, (n * (i + 1)) // n_files) for i in range(n_files)
+    ]
+    ranges = spark.createDataFrame(bounds, "file_idx int, lo long, hi long").repartition(n_files)
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pandas as pd
+
+        from jsschema_spark.audio import _payload_batch
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = list(range(int(row.lo), int(row.hi)))
+                cids = [f"clip-{i:012d}" for i in ids]
+                import hashlib
+
+                def pick(cid, tag, m):
+                    return int.from_bytes(
+                        hashlib.sha256(f"{cid}#{tag}".encode()).digest()[:4], "big"
+                    ) % m
+
+                srs = [(8000, 16000, 44100)[pick(c, "sr", 3)] for c in cids]
+                durs = [200 + pick(c, "dur", 14800) for c in cids]
+                corrupt = [pick(c, "corrupt", 200) == 0 for c in cids]
+                mism = [pick(c, "mismatch", 211) == 0 for c in cids]
+                payload = _payload_batch(
+                    pd.Series(cids), pd.Series(srs), pd.Series(durs),
+                    pd.Series(corrupt), pd.Series(mism),
+                )
+                table = pa.table(
+                    {
+                        "clip_id": pa.array(cids, pa.string()),
+                        "bytes": pa.array(payload["bytes"].tolist(), pa.binary()),
+                        "sr_hz": pa.array(srs, pa.int32()),
+                        "dur_ms": pa.array(durs, pa.int32()),
+                        "transcript": pa.array(payload["transcript"].tolist(), pa.string()),
+                    }
+                )
+                path = os.path.join(out_dir, f"part-{int(row.file_idx):05d}.parquet")
+                pq.write_table(table, path)
+                yield pd.DataFrame({"path": [path], "n_rows": [len(cids)]})
+
+    out = ranges.mapInPandas(gen, "path string, n_rows long").collect()
+    return [r.path for r in out]
+
+
 CLIPS_DRAFT04_SCHEMA = {
     "type": "object",
     "required": ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],

@@ -29,9 +29,10 @@ def test_wav_roundtrip_local():
 
 
 def test_synth_is_deterministic():
-    a = synth_pcm("clip-x", 8000, 4000)
-    b = synth_pcm("clip-x", 8000, 4000)
-    c = synth_pcm("clip-y", 8000, 4000)
+    # synth_pcm returns a scratch VIEW — copy to compare across calls
+    a = synth_pcm("clip-x", 8000, 4000).copy()
+    b = synth_pcm("clip-x", 8000, 4000).copy()
+    c = synth_pcm("clip-y", 8000, 4000).copy()
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
     assert synth_transcript("clip-x") == synth_transcript("clip-x")
