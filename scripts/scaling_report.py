@@ -39,7 +39,9 @@ def main() -> None:
     eff_audio = (hi["audio_rows_per_sec"] / lo["audio_rows_per_sec"]) / 4.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # BENCH/BASELINE.md is the curated scaling document (written by hand from
+    # scaling_interleaved.py runs); this one-shot report goes alongside it
+    path = os.path.join(REPO, "BENCH", "scaling_oneshot.md")
     with open(path, "w", encoding="utf-8") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (N vs 4N)
 
