@@ -42,7 +42,10 @@ def duplicate_keys(
     if salt_buckets <= 1:
         counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
     else:
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        # seeded rand is re-seeded per partition index, so a retried task
+        # replays the same salts (unlike monotonically_increasing_id) while
+        # still spreading byte-identical rows of a hot key across buckets
+        salt = (F.rand(42) * salt_buckets).cast("int")
         partial = (
             df.withColumn("__salt", salt)
             .groupBy(*keys, F.col("__salt"))

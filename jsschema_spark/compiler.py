@@ -89,7 +89,9 @@ def _json_type_of_spark(dt: T.DataType) -> str:
 # vetted Java-regex format patterns (mirror of pyvalidate's, rlike-ready)
 _FORMAT_RLIKE = {
     "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
-    "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
+    # keeps the total-length lookahead from pyvalidate's _RE_HOSTNAME (Java
+    # regex supports lookahead in rlike) — tier-parity with the Python core
+    "hostname": r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
     "ipv4": r"^(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}$",
     "ipv6": r"^[0-9A-Fa-f:.]{2,45}$",
     "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:",
@@ -166,8 +168,11 @@ class _Compiler:
                 if static_t == "integer" and float(s.multiple_of).is_integer():
                     p = F.pmod(col, F.lit(int(s.multiple_of))) == 0
                 else:
+                    # tolerance scales with ulp(q) (double spacing ≈ |q|·2e-16,
+                    # so a true multiple's computed q is within a few ulps of an
+                    # integer); 1e-9 floor absorbs decimal-literal error at small q
                     q = col / F.lit(float(s.multiple_of))
-                    p = F.abs(q - F.round(q)) < F.lit(1e-9)
+                    p = F.abs(q - F.round(q)) < F.greatest(F.lit(1e-9), F.abs(q) * F.lit(1e-14))
                 preds.append(
                     CompiledPredicate(path, "multipleOf", p, f"not a multiple of {s.multiple_of}")
                 )
@@ -539,6 +544,15 @@ class _Compiler:
                         f"{pname!r} requires {d!r}",
                     )
                 )
+        for pname, dschema in s.dep_schemas.items():
+            inner = self._value_pred(dschema, col, dt, path, depth + 1)
+            preds.append(
+                CompiledPredicate(
+                    path, "dependencies",
+                    F.when(F.map_contains_key(col, pname), inner).otherwise(F.lit(True)),
+                    f"{pname!r} schema dependency violated",
+                )
+            )
         return preds
 
 
@@ -631,26 +645,25 @@ class TableValidator:
         ]
         aggs.append(F.count(F.lit(1)).alias("__total"))
         row = df.agg(*aggs)
-        # unpivot driver-side metadata (predicate list is small) via stack
-        pairs = []
-        for i, p in enumerate(self.predicates):
-            pairs.extend([F.lit(p.path), F.lit(p.keyword), F.col(f"p{i}")])
-        n = len(self.predicates)
-        if n == 0:
+        if not self.predicates:
             return row.select(
                 F.lit("$").alias("path"), F.lit("none").alias("keyword"),
                 F.lit(0).cast("long").alias("n_violations"),
                 F.col("__total").alias("n_rows"),
             )
-        stacked = row.select(
-            F.expr(
-                "stack({n}, {args}) as (path, keyword, n_violations)".format(
-                    n=n,
-                    args=", ".join(
-                        f"'{p.path}', '{p.keyword}', p{i}" for i, p in enumerate(self.predicates)
-                    ),
+        # unpivot via Column API (explode of struct literals), never by
+        # interpolating schema-supplied path/keyword text into SQL — schema
+        # documents are untrusted input and property names may contain quotes
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(p.path).alias("path"),
+                    F.lit(p.keyword).alias("keyword"),
+                    F.col(f"p{i}").alias("n_violations"),
                 )
-            ),
-            F.col("__total").alias("n_rows"),
+                for i, p in enumerate(self.predicates)
+            ]
         )
-        return stacked
+        return row.select(
+            F.explode(entries).alias("s"), F.col("__total").alias("n_rows")
+        ).select("s.path", "s.keyword", "s.n_violations", "n_rows")

@@ -28,6 +28,8 @@ compositions (whole-stage codegen + standard shuffles Catalyst can plan).
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -35,14 +37,30 @@ from pyspark.sql import functions as F
 from jsschema_spark.functions.text import content_fingerprint, normalized_text, word_shingles
 
 
+def portable_hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash reproducible in ANSI SQL engines
+    (``('0x' || substring(md5(x),1,15))::BIGINT`` in DuckDB) — the oracle-
+    parity alternative to xxhash64. Slower (md5 + string conv); use xxhash64
+    on the 100 TB path."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 
-def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_duplicate_groups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    fingerprint_fn: Callable[[Column], Column] = content_fingerprint,
+) -> DataFrame:
     """Groups of exact duplicates (normalized-text fingerprint collisions):
-    ``fingerprint, n_docs, doc_ids`` (ids sorted; only groups with n>1)."""
+    ``fingerprint, n_docs, doc_ids`` (ids sorted; only groups with n>1).
+
+    ``fingerprint_fn`` swaps the 64-bit xxhash64 default for e.g. an
+    md5-based fingerprint when an external SQL oracle must reproduce it."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), content_fingerprint(F.col(text_col)).alias("fingerprint"))
+        df.select(F.col(id_col).alias("doc_id"), fingerprint_fn(F.col(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
         .where(F.col("n_docs") > 1)
@@ -91,10 +109,19 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(id_a, id_b)`` (id_a < id_b) that share at
     least one LSH band. rows-per-band R = num_hashes/bands sets the
-    sensitivity threshold ≈ (1/bands)^(1/R)."""
+    sensitivity threshold ≈ (1/bands)^(1/R).
+
+    Hot-bucket skew control: a degenerate band bucket (millions of
+    boilerplate near-identical docs) would make the self-join quadratic
+    *within that bucket* and melt one reducer. Buckets larger than
+    ``max_bucket_size`` switch from all-pairs to **consecutive-pair
+    chaining** (sorted by doc_id): O(size) pairs that preserve the
+    connected-component structure dedup grouping needs — members of a
+    degenerate bucket still end up transitively linked."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands")
     r = num_hashes // bands
@@ -113,14 +140,51 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(band_structs).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    return _bounded_self_pairs(banded, ["band", "bh"], max_bucket_size)
+
+
+def _bounded_self_pairs(
+    banded: DataFrame, key_cols: list[str], max_bucket_size: int,
+    payload: Optional[str] = None,
+) -> DataFrame:
+    """Within-bucket pairing with a size cap: full all-pairs equi-join for
+    buckets ≤ cap, consecutive-pair chaining (one window pass) above it.
+    ``payload``: optional extra column carried onto both sides (``<p>_a`` /
+    ``<p>_b``). Both branches shuffle on the same bucket key — Catalyst
+    plans ordinary hash exchanges, AQE can split stragglers."""
+    import functools
+    import operator
+
+    from pyspark.sql import Window
+
+    counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    tagged = banded.join(counts, key_cols)
+    small = tagged.where(F.col("__bn") <= max_bucket_size).drop("__bn")
+    big = tagged.where(F.col("__bn") > max_bucket_size).drop("__bn")
+
+    pay_a = [F.col(f"a.{payload}").alias(f"{payload}_a")] if payload else []
+    pay_b = [F.col(f"b.{payload}").alias(f"{payload}_b")] if payload else []
+    a, b = small.alias("a"), small.alias("b")
+    cond = functools.reduce(
+        operator.and_, [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols]
+    ) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    full = a.join(b, cond).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), *pay_a, *pay_b
     )
+
+    w = Window.partitionBy(*key_cols).orderBy("doc_id")
+    prev_cols = ["doc_id"] + ([payload] if payload else [])
+    chained = (
+        big.withColumn("__prev", F.lag(F.struct(*prev_cols)).over(w))
+        .where(F.col("__prev").isNotNull())
+        .select(
+            F.col("__prev.doc_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            *([F.col(f"__prev.{payload}").alias(f"{payload}_a")] if payload else []),
+            *([F.col(payload).alias(f"{payload}_b")] if payload else []),
+        )
+    )
+    return full.unionByName(chained).distinct()
 
 
 # --------------------------------------------------------------------------
@@ -135,8 +199,20 @@ def jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """True n-gram Jaccard on candidate pairs: join shingle sets back to both
-    sides (shuffle on doc id), compute |∩|/|∪|, filter ≥ threshold."""
-    sh = df.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    sides (shuffle on doc id), compute |∩|/|∪|, filter ≥ threshold.
+
+    The corpus is semi-joined to the candidate ids BEFORE the shingle
+    projection — shingling runs on |candidates| docs, not the whole corpus
+    (the candidate set is orders of magnitude smaller after LSH)."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")).join(
+        cand_ids, "doc_id", "left_semi"
+    )
+    sh = pruned.select("doc_id", word_shingles(F.col("__t"), shingle_k).alias("sh"))
     out = (
         candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -153,36 +229,51 @@ def jaccard_pairs(
 def near_duplicates_minhash(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 64, bands: int = 16, shingle_k: int = 3, threshold: float = 0.8,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verification."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k, max_bucket_size)
     return jaccard_pairs(df, cand, id_col, text_col, shingle_k, threshold)
 
 
 # --------------------------------------------------------------------------
 # SimHash
 
-def simhash(text: Column, shingle_k: int = 1) -> Column:
-    """64-bit SimHash of the token stream (k=1: unigrams), pure Catalyst:
-    per-token xxhash64 → ±1 contribution per bit → sign of the 64 sums."""
-    units = word_shingles(text, shingle_k) if shingle_k > 1 else F.split(normalized_text(text), " ")
+def simhash(
+    text: Column,
+    shingle_k: int = 1,
+    n_bits: int = 64,
+    hash_fn: Optional[Callable[[Column], Column]] = None,
+) -> Column:
+    """SimHash of the token stream (k=1: unigrams), pure Catalyst:
+    per-token hash → ±1 contribution per bit → sign of the per-bit sums.
 
-    def bit_contribs(u: Column) -> Column:
-        h = F.xxhash64(u)
+    Tokens are hashed ONCE in a ``transform`` pass, then the bit-majority
+    fold runs over the hash array (Catalyst does no CSE inside HOF lambdas —
+    hashing inside the fold would re-evaluate the hash per bit reference).
+
+    ``hash_fn``/``n_bits`` default to xxhash64/64 (the scale path); pass
+    ``portable_hash64``/60 when an external SQL engine must reproduce the
+    values (oracle parity)."""
+    units = word_shingles(text, shingle_k) if shingle_k > 1 else F.split(normalized_text(text), " ")
+    hf = hash_fn or (lambda c: F.xxhash64(c))
+    hashes = F.transform(units, lambda u: hf(u))
+
+    def bit_contribs(h: Column) -> Column:
         return F.array(
             *[
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-                for i in range(64)
+                for i in range(n_bits)
             ]
         )
 
     counts = F.aggregate(
-        units,
-        F.array(*[F.lit(0) for _ in range(64)]),
-        lambda acc, u: F.zip_with(acc, bit_contribs(u), lambda a, b: a + b),
+        hashes,
+        F.array(*[F.lit(0) for _ in range(n_bits)]),
+        lambda acc, h: F.zip_with(acc, bit_contribs(h), lambda a, b: a + b),
     )
     out = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         out = out.bitwiseOR(
             F.when(
                 F.element_at(counts, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
@@ -193,10 +284,14 @@ def simhash(text: Column, shingle_k: int = 1) -> Column:
 
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using the
     pigeonhole chunk join (C = max_hamming + 1 chunks ⇒ one chunk must match
-    exactly). Output: id_a, id_b, hamming."""
+    exactly). Output: id_a, id_b, hamming.
+
+    Chunk buckets above ``max_bucket_size`` (boilerplate-heavy corpora)
+    switch to consecutive-pair chaining — see ``_bounded_self_pairs``."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     sh = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sh"))
@@ -212,18 +307,15 @@ def simhash_near_dups(
     chunked = sh.select("doc_id", "sh", F.explode(chunks).alias("e")).select(
         "doc_id", "sh", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv")
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+    pairs = _bounded_self_pairs(chunked, ["chunk", "cv"], max_bucket_size, payload="sh")
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
 
 
 # --------------------------------------------------------------------------
@@ -258,21 +350,20 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42)
 def embedding_near_dups(
     df: DataFrame, id_col: str, vec_col: str, dim: int,
     threshold: float = 0.95, n_planes: int = 12, seed: int = 42,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold. LSH-bucketed: only vectors with
     an identical sign pattern are compared (recall grows with fewer planes;
-    at 100 TB run multiple seeds and union). Output: id_a, id_b, cos."""
+    at 100 TB run multiple seeds and union). Buckets above
+    ``max_bucket_size`` (mass-duplicated embeddings) fall back to
+    consecutive-pair chaining. Output: id_a, id_b, cos."""
     emb = df.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    pairs = _bounded_self_pairs(emb, ["bucket"], max_bucket_size, payload="v")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
-        )
+        pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 

@@ -124,7 +124,20 @@ def validate_json_pairs(
     def _udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
         for schemas, instances in it:
             parts = []
-            for schema_text, sub in instances.groupby(schemas, sort=False):
+            # null-schema rows: pandas groupby drops NaN keys, which would
+            # make the .loc reindex below KeyError — emit valid=None for them
+            # (mirroring the null-instance contract) and group the rest
+            null_mask = schemas.isna()
+            if null_mask.any():
+                sub = instances[null_mask]
+                parts.append(
+                    pd.DataFrame(
+                        {"valid": [None] * len(sub), "violations": [None] * len(sub)}
+                    ).set_index(sub.index)
+                )
+            for schema_text, sub in instances[~null_mask].groupby(
+                schemas[~null_mask], sort=False
+            ):
                 parts.append(
                     _validate_series(schema_text, sub, enforce_formats)
                     .set_index(sub.index)

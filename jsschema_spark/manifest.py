@@ -58,7 +58,15 @@ class Manifest:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
-    def completed_buckets(self) -> set[int]:
+    def completed_buckets(
+        self,
+        lineage: Optional[list[str]] = None,
+        engine_version: Optional[str] = None,
+    ) -> set[int]:
+        """Buckets recorded done. When ``lineage``/``engine_version`` are
+        given, a done record only counts if it was produced from the same
+        input files by the same engine version — a resumed run over changed
+        input re-validates instead of silently reporting stale results."""
         done: set[int] = set()
         for name in os.listdir(self.path):
             if not name.endswith(".jsonl"):
@@ -66,8 +74,16 @@ class Manifest:
             with open(os.path.join(self.path, name), encoding="utf-8") as f:
                 for line in f:
                     rec = json.loads(line)
-                    if rec.get("status") == "done":
-                        done.add(rec["bucket"])
+                    if rec.get("status") != "done":
+                        continue
+                    if lineage is not None and rec.get("input_files") != lineage:
+                        continue
+                    if (
+                        engine_version is not None
+                        and rec.get("engine_version") != engine_version
+                    ):
+                        continue
+                    done.add(rec["bucket"])
         return done
 
     def records(self) -> list[dict]:
@@ -106,16 +122,20 @@ class ResumableValidation:
         self.n_buckets = n_buckets
         self.buckets_per_job = buckets_per_job
 
-    def pending_buckets(self) -> list[int]:
-        done = self.manifest.completed_buckets()
+    def pending_buckets(self, lineage: Optional[list[str]] = None) -> list[int]:
+        done = self.manifest.completed_buckets(
+            lineage=lineage, engine_version=jsschema_spark.__version__
+        )
         return [b for b in range(self.n_buckets) if b not in done]
 
     def run(self, df: DataFrame, fail_after_chunks: Optional[int] = None) -> list[BucketResult]:
         """Process pending buckets. ``fail_after_chunks`` injects a crash
-        after N chunks (kill-and-resume testing)."""
-        pending = self.pending_buckets()
-        results: list[BucketResult] = []
+        after N chunks (kill-and-resume testing). Resume only skips buckets
+        whose manifest record matches the current input lineage + engine
+        version — changed input re-validates."""
         lineage = sorted(df.inputFiles()) if df.inputFiles() else []
+        pending = self.pending_buckets(lineage=lineage)
+        results: list[BucketResult] = []
         spark = df.sparkSession
         prev_overwrite = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

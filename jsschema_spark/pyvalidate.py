@@ -83,14 +83,27 @@ def _type_matches(declared: str, v: Any) -> bool:
     return False
 
 
+def _canon_value(v: Any) -> Any:
+    """Recursively normalize integral floats to ints ([1] == [1.0], nested
+    dicts too) — draft-04 numeric equality; the Go reference decodes every
+    number as float64 so 1 and 1.0 are indistinguishable at any depth."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and v.is_integer() and math.isfinite(v):
+        return int(v)
+    if isinstance(v, list):
+        return [_canon_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canon_value(x) for k, x in v.items()}
+    return v
+
+
 def _canon(v: Any) -> str:
     """Canonical form for deep equality (enum membership, uniqueItems) that
     keeps JSON types distinct (1 != true, 1 != "1"; but 1 == 1.0)."""
     if isinstance(v, bool):
         return "b:" + ("1" if v else "0")
-    if isinstance(v, float) and v.is_integer() and math.isfinite(v):
-        v = int(v)
-    return json.dumps(v, sort_keys=True, ensure_ascii=False)
+    return json.dumps(_canon_value(v), sort_keys=True, ensure_ascii=False)
 
 
 # vetted format regexes (draft-04 names, reference interface.go:38-45);
@@ -130,8 +143,13 @@ def _format_ok(fmt: str, v: str) -> bool:
 def _multiple_of(v, k) -> bool:
     if k == 0:
         return True
+    # exact for int÷int (draft-04 integer corpus); float path scales the
+    # tolerance with ulp(q) — double spacing exceeds any absolute epsilon
+    # once |q| ≳ 2^30 (kept in lockstep with compiler.py/variant.py)
+    if isinstance(v, int) and isinstance(k, int) and not isinstance(v, bool):
+        return v % k == 0
     q = v / k
-    return abs(q - round(q)) < 1e-9
+    return abs(q - round(q)) < max(1e-9, abs(q) * 1e-14)
 
 
 class Validator:

@@ -19,11 +19,17 @@ Dynamic-type semantics (draft-04, pinned by the corpus):
   (non-null) — exactly draft-04's present-vs-null distinction, so
   ``required`` is ``try_variant_get(...).isNotNull()``.
 
-``try_compile`` returns None when the schema needs keywords Variant can't
-express without key enumeration or recursion-unbounded work
-(patternProperties, additionalProperties, property counts, schema-form
-dependencies, non-scalar enum/uniqueItems, $ref) — callers fall back to the
-Arrow pandas-UDF path (``validate_json_auto``).
+Key-set keywords (patternProperties, additionalProperties, property counts)
+and arbitrary property names (dots, quotes, spaces — names a ``$.name``
+variant path would misparse) go through ``try_variant_get(v, "$",
+"map<string,variant>")``: one JVM-side cast per object level, then ordinary
+``map_keys``/``map_entries``/``element_at`` predicates. Tuple-mode items and
+additionalItems use the ``array<variant>`` cast + ``element_at``/``slice``.
+
+``try_compile`` returns None only for schemas Variant genuinely can't
+express statically: ``$ref`` (recursion-unbounded) and non-scalar
+enum members (canonical-JSON equality differs from the Python core's) —
+callers fall back to the Arrow pandas-UDF path (``validate_json_auto``).
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ from __future__ import annotations
 import functools
 import json
 import operator
+import re
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -45,6 +52,10 @@ class _Unsupported(Exception):
 
 
 _NUMERIC_PREFIXES = ("BIGINT", "DOUBLE", "FLOAT", "DECIMAL")
+
+# property names safe to embed in a `$.name` variant-get path; anything else
+# (dots, brackets, quotes, spaces, unicode) goes through the map cast
+_SIMPLE_NAME = re.compile(r"^[A-Za-z0-9_]+$")
 
 
 def _vtype(v: Column) -> Column:
@@ -91,17 +102,8 @@ class _VariantCompiler:
         """Predicates over a non-null variant ``v`` (present value)."""
         if depth > self.max_depth:
             raise _Unsupported("nesting too deep")
-        # keywords Variant can't express — signal fallback
-        if (
-            s.ref or s.pattern_properties or s.dep_schemas
-            or s.additional_properties is not None and s.additional_properties is not FORBIDDEN
-            or s.additional_properties is FORBIDDEN
-            or s.min_properties is not None or s.max_properties is not None
-            or (s.items is not None and s.items.tuple_mode)
-            or s.additional_items is FORBIDDEN
-            or isinstance(s.additional_items, SchemaNode)
-        ):
-            raise _Unsupported("keyword needs key-enumeration / $ref / tuple items")
+        if s.ref:
+            raise _Unsupported("$ref needs compile-time resolution / recursion")
 
         preds: list[CompiledPredicate] = []
         t = _vtype(v)
@@ -137,10 +139,13 @@ class _VariantCompiler:
         d = _as_double(v)
         if s.multiple_of is not None and s.multiple_of != 0:
             q = d / F.lit(float(s.multiple_of))
+            # ulp-scaled tolerance (double spacing exceeds 1e-9 above ~2^30);
+            # kept in lockstep with compiler.py / pyvalidate.py
+            mp_ok = F.abs(q - F.round(q)) < F.greatest(F.lit(1e-9), F.abs(q) * F.lit(1e-14))
             preds.append(
                 CompiledPredicate(
                     path, "multipleOf",
-                    F.when(num_guard, F.abs(q - F.round(q)) < 1e-9).otherwise(F.lit(True)),
+                    F.when(num_guard, mp_ok).otherwise(F.lit(True)),
                     f"not a multiple of {s.multiple_of}",
                 )
             )
@@ -195,7 +200,11 @@ class _VariantCompiler:
 
         # arrays
         arr_guard = t.startswith("ARRAY")
-        if s.min_items is not None or s.max_items is not None or s.items is not None or s.unique_items:
+        if (
+            s.min_items is not None or s.max_items is not None
+            or s.items is not None or s.unique_items
+            or s.additional_items is FORBIDDEN or isinstance(s.additional_items, SchemaNode)
+        ):
             elems = F.try_variant_get(v, "$", "array<variant>")
             if s.min_items is not None:
                 preds.append(
@@ -232,19 +241,64 @@ class _VariantCompiler:
                         "element violates item schema",
                     )
                 )
+            elif s.items is not None and s.items.tuple_mode:
+                arity = len(s.items.schemas)
+                for i, sub in enumerate(s.items.schemas):
+                    e = F.element_at(elems, i + 1)
+                    inner = F.when(e.isNull(), F.lit(True)).otherwise(
+                        self._value_pred(sub, e, f"{path}[{i}]", depth + 1)
+                    )
+                    preds.append(
+                        CompiledPredicate(
+                            f"{path}[{i}]", "items",
+                            F.when(arr_guard & (F.size(elems) > i), inner).otherwise(F.lit(True)),
+                            "tuple element violates item schema",
+                        )
+                    )
+                if s.additional_items is FORBIDDEN:
+                    preds.append(
+                        CompiledPredicate(
+                            path, "additionalItems",
+                            F.when(arr_guard, F.size(elems) <= arity).otherwise(F.lit(True)),
+                            f"more than tuple arity {arity} items",
+                        )
+                    )
+                elif isinstance(s.additional_items, SchemaNode):
+                    extra_fn = self._value_pred_fn(s.additional_items, f"{path}[*]", depth + 1)
+                    preds.append(
+                        CompiledPredicate(
+                            path, "additionalItems",
+                            F.when(
+                                arr_guard,
+                                F.forall(F.slice(elems, arity + 1, 2_147_483_647 - arity), extra_fn),
+                            ).otherwise(F.lit(True)),
+                            "additional element violates schema",
+                        )
+                    )
 
-        # objects
+        # objects — key-set keywords and non-identifier property names go
+        # through one map<string,variant> cast per level; plain names use
+        # direct `$.name` variant paths (no cast). A name with '.', '[',
+        # quotes or spaces would silently change a `$.name` lookup, so those
+        # ALWAYS take the map route (never a mangled path).
+        obj_guard = t.startswith("OBJECT")
+        obj_map = F.try_variant_get(v, "$", "map<string,variant>")
+
+        def child_of(name: str) -> Column:
+            if _SIMPLE_NAME.match(name):
+                return F.try_variant_get(v, f"$.{name}", "variant")
+            return F.element_at(obj_map, F.lit(name))
+
         for req in s.required:
             preds.append(
                 CompiledPredicate(
                     f"{path}.{req}", "required",
-                    F.when(t.startswith("OBJECT"),
-                           F.try_variant_get(v, f"$.{req}", "variant").isNotNull()).otherwise(F.lit(True)),
+                    F.when(obj_guard, child_of(req).isNotNull()).otherwise(F.lit(True)),
                     f"missing required property {req!r}",
                 )
             )
         for name, sub in s.properties.items():
-            child = F.try_variant_get(v, f"$.{name}", "variant")
+            child = child_of(name)
             for cp in self.compile(sub, child, f"{path}.{name}", depth + 1):
                 preds.append(
                     CompiledPredicate(
@@ -255,16 +309,88 @@ class _VariantCompiler:
                         cp.message,
                     )
                 )
+        for src, (rx, sub) in s.pattern_properties.items():
+            sub_fn = self._value_pred_fn(sub, f"{path}.<{src}>", depth + 1)
+
+            # closure factory, NOT default-arg capture: pyspark HOFs build
+            # the lambda from the function's parameter count, so extra
+            # defaulted params would become lambda variables
+            def make_entry_ok(_src, _fn):
+                def entry_ok(e: Column) -> Column:
+                    return F.when(~e.getField("key").rlike(_src), F.lit(True)).otherwise(
+                        _fn(e.getField("value"))
+                    )
+
+                return entry_ok
+
+            entry_ok = make_entry_ok(src, sub_fn)
+            preds.append(
+                CompiledPredicate(
+                    path, "patternProperties",
+                    F.when(obj_guard, F.forall(F.map_entries(obj_map), entry_ok)).otherwise(F.lit(True)),
+                    f"patternProperties {src!r} violated",
+                )
+            )
+        if s.additional_properties is FORBIDDEN or isinstance(s.additional_properties, SchemaNode):
+            known = list(s.properties)
+            rxs = list(s.pattern_properties)
+
+            def key_known(k: Column) -> Column:
+                ok = k.isin(*known) if known else F.lit(False)
+                for srcp in rxs:
+                    ok = ok | k.rlike(srcp)
+                return ok
+
+            if s.additional_properties is FORBIDDEN:
+                p = F.forall(F.map_keys(obj_map), key_known)
+            else:
+                extra_fn = self._value_pred_fn(s.additional_properties, f"{path}.<additional>", depth + 1)
+                p = F.forall(
+                    F.map_entries(obj_map),
+                    lambda e: key_known(e.getField("key")) | extra_fn(e.getField("value")),
+                )
+            preds.append(
+                CompiledPredicate(
+                    path, "additionalProperties",
+                    F.when(obj_guard, p).otherwise(F.lit(True)),
+                    "unexpected properties",
+                )
+            )
+        if s.min_properties is not None:
+            preds.append(
+                CompiledPredicate(
+                    path, "minProperties",
+                    F.when(obj_guard, F.size(obj_map) >= s.min_properties).otherwise(F.lit(True)),
+                    f"fewer than {s.min_properties} properties",
+                )
+            )
+        if s.max_properties is not None:
+            preds.append(
+                CompiledPredicate(
+                    path, "maxProperties",
+                    F.when(obj_guard, F.size(obj_map) <= s.max_properties).otherwise(F.lit(True)),
+                    f"more than {s.max_properties} properties",
+                )
+            )
         for pname, deplist in s.dep_names.items():
-            has = F.try_variant_get(v, f"$.{pname}", "variant").isNotNull()
+            has = child_of(pname).isNotNull()
             for dep in deplist:
                 preds.append(
                     CompiledPredicate(
                         path, "dependencies",
-                        F.when(has, F.try_variant_get(v, f"$.{dep}", "variant").isNotNull()).otherwise(F.lit(True)),
+                        F.when(obj_guard & has, child_of(dep).isNotNull()).otherwise(F.lit(True)),
                         f"{pname!r} requires {dep!r}",
                     )
                 )
+        for pname, dschema in s.dep_schemas.items():
+            inner = self._value_pred(dschema, v, path, depth + 1)
+            preds.append(
+                CompiledPredicate(
+                    path, "dependencies",
+                    F.when(obj_guard & child_of(pname).isNotNull(), inner).otherwise(F.lit(True)),
+                    f"{pname!r} schema dependency violated",
+                )
+            )
 
         # combinators
         for sub in s.all_of:

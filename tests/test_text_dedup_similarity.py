@@ -226,3 +226,89 @@ def test_media_features_and_frame_plan(spark):
     from jsschema_spark.functions.multimodal import real_image_decode
     with pytest.raises(NotImplementedError):
         real_image_decode(b"\xff\xd8\xff")
+
+
+# ------------------------------------------------- hot-bucket skew control
+
+def test_hot_bucket_cap_bounds_pair_count(spark):
+    """Adversarial corpus: 4k identical docs would make every LSH band
+    bucket quadratic (4k² ≈ 16M pairs per band). With the cap, oversize
+    buckets chain consecutively: pair count stays O(n), and the duplicate
+    group remains a single connected component."""
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate legal disclaimer text repeated verbatim "
+              "across every crawled page of the site").alias("text"),
+    )
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=500)
+    n_pairs = pairs.count()
+    # chained: ≤ n-1 distinct consecutive pairs (same pair from all 16 bands
+    # collapses in the distinct), never the ~8M of all-pairs
+    assert 0 < n_pairs <= n - 1
+    # connectivity: consecutive chaining links every doc transitively
+    ids = pairs.select(F.col("id_a").alias("i")).unionByName(
+        pairs.select(F.col("id_b").alias("i"))
+    ).distinct().count()
+    assert ids == n
+
+
+def test_hot_bucket_small_buckets_still_all_pairs(spark, docs_with_dups):
+    """Capped and uncapped runs agree when no bucket exceeds the cap."""
+    capped = D.minhash_lsh_pairs(docs_with_dups, "doc_id", "text", max_bucket_size=500)
+    uncapped = D.minhash_lsh_pairs(docs_with_dups, "doc_id", "text", max_bucket_size=10**9)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
+
+
+def test_simhash_hot_bucket_cap(spark):
+    n = 3000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("identical doc body for simhash").alias("text")
+    )
+    pairs = D.simhash_near_dups(df, "doc_id", "text", max_hamming=3, max_bucket_size=300)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= n - 1  # identical docs: hamming 0, chained pairs only
+
+
+def test_portable_simhash_matches_duckdb(spark):
+    """The md5-based portable simhash (oracle mode) reproduces bit-for-bit
+    in DuckDB SQL — the parity the driver's oracle gate relies on."""
+    import duckdb
+
+    rows = [(0, "alpha beta gamma"), (1, "Alpha, beta; GAMMA!"), (2, "one two three four")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id",
+            D.simhash(F.col("text"), n_bits=60, hash_fn=D.portable_hash64).alias("sh"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    oracle = dict(
+        con.execute(
+            """
+            WITH n AS (
+              SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+              FROM docs
+            ), u AS (
+              SELECT doc_id, unnest(regexp_split_to_array(norm, ' ')) AS tok FROM n
+            ), h AS (
+              SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv FROM u
+            ), b AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h, (SELECT unnest(range(60)) AS bit) GROUP BY doc_id, bit
+            )
+            SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+            FROM b GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert got == oracle
+    # normalization folds case/punct: rows 0 and 1 hash identically
+    assert got[0] == got[1] != got[2]

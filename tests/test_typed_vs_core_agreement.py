@@ -75,6 +75,50 @@ def random_schema_and_rows(rng: random.Random, n_rows: int = 40):
     return schema, T.StructType(fields), rows
 
 
+def test_tier_divergence_edges(spark):
+    """Regression pins for the round-1 tier-divergence bugs: hostname length
+    guard, multipleOf at double-spacing extremes, schema-form dependencies on
+    MapType columns."""
+    # hostname > 253 chars: every label valid, total length not — all tiers
+    # must reject (the rlike pattern previously dropped the length lookahead)
+    long_host = ".".join(["a" * 63] * 4)  # 255 chars
+    ok_host = "spark.apache.org"
+    schema = {"properties": {"s": {"format": "hostname"}}}
+    node = parse_schema(schema)
+    st = T.StructType([T.StructField("s", T.StringType())])
+    df = spark.createDataFrame([(long_host,), (ok_host,)], st)
+    tv = TableValidator(node, st)
+    got = {r.s: r.valid for r in tv.apply(df).collect()}
+    core = Validator(node)
+    assert got[long_host] is False and core.is_valid({"s": long_host}) is False
+    assert got[ok_host] is True and core.is_valid({"s": ok_host}) is True
+
+    # multipleOf where |quotient| > 2^30: absolute 1e-9 epsilon breaks down
+    big = 7.0 * 2**40
+    off = 7.0 * 2**40 + 3.0
+    schema = {"properties": {"d": {"multipleOf": 7.0}}}
+    node = parse_schema(schema)
+    st = T.StructType([T.StructField("d", T.DoubleType())])
+    df = spark.createDataFrame([(big,), (off,)], st)
+    got = {r.d: r.valid for r in TableValidator(node, st).apply(df).collect()}
+    core = Validator(node)
+    assert got[big] is True and core.is_valid({"d": big}) is True
+    assert got[off] is False and core.is_valid({"d": off}) is False
+
+    # schema-form dependencies on a MapType column (struct path had it,
+    # map path silently dropped the constraint)
+    schema = {"properties": {"m": {"dependencies": {"credit": {"required": ["billing"]}}}}}
+    node = parse_schema(schema)
+    st = T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))])
+    rows = [({"credit": 1, "billing": 2},), ({"credit": 1},), ({"other": 3},)]
+    df = spark.createDataFrame(rows, st)
+    got = [r.valid for r in TableValidator(node, st).apply(df).collect()]
+    core = Validator(node)
+    expect = [core.is_valid({"m": row[0]}) for row in rows]
+    assert expect == [True, False, True]
+    assert got == expect
+
+
 def test_random_agreement(spark):
     rng = random.Random(SEED)
     for trial in range(12):

@@ -12,12 +12,15 @@ from jsschema_spark.variant import JsonColumnValidator, validate_json_auto
 
 CORPUS = "/root/reference/test"
 
-# suites whose keywords the Variant tier expresses (no patternProperties /
-# additionalX / tuple items / property counts / $ref)
+# suites whose keywords the Variant tier expresses — everything except $ref
+# (business) and non-scalar enum; the map<string,variant> cast covers
+# patternProperties / additionalX / tuple items / property counts
 VARIANT_SUITES = [
-    "allof", "anyof", "array", "arraylength", "arrayunique", "boolean",
+    "allof", "anyof", "array", "arraylength", "arraytuple",
+    "arraytuple_disallow_additional", "arrayunique", "boolean",
     "integer", "not", "null", "numrange", "numrange_exclmax",
-    "objectpropdepend", "objectproprequired", "oneof", "strlen", "strpattern",
+    "objectpatterns", "objectpropdepend", "objectpropsize",
+    "objectproprequired", "oneof", "strlen", "strpattern",
 ]
 
 
@@ -43,15 +46,59 @@ def test_variant_corpus_agreement(spark, suite):
         assert r.valid == r.expect, (suite, r.case_id, r.violations)
 
 
-def test_unsupported_schemas_fall_back():
-    assert JsonColumnValidator.try_compile({"patternProperties": {"^S_": {}}}) is None
-    assert JsonColumnValidator.try_compile({"additionalProperties": False}) is None
-    assert JsonColumnValidator.try_compile({"items": [{"type": "string"}]}) is None
+def test_unsupported_schemas_fall_back(spark):
+    # only $ref and non-scalar enum still need the pandas fallback
     assert JsonColumnValidator.try_compile({"$ref": "#/definitions/x", "definitions": {"x": {}}}) is None
-    assert JsonColumnValidator.try_compile({"minProperties": 1}) is None
     assert JsonColumnValidator.try_compile({"enum": [[1, 2]]}) is None
-    # supported ones compile
-    assert JsonColumnValidator.try_compile({"type": "object", "required": ["a"]}) is not None
+    # formerly-fallback keywords now compile via the map/array variant casts
+    for s in (
+        {"patternProperties": {"^S_": {}}},
+        {"additionalProperties": False},
+        {"items": [{"type": "string"}]},
+        {"minProperties": 1},
+        {"type": "object", "required": ["a"]},
+    ):
+        assert JsonColumnValidator.try_compile(s) is not None, s
+
+
+def test_variant_dotted_property_names(spark):
+    # a property name containing '.' must NOT be read as a nested path
+    schema = {"type": "object", "required": ["a.b"], "properties": {"a.b": {"minimum": 0}}}
+    v = JsonColumnValidator.try_compile(schema)
+    assert v is not None
+    df = spark.createDataFrame(
+        [
+            ('{"a.b": 1}', True),        # flat key present and valid
+            ('{"a.b": -5}', False),      # flat key violates minimum
+            ('{"a": {"b": 1}}', False),  # nested a.b is NOT the flat key
+        ],
+        "payload string, expect boolean",
+    )
+    out = v.apply(df, "payload").select("payload", "expect", "validation.*").collect()
+    for r in out:
+        assert r.valid == r.expect, (r.payload, r.violations)
+
+
+def test_variant_schema_dependencies_and_counts(spark):
+    schema = {
+        "type": "object",
+        "maxProperties": 3,
+        "dependencies": {"credit": {"required": ["billing"]}},
+    }
+    v = JsonColumnValidator.try_compile(schema)
+    assert v is not None
+    df = spark.createDataFrame(
+        [
+            ('{"credit": 1, "billing": "x"}', True),
+            ('{"credit": 1}', False),                      # schema-form dependency
+            ('{"a":1,"b":2,"c":3,"d":4}', False),          # maxProperties
+            ('{"a":1}', True),
+        ],
+        "payload string, expect boolean",
+    )
+    out = v.apply(df, "payload").select("payload", "expect", "validation.*").collect()
+    for r in out:
+        assert r.valid == r.expect, (r.payload, r.violations)
 
 
 def test_variant_type_dynamics(spark):
@@ -94,7 +141,8 @@ def test_validate_json_auto_selects_tier(spark):
     assert "Python" not in out._jdf.queryExecution().executedPlan().toString()
     assert [r.valid for r in out.select("validation.valid").collect()] == [True, False]
 
-    deep = {"patternProperties": {"^k": {"minimum": 0}}}
+    # $ref still routes to the pandas fallback tier
+    deep = {"$ref": "#/definitions/pos", "definitions": {"pos": {"properties": {"k": {"minimum": 0}}}}}
     out2 = validate_json_auto(df, "payload", deep)
     assert "Python" in out2._jdf.queryExecution().executedPlan().toString()
     assert [r.valid for r in out2.select("validation.valid").collect()] == [True, False]
