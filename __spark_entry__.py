@@ -20,6 +20,14 @@ from pyspark.sql import functions as F
 SF_DEFAULT = "/root/testdata/sf0.001"
 CORPUS = "/root/reference/test"
 
+CONFORMANCE_SUITES = [
+    "allof", "anyof", "array", "arraylength", "arraytuple",
+    "arraytuple_disallow_additional", "arrayunique", "boolean", "business",
+    "integer", "not", "null", "numrange", "numrange_exclmax",
+    "objectpatterns", "objectpropdepend", "objectpropsize",
+    "objectproprequired", "oneof", "strlen", "strpattern",
+]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -169,13 +177,20 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped exact-dedup operator (dedup.exact_duplicate_groups) with
+    an md5 fingerprint_fn so DuckDB can reproduce the group keys."""
+    from jsschema_spark.functions.dedup import exact_duplicate_groups
+
     df = _docs_with_dups(spark, sf_dir)
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
-    return (
-        df.select("doc_id", fp.alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
-        .where(F.col("n_docs") > 1)
+
+    def md5_fp(c):
+        return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+    groups = exact_duplicate_groups(df, "text", "doc_id", fingerprint_fn=md5_fp)
+    return groups.select(
+        "fingerprint",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.element_at("doc_ids", 1).alias("min_doc_id"),  # doc_ids is sorted
     )
 
 
@@ -232,15 +247,8 @@ def q_conformance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agree`` must be true on every row (BASELINE 100% metric)."""
     from jsschema_spark.generic import validate_json_pairs
 
-    suites = [
-        "allof", "anyof", "array", "arraylength", "arraytuple",
-        "arraytuple_disallow_additional", "arrayunique", "boolean", "business",
-        "integer", "not", "null", "numrange", "numrange_exclmax",
-        "objectpatterns", "objectpropdepend", "objectpropsize",
-        "objectproprequired", "oneof", "strlen", "strpattern",
-    ]
     rows = []
-    for suite in suites:
+    for suite in CONFORMANCE_SUITES:
         with open(os.path.join(CORPUS, f"{suite}.json"), encoding="utf-8") as f:
             schema_text = f.read()
         for kind, expect in (("pass", True), ("fail", False)):
@@ -258,13 +266,45 @@ def q_conformance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clips_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A clips-shaped table (input_hint columns) derived deterministically
+    from the documents table with SQL-expressible transforms ONLY — so the
+    DuckDB oracle can rebuild the identical table and count the identical
+    violations. Injected negatives per column via modular arithmetic."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    sr = (
+        F.when(i % 50 == 0, F.lit(96001))
+        .when(i % 50 == 25, F.lit(0))
+        .otherwise(F.element_at(F.array(F.lit(8000), F.lit(16000), F.lit(44100)), (i % 3 + 1).cast("int")))
+    )
+    dur = (
+        F.when(i % 47 == 0, F.lit(70000))
+        .when(i % 47 == 23, F.lit(0))
+        .otherwise(F.lit(200) + (i * 37) % 14800)
+    )
+    codec = F.when(i % 41 == 0, F.lit("unknown_codec")).otherwise(
+        F.element_at(F.array(F.lit("pcm_s16le"), F.lit("flac"), F.lit("opus")), (i % 3 + 1).cast("int"))
+    )
+    txt = F.when(i % 43 == 0, F.lit("")).otherwise(F.coalesce(F.col("text"), F.lit("x")))
+    return d.select(
+        F.format_string("clip-%012d", i).alias("clip_id"),
+        F.to_binary(F.substring(F.md5(i.cast("string")), 1, 16), F.lit("hex")).alias("bytes"),
+        sr.cast("int").alias("sr_hz"),
+        dur.cast("int").alias("dur_ms"),
+        codec.alias("codec"),
+        txt.alias("transcript"),
+    )
+
+
 def q_clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship typed-column path over the synthetic audio-clip table."""
+    """Flagship typed-column path: the clips draft-04 schema compiled by
+    TableValidator over a clips table (oracle-reproducible derivation)."""
     from jsschema_spark import parse_schema
     from jsschema_spark.compiler import TableValidator
-    from jsschema_spark.synth import CLIPS_DRAFT04_SCHEMA, clips_table
+    from jsschema_spark.synth import CLIPS_DRAFT04_SCHEMA
 
-    df = clips_table(spark, 20000, with_audio=False)
+    df = _clips_from_documents(spark, sf_dir)
     tv = TableValidator(parse_schema(CLIPS_DRAFT04_SCHEMA), df.schema)
     return tv.summary(df).select(
         "path", "keyword",
@@ -274,7 +314,10 @@ def q_clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (xxhash64-based — no SQL oracle)."""
+    """MinHash-LSH candidates + true-Jaccard verification. Oracle = exact
+    brute-force 3-shingle Jaccard in SQL: this corpus has no pair in
+    [0.3, 0.9) so LSH recall at threshold 0.7 is certain to ~1e-8 (64 hashes
+    / 16 bands; every qualifying pair has j ≥ 0.9)."""
     from jsschema_spark.functions.dedup import near_duplicates_minhash
 
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -288,11 +331,44 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 64-bit SimHash (xxhash64-based — no SQL oracle)."""
-    from jsschema_spark.functions.dedup import simhash
+    """Per-doc SimHash in portable-hash mode (md5-based 60-bit token hash,
+    bit-for-bit reproducible in DuckDB SQL; the 100 TB path uses xxhash64)."""
+    from jsschema_spark.functions.dedup import portable_hash64, simhash
 
-    df = _t(spark, sf_dir, "documents")
-    return df.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return df.select(
+        "doc_id", simhash(F.col("text"), n_bits=60, hash_fn=portable_hash64).alias("simhash60")
+    )
+
+
+def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-bucketed embedding near-dup path (the scale path), oracled on
+    a corpus with injected exact-duplicate vectors: identical vectors land in
+    identical hyperplane buckets deterministically, so recall is exactly
+    100% at threshold 0.9999 (no organic pair reaches it)."""
+    from jsschema_spark.functions.dedup import embedding_near_dups
+
+    base = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = base.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    df = base.unionByName(dup)
+    out = embedding_near_dups(df, "vec_id", "embedding", dim=64, threshold=0.9999)
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
+
+
+def q_violation_samples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(path, keyword) top-k violation samples (north_rule detail
+    records), deterministic ordering by o_orderkey."""
+    from jsschema_spark import parse_schema
+    from jsschema_spark.compiler import TableValidator
+
+    df = _t(spark, sf_dir, "orders")
+    tv = TableValidator(parse_schema(ORDERS_SCHEMA), df.schema)
+    out = tv.violation_samples(df, k=3, id_cols=["o_orderkey"])
+    return out.select(
+        "path", "keyword", "o_orderkey", F.col("rn").cast("long").alias("rn")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -320,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_validation": q_clips_validation,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_documents": q_simhash_documents,
+        "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
+        "violation_samples_orders": q_violation_samples_orders,
     }
 
 
@@ -436,6 +514,150 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.95
 """
 
+_EMB_LSH_NEAR_DUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 3 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 5) AS cos_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9999
+"""
+
+# exact parity with jsschema_spark.functions.text.normalized_text/tokens:
+# lower → ASCII punct→space → collapse whitespace → trim → split on ' '
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[[:punct:]]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_MINHASH_ORACLE = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra trailing token' FROM documents WHERE doc_id % 71 = 0
+),
+n AS (
+  SELECT doc_id, {_NORM_SQL.format(col='text')} AS norm
+  FROM all_docs WHERE text IS NOT NULL
+),
+t AS (
+  SELECT doc_id, CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks FROM n
+),
+s AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard_r FROM j WHERE jaccard >= 0.7
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, {_NORM_SQL.format(col='text')} AS norm
+  FROM documents WHERE text IS NOT NULL
+), u AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv FROM u
+), b AS (
+  SELECT doc_id, bit, sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(60)) AS bit) GROUP BY doc_id, bit
+)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash60
+FROM b GROUP BY doc_id
+"""
+
+_CLIPS_SQL = """
+  SELECT
+    printf('clip-%012d', doc_id) AS clip_id,
+    CASE WHEN doc_id % 50 = 0 THEN 96001
+         WHEN doc_id % 50 = 25 THEN 0
+         ELSE [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] END AS sr_hz,
+    CASE WHEN doc_id % 47 = 0 THEN 70000
+         WHEN doc_id % 47 = 23 THEN 0
+         ELSE 200 + (doc_id * 37) % 14800 END AS dur_ms,
+    CASE WHEN doc_id % 41 = 0 THEN 'unknown_codec'
+         ELSE ['pcm_s16le', 'flac', 'opus'][CAST(doc_id % 3 AS INT) + 1] END AS codec,
+    CASE WHEN doc_id % 43 = 0 THEN '' ELSE coalesce(text, 'x') END AS transcript
+  FROM documents
+"""
+
+_CLIPS_VALIDATION_ORACLE = f"""
+WITH clips AS ({_CLIPS_SQL}),
+agg AS (
+  SELECT count(*) AS n_rows,
+    CAST(sum(CASE WHEN NOT regexp_matches(clip_id, 'clip-[0-9]{{12}}') THEN 1 ELSE 0 END) AS BIGINT) AS v_pat_clip,
+    CAST(sum(CASE WHEN NOT (sr_hz >= 8000) THEN 1 ELSE 0 END) AS BIGINT) AS v_min_sr,
+    CAST(sum(CASE WHEN NOT (sr_hz <= 48000) THEN 1 ELSE 0 END) AS BIGINT) AS v_max_sr,
+    CAST(sum(CASE WHEN NOT (dur_ms >= 1) THEN 1 ELSE 0 END) AS BIGINT) AS v_min_dur,
+    CAST(sum(CASE WHEN NOT (dur_ms <= 60000) THEN 1 ELSE 0 END) AS BIGINT) AS v_max_dur,
+    CAST(sum(CASE WHEN codec NOT IN ('pcm_s16le', 'flac', 'opus') THEN 1 ELSE 0 END) AS BIGINT) AS v_enum_codec,
+    CAST(sum(CASE WHEN NOT (length(transcript) >= 1) THEN 1 ELSE 0 END) AS BIGINT) AS v_minlen_txt,
+    CAST(sum(CASE WHEN NOT (length(transcript) <= 4096) THEN 1 ELSE 0 END) AS BIGINT) AS v_maxlen_txt
+  FROM clips
+)
+SELECT '$.clip_id' AS path, 'required' AS keyword, CAST(0 AS BIGINT) AS n_violations, n_rows FROM agg
+UNION ALL SELECT '$.bytes', 'required', 0, n_rows FROM agg
+UNION ALL SELECT '$.sr_hz', 'required', 0, n_rows FROM agg
+UNION ALL SELECT '$.dur_ms', 'required', 0, n_rows FROM agg
+UNION ALL SELECT '$.codec', 'required', 0, n_rows FROM agg
+UNION ALL SELECT '$.transcript', 'required', 0, n_rows FROM agg
+UNION ALL SELECT '$.clip_id', 'pattern', v_pat_clip, n_rows FROM agg
+UNION ALL SELECT '$.sr_hz', 'minimum', v_min_sr, n_rows FROM agg
+UNION ALL SELECT '$.sr_hz', 'maximum', v_max_sr, n_rows FROM agg
+UNION ALL SELECT '$.dur_ms', 'minimum', v_min_dur, n_rows FROM agg
+UNION ALL SELECT '$.dur_ms', 'maximum', v_max_dur, n_rows FROM agg
+UNION ALL SELECT '$.codec', 'enum', v_enum_codec, n_rows FROM agg
+UNION ALL SELECT '$.transcript', 'minLength', v_minlen_txt, n_rows FROM agg
+UNION ALL SELECT '$.transcript', 'maxLength', v_maxlen_txt, n_rows FROM agg
+"""
+
+_VIOLATION_SAMPLES_ORACLE = """
+WITH v AS (
+  SELECT '$.o_orderstatus' AS path, 'enum' AS keyword, o_orderkey FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+  UNION ALL
+  SELECT '$.o_totalprice', 'exclusiveMaximum', o_orderkey FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice < 400000)
+  UNION ALL
+  SELECT '$.o_orderpriority', 'pattern', o_orderkey FROM orders
+  WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+), r AS (
+  SELECT path, keyword, o_orderkey,
+         row_number() OVER (PARTITION BY path, keyword ORDER BY o_orderkey) AS rn
+  FROM v
+)
+SELECT path, keyword, o_orderkey, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3
+"""
+
+
+def _conformance_oracle() -> str:
+    """Ground truth for the golden corpus IS the fixture filename
+    (<suite>_pass*/<suite>_fail*), so the oracle is a constant VALUES table:
+    the engine's ``valid`` must equal ``expect_pass`` on every row for the
+    value-hash to match."""
+    rows = []
+    for suite in CONFORMANCE_SUITES:
+        for kind, expect in (("pass", "TRUE"), ("fail", "FALSE")):
+            for p in sorted(glob.glob(os.path.join(CORPUS, f"{suite}_{kind}*.json"))):
+                case_id = os.path.basename(p)[:-5]
+                rows.append(f"('{suite}', '{case_id}', {expect})")
+    values = ",\n  ".join(rows)
+    return (
+        "SELECT suite, case_id, expect_pass, expect_pass AS valid, TRUE AS agree\n"
+        f"FROM (VALUES\n  {values}\n) v(suite, case_id, expect_pass)"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -501,7 +723,10 @@ def oracle_sql() -> dict[str, str]:
                      AND json_type(json_extract(props, '$.k')) IN ('INTEGER', 'UBIGINT', 'BIGINT')
                      AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 80 AS ok
               FROM events)""",
-        # conformance_corpus, clips_validation, minhash_near_dups,
-        # simhash_documents: engine-hash-specific / synthetic-input operators —
-        # rows-only checks by design.
+        "conformance_corpus": _conformance_oracle(),
+        "clips_validation": _CLIPS_VALIDATION_ORACLE,
+        "minhash_near_dups": _MINHASH_ORACLE,
+        "simhash_documents": _SIMHASH_ORACLE,
+        "embedding_lsh_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
+        "violation_samples_orders": _VIOLATION_SAMPLES_ORACLE,
     }

@@ -634,6 +634,29 @@ class TableValidator:
             F.col("v.message").alias("message"),
         )
 
+    def violation_samples(
+        self, df: DataFrame, k: int = 3,
+        id_cols: Optional[list[str]] = None,
+        order_by: Optional[list[str]] = None,
+    ) -> DataFrame:
+        """Top-``k`` sample rows per (path, keyword) violation — the
+        north_rule's per-keyword detail records, bounded so a 10^12-row table
+        yields at most ``k × n_keywords`` rows. Deterministic when
+        ``order_by`` (default: ``id_cols``) is a unique ordering. One window
+        shuffle partitioned by (path, keyword) — ≤ n_keywords partitions,
+        each capped by the upstream violation filter."""
+        from pyspark.sql import Window
+
+        order_cols = order_by or id_cols
+        if not order_cols:
+            raise ValueError("violation_samples needs id_cols or order_by for determinism")
+        details = self.violation_details(df, id_cols=id_cols)
+        w = Window.partitionBy("path", "keyword").orderBy(*[F.col(c) for c in order_cols])
+        return (
+            details.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+        )
+
     def summary(self, df: DataFrame) -> DataFrame:
         """Per-(path, keyword) violation counts in ONE aggregation pass
         (map-side partial agg; a single job regardless of keyword count)."""

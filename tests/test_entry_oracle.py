@@ -69,24 +69,20 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, f"{name}: value mismatch (first 5): {mismatches}"
 
 
-def test_rows_only_queries_run(spark):
-    """Non-oracled queries must still run and return sane rows."""
+def test_every_query_is_oracled():
+    """Round-2 goal: no queries() entry without an oracle_sql() entry."""
+    assert sorted(entry_mod.queries().keys()) == ORACLED
+
+
+def test_conformance_and_clips_sanity(spark):
     qs = entry_mod.queries()
-    corpus = qs["conformance_corpus"](spark, SF)
-    rows = corpus.collect()
+    rows = qs["conformance_corpus"](spark, SF).collect()
     assert len(rows) == 75
     assert all(r.agree for r in rows), [r.case_id for r in rows if not r.agree]
 
     clips = qs["clips_validation"](spark, SF).collect()
-    assert sum(r.n_violations for r in clips) > 0
-    assert all(r.n_rows == 20000 for r in clips)
-
-    mh = qs["minhash_near_dups"](spark, SF)
-    assert mh.count() > 0
-
-    sh = qs["simhash_documents"](spark, SF)
-    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
-    assert sh.count() == n_docs
+    assert sum(r.n_violations for r in clips) > 0  # injected negatives visible
+    assert qs["minhash_near_dups"](spark, SF).count() > 0
 
 
 def test_entry_smoke(spark):
