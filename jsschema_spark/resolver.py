@@ -18,7 +18,7 @@ from typing import Optional, Union
 from urllib.parse import unquote, urldefrag
 
 from jsschema_spark.errors import ResolutionError
-from jsschema_spark.schema import SchemaNode, draft04_metaschema
+from jsschema_spark.schema import SchemaNode, draft04_hyperschema, draft04_metaschema
 
 
 def _pointer_tokens(fragment: str) -> list[str]:
@@ -94,12 +94,21 @@ class RefResolver:
 
     @classmethod
     def with_default_providers(cls, root: SchemaNode) -> "RefResolver":
+        # the reference registers the hyper-schema under the DRAFT-03 URL
+        # (interface.go:15, schema.go:39) even though the embedded document
+        # is the draft-04 hyper-schema — mirrored here, plus the document's
+        # own draft-04 id for good measure
         meta = draft04_metaschema()
+        hyper = draft04_hyperschema()
         return cls(
             root,
             providers={
                 "http://json-schema.org/draft-04/schema": meta,
                 "http://json-schema.org/draft-04/schema#": meta,
+                "http://json-schema.org/draft-03/hyper-schema": hyper,
+                "http://json-schema.org/draft-03/hyper-schema#": hyper,
+                "http://json-schema.org/draft-04/hyper-schema": hyper,
+                "http://json-schema.org/draft-04/hyper-schema#": hyper,
             },
         )
 

@@ -627,3 +627,35 @@ def draft04_metaschema() -> SchemaNode:
     with _metaschema_lock:
         _metaschema_cache["node"] = node
     return node
+
+
+# The JSON Hyper-Schema (public json-schema.org document). The reference
+# embeds the same document and registers it under the *draft-03* hyper-schema
+# URL (interface.go:13-15, default.go:164-340, schema.go:34-44) — we mirror
+# that registration and additionally serve the document's own draft-04 id.
+
+HYPERSCHEMA_DRAFT03_URI = "http://json-schema.org/draft-03/hyper-schema"
+HYPERSCHEMA_DRAFT04_URI = "http://json-schema.org/draft-04/hyper-schema"
+
+
+def draft04_hyperschema_dict() -> dict[str, Any]:
+    with _metaschema_lock:
+        if "hyper_dict" not in _metaschema_cache:
+            text = (
+                resources.files("jsschema_spark.data")
+                .joinpath("draft04_hyperschema.json")
+                .read_text(encoding="utf-8")
+            )
+            _metaschema_cache["hyper_dict"] = json.loads(text)
+        return _metaschema_cache["hyper_dict"]
+
+
+def draft04_hyperschema() -> SchemaNode:
+    with _metaschema_lock:
+        have = _metaschema_cache.get("hyper_node")
+    if have is not None:
+        return have
+    node = parse_schema(draft04_hyperschema_dict())
+    with _metaschema_lock:
+        _metaschema_cache["hyper_node"] = node
+    return node

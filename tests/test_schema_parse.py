@@ -125,3 +125,29 @@ def test_parent_wiring():
     n = read_string('{"properties": {"a": {"properties": {"b": {"type": "string"}}}}}')
     b = n.properties["a"].properties["b"]
     assert b.parent is n.properties["a"] and b.root() is n
+
+
+def test_hyperschema_provider_registered():
+    """Reference parity (schema.go:34-44): the embedded hyper-schema is
+    served under the draft-03 URL the reference registers it with; $refs to
+    it resolve without network access."""
+    from jsschema_spark import parse_schema
+    from jsschema_spark.pyvalidate import Validator
+    from jsschema_spark.resolver import RefResolver
+    from jsschema_spark.schema import draft04_hyperschema
+
+    hyper = draft04_hyperschema()
+    assert hyper.id == "http://json-schema.org/draft-04/hyper-schema#"
+    assert "linkDescription" in hyper.definitions
+
+    root = parse_schema(
+        {"$ref": "http://json-schema.org/draft-03/hyper-schema#/definitions/linkDescription"}
+    )
+    r = RefResolver.with_default_providers(root)
+    link = r.resolve_node(root)
+    assert set(link.required) == {"href", "rel"}
+
+    # validate an instance against the resolved link-description schema
+    v = Validator(root, resolver=r)
+    assert v.is_valid({"href": "/x/{id}", "rel": "self"})
+    assert not v.is_valid({"href": "/x"})  # rel missing
