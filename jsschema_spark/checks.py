@@ -127,3 +127,22 @@ def referential_report(
     keys = list(on.keys()) if isinstance(on, dict) else list(on)
     samples = [tuple(r) for r in viol.select(*keys).limit(sample).collect()] if n_bad else []
     return {"n_violations": n_bad, "sample_keys": samples}
+
+
+def key_set_diff(
+    expected: DataFrame,
+    actual: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Expected-vs-actual key-set comparison (SURVEY §2.5 set-ops row):
+    one DataFrame of ``key columns + status`` where status ∈
+    {'missing' (expected but absent), 'unexpected' (present but not
+    expected)}. Distinct projections + EXCEPT on both sides — Catalyst plans
+    these as hash aggregations / anti-joins on the key, no row payloads
+    shuffle."""
+    cols = [F.col(c) for c in key_cols]
+    exp_keys = expected.select(*cols).dropDuplicates()
+    act_keys = actual.select(*cols).dropDuplicates()
+    missing = exp_keys.exceptAll(act_keys).withColumn("status", F.lit("missing"))
+    unexpected = act_keys.exceptAll(exp_keys).withColumn("status", F.lit("unexpected"))
+    return missing.unionByName(unexpected)

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""N-vs-4N **executor** scaling on local-cluster (separate executor JVMs).
+
+The north_rule criterion is throughput scaling efficiency ≥ 0.8 between N
+and 4N *executors*. ``local[k]`` collapses all executors into one JVM, which
+round 1 showed saturates single-process resources (task scheduling, parquet
+allocation, one GC) well before 32 threads. ``local-cluster[n, c, m]`` is
+Spark's real-cluster harness: a Master + Workers that launch **separate
+executor JVM processes**, each with its own heap, GC, shuffle server and
+Python workers — the actual unit the criterion scales.
+
+Configs compared (per-executor resources held constant, executor count ×4):
+
+* N  = local-cluster[1, C, M]  (1 executor,  C cores)
+* 4N = local-cluster[4, C, M]  (4 executors, C cores each)
+
+Methodology mirrors scaling_interleaved.py (this VM has large one-sided
+host noise): one deterministic materialized input, warm page cache,
+interleaved rounds, min-of-rounds estimator, and a bit-identical
+correctness check across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+
+def warm(path: str) -> None:
+    import concurrent.futures
+    import glob as _g
+
+    def read_all(p):
+        with open(p, "rb", buffering=0) as f:
+            while f.read(1 << 23):
+                pass
+
+    files = _g.glob(os.path.join(path, "*.parquet"))
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        list(ex.map(read_all, files))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=64_000_000)
+    ap.add_argument("--audio-rows", type=int, default=8_000)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--execs-lo", type=int, default=1)
+    ap.add_argument("--execs-hi", type=int, default=4)
+    ap.add_argument("--cores-per-exec", type=int, default=8)
+    ap.add_argument("--exec-mem-mb", type=int, default=12288)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--keep-input", type=str, default=None)
+    ap.add_argument("--skip-audio", action="store_true")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from pyspark.sql import functions as F
+
+    from jsschema_spark import parse_schema
+    from jsschema_spark.audio import audio_invariant_scan
+    from jsschema_spark.compiler import TableValidator
+    from jsschema_spark.session import build_session
+    from jsschema_spark.synth import CLIPS_DRAFT04_SCHEMA, clips_audio_to_parquet, clips_table
+
+    base = args.keep_input or tempfile.mkdtemp(prefix="jsschema-lc-scale-")
+    pred_src = os.path.join(base, f"clips-{args.rows}")
+    audio_src = os.path.join(base, f"audio-{args.audio_rows}")
+
+    if not os.path.exists(pred_src) or (not args.skip_audio and not os.path.exists(audio_src)):
+        s0 = build_session(app_name="lc-scale-setup", master="local[32]",
+                           shuffle_partitions=args.partitions,
+                           extra_conf={"spark.driver.memory": "24g"})
+        if not os.path.exists(pred_src):
+            clips_table(s0, args.rows, with_audio=False, partitions=args.partitions).write.mode(
+                "overwrite").parquet(pred_src)
+        if not args.skip_audio and not os.path.exists(audio_src):
+            clips_audio_to_parquet(s0, args.audio_rows, audio_src, n_files=args.partitions)
+        s0.stop()
+        time.sleep(3)
+
+    t0 = time.time()
+    warm(pred_src)
+    if not args.skip_audio:
+        warm(audio_src)
+    print(f"cache warm: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    def session(n_execs: int, rnd: int):
+        master = f"local-cluster[{n_execs},{args.cores_per_exec},{args.exec_mem_mb}]"
+        return build_session(
+            app_name=f"lc-scale-{n_execs}x-r{rnd}", master=master,
+            shuffle_partitions=args.partitions,
+            extra_conf={
+                "spark.driver.memory": "8g",
+                "spark.executor.memory": f"{args.exec_mem_mb - 2048}m",
+                # python workers on executors import jsschema_spark from the repo
+                "spark.executorEnv.PYTHONPATH": repo,
+                # fixed resource shape: no dynamic executor surprises
+                "spark.dynamicAllocation.enabled": "false",
+            },
+        )
+
+    results: dict[int, dict[str, list[float]]] = {
+        args.execs_lo: {"pred": [], "audio": []},
+        args.execs_hi: {"pred": [], "audio": []},
+    }
+    n_valid_seen: set[int] = set()
+    snr_seen: set[int] = set()
+
+    for rnd in range(args.rounds):
+        for n_execs in (args.execs_lo, args.execs_hi):
+            sp = session(n_execs, rnd)
+            try:
+                # wait for every executor to register so the timed run
+                # starts at full width (executor JVMs launch asynchronously)
+                want = n_execs * args.cores_per_exec
+                deadline = time.time() + 120
+                while sp.sparkContext.defaultParallelism < want and time.time() < deadline:
+                    time.sleep(0.5)
+
+                clips = sp.read.parquet(pred_src)
+                tv = TableValidator(parse_schema(CLIPS_DRAFT04_SCHEMA), clips.schema)
+                # warmup: touch all partitions on all executors (JIT + code
+                # shipping + parquet footer cache), untimed, sampled
+                tv.apply(clips.sample(0.03, seed=1), with_violations=False).where(
+                    F.col("valid")).count()
+
+                t0 = time.time()
+                n_valid = tv.apply(clips, with_violations=False).where(F.col("valid")).count()
+                results[n_execs]["pred"].append(time.time() - t0)
+                n_valid_seen.add(n_valid)
+
+                if not args.skip_audio:
+                    scan = audio_invariant_scan(sp, audio_src)
+                    t0 = time.time()
+                    n_snr = scan.where(F.col("snr_db") >= 30.0).count()
+                    results[n_execs]["audio"].append(time.time() - t0)
+                    snr_seen.add(n_snr)
+            finally:
+                sp.stop()
+                time.sleep(2)
+            msg = f"round {rnd} execs {n_execs}: pred {results[n_execs]['pred'][-1]:.2f}s"
+            if results[n_execs]["audio"]:
+                msg += f" audio {results[n_execs]['audio'][-1]:.2f}s"
+            print(msg, file=sys.stderr, flush=True)
+
+    def summarize(n_execs: int, kind: str, n_items: int) -> dict:
+        walls = results[n_execs][kind]
+        if not walls:
+            return {}
+        best = min(walls)  # host noise is one-sided: it only adds time
+        return {
+            "min_wall_s": round(best, 3),
+            "median_wall_s": round(statistics.median(walls), 3),
+            "max_wall_s": round(max(walls), 3),
+            "rows_per_sec": round(n_items / best, 1),
+        }
+
+    ratio = args.execs_hi / args.execs_lo
+    lo_p = summarize(args.execs_lo, "pred", args.rows)
+    hi_p = summarize(args.execs_hi, "pred", args.rows)
+    out = {
+        "mode": "local-cluster (separate executor JVMs)",
+        "rows": args.rows,
+        "audio_rows": 0 if args.skip_audio else args.audio_rows,
+        "rounds": args.rounds,
+        "execs_lo": args.execs_lo,
+        "execs_hi": args.execs_hi,
+        "cores_per_exec": args.cores_per_exec,
+        "exec_mem_mb": args.exec_mem_mb,
+        "predicate": {"lo": lo_p, "hi": hi_p},
+        "efficiency_predicate": round(hi_p["rows_per_sec"] / lo_p["rows_per_sec"] / ratio, 3),
+        "n_valid_core_invariant": len(n_valid_seen) == 1,
+    }
+    if not args.skip_audio:
+        lo_a = summarize(args.execs_lo, "audio", args.audio_rows)
+        hi_a = summarize(args.execs_hi, "audio", args.audio_rows)
+        out["audio"] = {"lo": lo_a, "hi": hi_a}
+        out["efficiency_audio"] = round(hi_a["rows_per_sec"] / lo_a["rows_per_sec"] / ratio, 3)
+        out["snr_core_invariant"] = len(snr_seen) == 1
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

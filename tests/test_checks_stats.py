@@ -124,3 +124,12 @@ def test_psi_ks_math():
     assert psi(a, a, 2) == 0.0
     assert psi(a, b, 2) > 0.5
     assert abs(ks_statistic(a, b, 2) - 0.4) < 1e-12
+
+
+def test_key_set_diff(spark):
+    from jsschema_spark.checks import key_set_diff
+
+    expected = spark.createDataFrame([(1,), (2,), (3,), (3,)], "k int")
+    actual = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    out = {(r.k, r.status) for r in key_set_diff(expected, actual, ["k"]).collect()}
+    assert out == {(1, "missing"), (4, "unexpected")}
