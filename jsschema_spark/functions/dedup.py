@@ -81,25 +81,50 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 _MAX_LONG = (1 << 63) - 1
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _hash_family(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal family
+    ``(a·h + b) mod p``, p = 2^31−1 — same constants on every executor."""
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, _MERSENNE_31)), int(rng.integers(0, _MERSENNE_31)))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
     """Array of ``num_hashes`` minhash values (null for empty-shingle docs).
 
     ONE ``aggregate`` pass over the shingle array, folding a vector of
     ``num_hashes`` running minima — not ``num_hashes`` separate
     ``array_min(transform(...))`` scans, which would re-evaluate the shingle
-    expression per hash (no CSE inside HOF lambdas)."""
+    expression per hash (no CSE inside HOF lambdas).
+
+    Each shingle string is hashed ONCE (xxhash64), then the ``num_hashes``
+    permutations come from the arithmetic universal family
+    ``(a_i·h + b_i) mod (2^31−1)`` — 64 multiply-adds instead of 64 separate
+    string hashes per shingle (the string re-hash was most of the signature
+    cost; products stay < 2^62 so ANSI long arithmetic never overflows)."""
+    fam = _hash_family(num_hashes)
     sh = word_shingles(text, shingle_k)
-    init = F.array(*[F.lit(_MAX_LONG).cast("long") for _ in range(num_hashes)])
+    # hash each shingle ONCE in its own transform pass — were the xxhash64
+    # inside the fold lambda below, every one of the 64 references would
+    # re-hash the string (no CSE inside HOF lambdas); here `h` is a bound
+    # lambda variable, so referencing it 64 times is free
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    init = F.array(*[F.lit(_MERSENNE_31 + 1).cast("long") for _ in range(num_hashes)])
+
+    def perms(h: Column) -> Column:
+        return F.array(
+            *[F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31)) for a, b in fam]
+        )
+
     sig = F.aggregate(
-        sh,
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
+        hashes, init, lambda acc, h: F.zip_with(acc, perms(h), lambda a, b: F.least(a, b))
     )
-    return F.when(F.element_at(sig, 1) == _MAX_LONG, F.lit(None)).otherwise(sig)
+    return F.when(F.element_at(sig, 1) == _MERSENNE_31 + 1, F.lit(None)).otherwise(sig)
 
 
 def minhash_lsh_pairs(
@@ -128,11 +153,13 @@ def minhash_lsh_pairs(
     sig = df.select(
         F.col(id_col).alias("doc_id"), minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig")
     ).where(F.col("sig").isNotNull())
+    # multi-arg xxhash64 over the band's r signature longs — no string
+    # concat materialization per band
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias("bh"),
+                F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
             )
             for b in range(bands)
         ]
