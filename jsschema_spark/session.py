@@ -18,11 +18,26 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    executor_cores: int | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
     # keep large (payload-sized) mallocs on the heap instead of per-alloc
     # mmap/munmap — measured >60% system-time at 32 workers without this
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
+    # ParallelGC: G1 collapses under many threads allocating large binary
+    # cells (measured 8× scan slowdown at 32 threads / 24g heap reading a
+    # WAV-payload column; ParallelGC restores linear scaling)
+    exec_opts = "-XX:+UseParallelGC"
+    if executor_cores:
+        # with several executors per node, each JVM must be told its true
+        # core allotment or it sizes GC/JIT/ForkJoin pools to the WHOLE node
+        # (measured 7× slower at 4 executors × 4 cores on a 32-core box);
+        # containerized clusters get this from cgroup cpu limits — set it
+        # explicitly everywhere else
+        exec_opts += (
+            f" -XX:ActiveProcessorCount={executor_cores}"
+            f" -XX:ParallelGCThreads={executor_cores} -XX:CICompilerCount=2"
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -35,11 +50,8 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # ParallelGC: G1 collapses under many threads allocating large binary
-        # cells (measured 8× scan slowdown at 32 threads / 24g heap reading a
-        # WAV-payload column; ParallelGC restores linear scaling)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", exec_opts)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "134217728")
     )
     if shuffle_partitions is not None:

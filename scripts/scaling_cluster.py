@@ -93,9 +93,16 @@ def main() -> None:
 
     def session(n_execs: int, rnd: int):
         master = f"local-cluster[{n_execs},{args.cores_per_exec},{args.exec_mem_mb}]"
+        # executor_cores is CRITICAL at N executors per node: each executor
+        # JVM must be told its true core allotment or it sizes GC/JIT pools
+        # to the WHOLE node — at 4 executors that was 4×23 GC threads
+        # fighting 16 task threads, measured 7× slower (38s → 5.1s on the
+        # 64M predicate job). Containerized clusters get this from cgroup
+        # cpu limits; local-cluster / bare-metal need it explicit.
         return build_session(
             app_name=f"lc-scale-{n_execs}x-r{rnd}", master=master,
             shuffle_partitions=args.partitions,
+            executor_cores=args.cores_per_exec,
             extra_conf={
                 "spark.driver.memory": "8g",
                 "spark.executor.memory": f"{args.exec_mem_mb - 2048}m",
