@@ -127,6 +127,47 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) ->
     return F.when(F.element_at(sig, 1) == _MERSENNE_31 + 1, F.lit(None)).otherwise(sig)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``(doc_id, sig)`` signatures via explode + ``num_hashes`` min
+    aggregates — the whole-stage-codegen formulation of
+    ``minhash_signature`` (same values).
+
+    Catalyst does not codegen higher-order functions, so the Column-level
+    fold evaluates ~num_hashes interpreted expressions per shingle (~1 ms
+    per document measured). This shape keeps everything in codegen: one
+    xxhash64 per shingle (CSE in the projection), 64 multiply-adds, then a
+    hash aggregate whose map-side combine collapses each doc's shingles
+    BEFORE the shuffle — shuffle volume is one ~520-byte row per document,
+    independent of document length. ~10× faster at 5k docs; the gap widens
+    with corpus size. Docs with no shingles produce no row (the Column
+    version yields null)."""
+    fam = _hash_family(num_hashes)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    h = F.pmod(F.xxhash64(F.col("s")), F.lit(_MERSENNE_31))
+    proj = ex.select(
+        "doc_id",
+        *[
+            F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31)).alias(f"h{i}")
+            for i, (a, b) in enumerate(fam)
+        ],
+    )
+    agg = proj.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -150,9 +191,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands")
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"), minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig")
-    ).where(F.col("sig").isNotNull())
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     # multi-arg xxhash64 over the band's r signature longs — no string
     # concat materialization per band
     band_structs = F.array(
@@ -177,15 +216,21 @@ def _bounded_self_pairs(
     """Within-bucket pairing with a size cap: full all-pairs equi-join for
     buckets ≤ cap, consecutive-pair chaining (one window pass) above it.
     ``payload``: optional extra column carried onto both sides (``<p>_a`` /
-    ``<p>_b``). Both branches shuffle on the same bucket key — Catalyst
-    plans ordinary hash exchanges, AQE can split stragglers."""
+    ``<p>_b``).
+
+    Bucket sizes come from a COUNT window over the bucket key — not a
+    groupBy + self-join, which would re-evaluate the (expensive) upstream
+    signature computation per plan branch. The window shuffles once on the
+    bucket key; every downstream branch (both join sides, the chain window)
+    keeps that partitioning, so Catalyst reuses the single exchange."""
     import functools
     import operator
 
     from pyspark.sql import Window
 
-    counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
-    tagged = banded.join(counts, key_cols)
+    tagged = banded.withColumn(
+        "__bn", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    )
     small = tagged.where(F.col("__bn") <= max_bucket_size).drop("__bn")
     big = tagged.where(F.col("__bn") > max_bucket_size).drop("__bn")
 
