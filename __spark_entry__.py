@@ -333,11 +333,11 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc SimHash in portable-hash mode (md5-based 60-bit token hash,
     bit-for-bit reproducible in DuckDB SQL; the 100 TB path uses xxhash64)."""
-    from jsschema_spark.functions.dedup import portable_hash64, simhash
+    from jsschema_spark.functions.dedup import portable_hash64, simhash_values
 
     df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    return df.select(
-        "doc_id", simhash(F.col("text"), n_bits=60, hash_fn=portable_hash64).alias("simhash60")
+    return simhash_values(df, "doc_id", "text", n_bits=60, hash_fn=portable_hash64).select(
+        "doc_id", F.col("sh").alias("simhash60")
     )
 
 

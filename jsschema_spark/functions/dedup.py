@@ -354,6 +354,47 @@ def simhash(
     return out
 
 
+def simhash_values(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 1,
+    n_bits: int = 64,
+    hash_fn: Optional[Callable[[Column], Column]] = None,
+) -> DataFrame:
+    """``(doc_id, sh)`` SimHash values via explode + per-bit sum aggregates —
+    the whole-stage-codegen formulation of the ``simhash`` Column (same
+    values; Catalyst interprets HOF folds, see ``minhash_signatures``).
+    One hash per token (CSE'd in the projection), ``n_bits`` ±1 sums with
+    map-side combine, sign-pack on the aggregated row. Docs whose token
+    array is null (null text) produce no row."""
+    units = (
+        word_shingles(F.col(text_col), shingle_k)
+        if shingle_k > 1
+        else F.split(normalized_text(F.col(text_col)), " ")
+    )
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(units).alias("u"))
+    h = (hash_fn or (lambda c: F.xxhash64(c)))(F.col("u"))
+    proj = ex.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{i}")
+            for i in range(n_bits)
+        ],
+    )
+    agg = proj.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(n_bits)])
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        out = out.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("doc_id", out.alias("sh"))
+
+
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     max_bucket_size: int = 500,
@@ -366,7 +407,7 @@ def simhash_near_dups(
     switch to consecutive-pair chaining — see ``_bounded_self_pairs``."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sh = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sh"))
+    sh = simhash_values(df, id_col, text_col)
     chunks = F.array(
         *[
             F.struct(

@@ -312,3 +312,21 @@ def test_portable_simhash_matches_duckdb(spark):
     assert got == oracle
     # normalization folds case/punct: rows 0 and 1 hash identically
     assert got[0] == got[1] != got[2]
+
+
+def test_simhash_values_matches_column_formulation(spark, docs):
+    col = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", D.simhash(F.col("text")).alias("sh")
+    )
+    dfv = D.simhash_values(docs, "doc_id", "text")
+    assert col.exceptAll(dfv).count() == 0
+    assert dfv.exceptAll(col).count() == 0
+
+
+def test_minhash_signatures_matches_column_formulation(spark, docs):
+    col = docs.select(
+        "doc_id", D.minhash_signature(F.col("text")).alias("sig")
+    ).where(F.col("sig").isNotNull())
+    dfv = D.minhash_signatures(docs, "doc_id", "text")
+    assert col.exceptAll(dfv).count() == 0
+    assert dfv.exceptAll(col).count() == 0
