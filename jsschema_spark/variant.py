@@ -26,8 +26,10 @@ variant path would misparse) go through ``try_variant_get(v, "$",
 ``map_keys``/``map_entries``/``element_at`` predicates. Tuple-mode items and
 additionalItems use the ``array<variant>`` cast + ``element_at``/``slice``.
 
+Non-recursive ``$ref`` inlines at compile time through the same resolver
+the typed compiler uses (definitions + meta-/hyper-schema providers).
 ``try_compile`` returns None only for schemas Variant genuinely can't
-express statically: ``$ref`` (recursion-unbounded) and non-scalar
+express statically: RECURSIVE ``$ref`` (unbounded unrolling) and non-scalar
 enum members (canonical-JSON equality differs from the Python core's) —
 callers fall back to the Arrow pandas-UDF path (``validate_json_auto``).
 """
@@ -94,16 +96,29 @@ def _type_test(declared: str, v: Column, t: Column) -> Column:
 
 
 class _VariantCompiler:
-    def __init__(self, enforce_formats: bool = True, max_depth: int = 8):
+    def __init__(self, enforce_formats: bool = True, max_depth: int = 8, resolver=None):
         self.enforce_formats = enforce_formats
         self.max_depth = max_depth
+        self.resolver = resolver
 
     def compile(self, s: SchemaNode, v: Column, path: str, depth: int = 0) -> list[CompiledPredicate]:
         """Predicates over a non-null variant ``v`` (present value)."""
         if depth > self.max_depth:
             raise _Unsupported("nesting too deep")
         if s.ref:
-            raise _Unsupported("$ref needs compile-time resolution / recursion")
+            # compile-time inlining, like the typed compiler: non-recursive
+            # $refs (definitions, meta-/hyper-schema providers) expand in
+            # place; a recursive chain blows the depth cap above and falls
+            # back to the pandas tier
+            if self.resolver is None:
+                raise _Unsupported("$ref with no resolver")
+            from jsschema_spark.errors import ResolutionError
+
+            try:
+                target = self.resolver.resolve_node(s)
+            except ResolutionError as e:
+                raise _Unsupported(str(e)) from None
+            return self.compile(target, v, path, depth + 1)
 
         preds: list[CompiledPredicate] = []
         t = _vtype(v)
@@ -430,7 +445,10 @@ class JsonColumnValidator:
             schema = parse_schema(schema)
         self.schema = schema
         self.enforce_formats = enforce_formats
-        self._compiler = _VariantCompiler(enforce_formats)
+        from jsschema_spark.resolver import RefResolver
+
+        resolver = RefResolver.with_default_providers(schema.root())
+        self._compiler = _VariantCompiler(enforce_formats, resolver=resolver)
 
     @classmethod
     def try_compile(cls, schema: SchemaNode | dict, **kw) -> Optional["JsonColumnValidator"]:

@@ -42,12 +42,20 @@ def main() -> int:
         df = read_for_validation(spark, args.table, schema, id_col=args.id_col)
         tv = TableValidator(schema, df.schema)
 
+        # resume buckets hash the id column — fall back to the table's first
+        # column when the default clip_id isn't in this table
+        id_col = args.id_col
+        if id_col not in df.columns:
+            id_col = df.columns[0]
+            print(f"id column {args.id_col!r} not in table; bucketing on {id_col!r}",
+                  file=sys.stderr)
+
         if args.manifest:
             from jsschema_spark.manifest import Manifest, ResumableValidation
 
             run = ResumableValidation(
                 tv, args.manifest, output_dir=args.violations and None,
-                id_col=args.id_col, n_buckets=args.n_buckets,
+                id_col=id_col, n_buckets=args.n_buckets,
             )
             run.run(df)
             recs = Manifest(args.manifest).records()
@@ -61,7 +69,7 @@ def main() -> int:
             n_valid = applied.where(F.col("valid")).count()
 
         if args.violations:
-            ids = [args.id_col] if args.id_col in df.columns else []
+            ids = [id_col] if id_col in df.columns else []
             write_violations(tv.violation_details(df, id_cols=ids), args.violations)
         summary = tv.summary(df)
         if args.metrics:

@@ -12,12 +12,14 @@ from jsschema_spark.variant import JsonColumnValidator, validate_json_auto
 
 CORPUS = "/root/reference/test"
 
-# suites whose keywords the Variant tier expresses — everything except $ref
-# (business) and non-scalar enum; the map<string,variant> cast covers
-# patternProperties / additionalX / tuple items / property counts
+# suites whose keywords the Variant tier expresses — ALL 21 validation
+# suites: the map<string,variant> cast covers patternProperties /
+# additionalX / tuple items / property counts, and non-recursive $ref
+# (business) inlines at compile time; only recursive $ref and non-scalar
+# enum fall back
 VARIANT_SUITES = [
     "allof", "anyof", "array", "arraylength", "arraytuple",
-    "arraytuple_disallow_additional", "arrayunique", "boolean",
+    "arraytuple_disallow_additional", "arrayunique", "boolean", "business",
     "integer", "not", "null", "numrange", "numrange_exclmax",
     "objectpatterns", "objectpropdepend", "objectpropsize",
     "objectproprequired", "oneof", "strlen", "strpattern",
@@ -47,16 +49,21 @@ def test_variant_corpus_agreement(spark, suite):
 
 
 def test_unsupported_schemas_fall_back(spark):
-    # only $ref and non-scalar enum still need the pandas fallback
-    assert JsonColumnValidator.try_compile({"$ref": "#/definitions/x", "definitions": {"x": {}}}) is None
+    # only RECURSIVE $ref and non-scalar enum still need the pandas fallback
+    assert JsonColumnValidator.try_compile({"$ref": "#"}) is None  # self-recursive
+    assert JsonColumnValidator.try_compile(
+        {"properties": {"child": {"$ref": "#"}}}  # meta-schema-style recursion
+    ) is None
     assert JsonColumnValidator.try_compile({"enum": [[1, 2]]}) is None
     # formerly-fallback keywords now compile via the map/array variant casts
+    # and compile-time $ref inlining
     for s in (
         {"patternProperties": {"^S_": {}}},
         {"additionalProperties": False},
         {"items": [{"type": "string"}]},
         {"minProperties": 1},
         {"type": "object", "required": ["a"]},
+        {"$ref": "#/definitions/x", "definitions": {"x": {"type": "integer"}}},
     ):
         assert JsonColumnValidator.try_compile(s) is not None, s
 
@@ -141,8 +148,11 @@ def test_validate_json_auto_selects_tier(spark):
     assert "Python" not in out._jdf.queryExecution().executedPlan().toString()
     assert [r.valid for r in out.select("validation.valid").collect()] == [True, False]
 
-    # $ref still routes to the pandas fallback tier
-    deep = {"$ref": "#/definitions/pos", "definitions": {"pos": {"properties": {"k": {"minimum": 0}}}}}
+    # recursive $ref still routes to the pandas fallback tier
+    deep = {
+        "properties": {"k": {"minimum": 0}},
+        "patternProperties": {"^nested": {"$ref": "#"}},
+    }
     out2 = validate_json_auto(df, "payload", deep)
     assert "Python" in out2._jdf.queryExecution().executedPlan().toString()
     assert [r.valid for r in out2.select("validation.valid").collect()] == [True, False]
