@@ -210,7 +210,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = brute_force_topk(emb, queries, k=5, dim=64)
+    out = brute_force_topk(emb, queries, k=5)
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
         F.round("cos", 5).alias("cos_r"),
@@ -223,7 +223,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    out = embedding_brute_force_pairs(emb, "vec_id", "embedding", threshold=0.95, dim=64)
+    out = embedding_brute_force_pairs(emb, "vec_id", "embedding", threshold=0.95)
     return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
 
 

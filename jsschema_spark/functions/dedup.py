@@ -447,45 +447,15 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Codegen dot product for KNOWN-dim vectors: a ``dim``-term sum of
-    ``element_at`` products. Catalyst interprets HOF folds (``aggregate`` /
-    ``zip_with``), so the generic ``_dot`` pays per-element interpreter
-    overhead; this form stays inside whole-stage codegen. Left-associated
-    like the fold, starting at 0.0 — bit-identical values."""
-    import functools
-    import operator
-
-    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
-    return functools.reduce(operator.add, terms, F.lit(0.0))
-
-
-def dot_plane(vec: Column, plane, dim: int) -> Column:
-    """Codegen dot of a vector column with a literal plane (python floats)."""
-    import functools
-    import operator
-
-    terms = [F.element_at(vec, i + 1) * F.lit(float(plane[i])) for i in range(dim)]
-    return functools.reduce(operator.add, terms, F.lit(0.0))
-
-
-def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Codegen cosine for known-dim vectors (same value as ``cosine``)."""
-    den = F.sqrt(dot_fixed(a, a, dim)) * F.sqrt(dot_fixed(b, b, dim))
-    return F.when(den > 0, dot_fixed(a, b, dim) / den).otherwise(F.lit(0.0))
-
-
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
     """Sign-pattern bucket id from deterministic random hyperplanes (same
-    planes on every executor — literals, no RNG state shipped). Plane dots
-    are codegen'd element_at sums (dim is known here)."""
+    planes on every executor — literals, no RNG state shipped)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        bit = F.when(dot_plane(vec, planes[p], dim) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bit = F.when(_dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
     return bucket
 
@@ -506,29 +476,23 @@ def embedding_near_dups(
     )
     pairs = _bounded_self_pairs(emb, ["bucket"], max_bucket_size, payload="v")
     return (
-        pairs.select("id_a", "id_b", cosine_fixed(F.col("v_a"), F.col("v_b"), dim).alias("cos"))
+        pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
 
 def embedding_brute_force_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
-    dim: Optional[int] = None,
 ) -> DataFrame:
     """O(n²) exact pairing — oracle/testing only (the LSH path is the scale
     path; this one is a cross join)."""
     emb = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = (
-        cosine_fixed(F.col("a.v"), F.col("b.v"), dim)
-        if dim
-        else cosine(F.col("a.v"), F.col("b.v"))
-    )
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-            cos.alias("cos"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

@@ -21,19 +21,12 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from jsschema_spark.functions.dedup import cosine, cosine_fixed, dot_plane, hyperplane_bucket
-
-
-def _cos(a, b, dim):
-    """Codegen cosine when the caller knows the dimension (HOF folds are
-    interpreted — see dedup.dot_fixed), generic fold otherwise."""
-    return cosine_fixed(a, b, dim) if dim else cosine(a, b)
+from jsschema_spark.functions.dedup import _dot, cosine, hyperplane_bucket
 
 
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     corpus_id: str = "vec_id", query_id: str = "query_id", vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, vec_id, cos, rank). Queries are
     broadcast — keep the query batch ≤ a few MB; corpus scan stays fully
@@ -43,7 +36,7 @@ def brute_force_topk(
     )
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("cv"))
     scored = c.crossJoin(q).select(
-        "query_id", "vec_id", _cos(F.col("cv"), F.col("qv"), dim).alias("cos")
+        "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -71,7 +64,7 @@ def lsh_topk(
         F.explode(_multi_probe_buckets(F.col(vec_col), dim, n_planes, seed)).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
-        "query_id", "vec_id", _cos(F.col("cv"), F.col("qv"), dim).alias("cos")
+        "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -85,7 +78,6 @@ def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_centroids: int = 16,
     nprobe: int = 4, seed: int = 42,
     corpus_id: str = "vec_id", query_id: str = "query_id", vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF: deterministic sample of the corpus as centroids; corpus rows
     assigned to the nearest centroid (one scan); queries probe the nprobe
@@ -102,7 +94,7 @@ def ivf_topk(
         scored = F.array(
             *[
                 F.struct(
-                    (-dot_plane(vec, cvec, len(cvec))).alias("neg"),
+                    (-_dot(vec, F.array(*[F.lit(x) for x in cvec]))).alias("neg"),
                     F.lit(cid).alias("cid"),
                 )
                 for cid, cvec in cents
@@ -119,7 +111,7 @@ def ivf_topk(
         F.explode(F.transform(nearest(F.col(vec_col), nprobe), lambda s: s["cid"])).alias("cell"),
     )
     scored = c.join(F.broadcast(q), "cell").select(
-        "query_id", "vec_id", _cos(F.col("cv"), F.col("qv"), dim).alias("cos")
+        "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

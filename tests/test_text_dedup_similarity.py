@@ -330,14 +330,3 @@ def test_minhash_signatures_matches_column_formulation(spark, docs):
     dfv = D.minhash_signatures(docs, "doc_id", "text")
     assert col.exceptAll(dfv).count() == 0
     assert dfv.exceptAll(col).count() == 0
-
-
-def test_cosine_fixed_matches_fold(spark, emb):
-    """Codegen fixed-dim cosine must be bit-identical to the HOF fold (same
-    left-associated summation order) — the embedding oracles rely on it."""
-    df = emb.select(F.transform("embedding", lambda x: x.cast("double")).alias("v")).limit(200)
-    pairs = df.withColumn("w", F.reverse(F.col("v")))
-    diff = pairs.where(
-        D.cosine(F.col("v"), F.col("w")) != D.cosine_fixed(F.col("v"), F.col("w"), 64)
-    ).count()
-    assert diff == 0
