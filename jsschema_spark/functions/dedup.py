@@ -6,24 +6,30 @@ Scale design (the whole point — 100 TB of documents):
 * **Exact**: hash-groupBy on a 64-bit content fingerprint of normalized
   text. Map-side combine collapses duplicates per partition before the
   shuffle; shuffle width = #distinct fingerprints, not #rows.
-* **MinHash + LSH**: shingle → K minhashes (pure Catalyst: xxhash64 with a
-  per-hash literal seed, array_min) → B bands of R hashes → explode bands →
+* **MinHash + LSH**: shingle → one xxhash64 per shingle → K permutations
+  from the arithmetic universal family (a·h+b mod 2^31−1) → per-doc minima
+  via explode + codegen min-aggregates (map-side combine: one ~520B row per
+  doc crosses the shuffle) → B bands of R hashes → explode bands →
   self-join on (band, band_hash). Candidate pairs only ever meet inside a
-  band bucket — the quadratic blow-up is bounded per bucket, and band
-  buckets hash-partition uniformly. Verification (true Jaccard) runs only
-  on candidates.
-* **SimHash**: 64-bit bit-majority over token hashes, pure Catalyst
-  (aggregate over a 64-wide counter array). Near-dup candidates by the
-  pigeonhole trick: split into C=4 16-bit chunks; hamming ≤ 3 ⇒ at least
-  one chunk equal ⇒ equi-join on (chunk_idx, chunk_value), verify with
-  bit_count(xor) ≤ 3. Again: equi-join, no cross product.
+  band bucket; buckets above ``max_bucket_size`` switch to consecutive-pair
+  chaining (O(n), connectivity preserved) so degenerate boilerplate buckets
+  cannot go quadratic. Verification (true Jaccard) runs only on candidates,
+  semi-joined before shingling.
+* **SimHash**: bit-majority over token hashes via explode + codegen
+  per-bit sum-aggregates. Near-dup candidates by the pigeonhole trick:
+  split into C=4 16-bit chunks; hamming ≤ 3 ⇒ at least one chunk equal ⇒
+  equi-join on (chunk_idx, chunk_value) with the same bucket-size cap,
+  verify with bit_count(xor) ≤ 3. Again: equi-join, no cross product.
 * **Embedding cosine**: random-hyperplane LSH (deterministic planes,
   seeded NumPy, shipped as literals) buckets vectors by sign pattern;
-  exact cosine verifies within buckets. Brute-force pairing is only for
-  oracle tests.
+  exact cosine verifies within buckets (capped like the text buckets).
+  Brute-force pairing is only for oracle tests.
 
-Everything except nothing is Python-free; all operators are Column/DataFrame
-compositions (whole-stage codegen + standard shuffles Catalyst can plan).
+Everything here is Python-free: Column/DataFrame compositions only
+(whole-stage codegen + standard shuffles Catalyst can plan). Dot products
+and the shingle builder intentionally stay as higher-order-function folds —
+the measured alternative (dim-term unrolled expressions) was 3-4× slower
+(see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
