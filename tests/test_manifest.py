@@ -63,3 +63,28 @@ def test_rerun_is_noop(spark, tmp_path):
     again = ResumableValidation(tv, mdir, None, n_buckets=4, buckets_per_job=4)
     assert again.pending_buckets() == []
     assert again.run(df) == []
+
+
+def test_resume_revalidates_on_changed_input(spark, tmp_path):
+    """A manifest recorded against one input must NOT satisfy a run over a
+    different input — done buckets only count when lineage matches."""
+    src_a = str(tmp_path / "in_a")
+    src_b = str(tmp_path / "in_b")
+    clips_table(spark, 500, with_audio=False).write.parquet(src_a)
+    clips_table(spark, 800, with_audio=False).write.parquet(src_b)
+
+    tv_a = TableValidator(parse_schema(CLIPS_DRAFT04_SCHEMA),
+                          spark.read.parquet(src_a).schema)
+    mdir = str(tmp_path / "manifest")
+    run = ResumableValidation(tv_a, mdir, id_col="clip_id", n_buckets=8,
+                              buckets_per_job=8)
+    run.run(spark.read.parquet(src_a))
+    assert run.pending_buckets(sorted(spark.read.parquet(src_a).inputFiles())) == []
+
+    # same manifest dir, different input: everything is pending again
+    df_b = spark.read.parquet(src_b)
+    run_b = ResumableValidation(tv_a, mdir, id_col="clip_id", n_buckets=8,
+                                buckets_per_job=8)
+    assert len(run_b.pending_buckets(sorted(df_b.inputFiles()))) == 8
+    results = run_b.run(df_b)
+    assert sum(r.n_rows for r in results) == 800  # re-validated, not skipped

@@ -78,3 +78,23 @@ def test_json_predicate_column_jvm_side(spark):
         json_predicate_column(F.col("payload"), "$.a.b", lambda c: c.cast("int") <= 10).alias("ok")
     ).collect()
     assert [r.ok for r in out] == [True, False]
+
+
+def test_validate_json_pairs_null_schema_rows(spark):
+    """Null schema_json rows yield valid=NULL instead of killing the task
+    (pandas groupby silently drops NaN keys — regression pin)."""
+    from jsschema_spark.generic import validate_json_pairs
+
+    df = spark.createDataFrame(
+        [
+            ('{"minimum": 0}', "5", True),
+            (None, "5", None),
+            ('{"minimum": 0}', "-1", False),
+            (None, None, None),
+        ],
+        "schema_json string, instance_json string, expect boolean",
+    )
+    out = validate_json_pairs(df, "schema_json", "instance_json")
+    rows = out.select("expect", "validation.valid").collect()
+    for r in rows:
+        assert r.valid == r.expect, (r.expect, r.valid)
