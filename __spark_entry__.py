@@ -357,6 +357,17 @@ def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
 
 
+def q_key_set_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-vs-actual key-set check (SURVEY §2.5 set-ops row): customers
+    with no orders are 'missing' from the actual order key set; order
+    custkeys absent from the customer table would be 'unexpected'."""
+    from jsschema_spark.checks import key_set_diff
+
+    expected = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    actual = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return key_set_diff(expected, actual, ["custkey"])
+
+
 def q_violation_samples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(path, keyword) top-k violation samples (north_rule detail
     records), deterministic ordering by o_orderkey."""
@@ -398,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "violation_samples_orders": q_violation_samples_orders,
+        "key_set_customers_orders": q_key_set_customers_orders,
     }
 
 
@@ -729,4 +741,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _SIMHASH_ORACLE,
         "embedding_lsh_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
         "violation_samples_orders": _VIOLATION_SAMPLES_ORACLE,
+        "key_set_customers_orders": """
+            SELECT custkey, 'missing' AS status FROM (
+              SELECT DISTINCT c_custkey AS custkey FROM customer
+              EXCEPT SELECT DISTINCT o_custkey FROM orders)
+            UNION ALL
+            SELECT custkey, 'unexpected' AS status FROM (
+              SELECT DISTINCT o_custkey AS custkey FROM orders
+              EXCEPT SELECT DISTINCT c_custkey FROM customer)""",
     }
