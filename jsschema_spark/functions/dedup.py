@@ -12,9 +12,14 @@ Scale design (the whole point — 100 TB of documents):
   doc crosses the shuffle) → B bands of R hashes → explode bands →
   self-join on (band, band_hash). Candidate pairs only ever meet inside a
   band bucket; buckets above ``max_bucket_size`` switch to consecutive-pair
-  chaining (O(n), connectivity preserved) so degenerate boilerplate buckets
-  cannot go quadratic. Verification (true Jaccard) runs only on candidates,
-  semi-joined before shingling.
+  chaining (O(n), ordered by a similarity-correlated key so genuine
+  duplicate runs stay transitively linked after verification) so degenerate
+  boilerplate buckets cannot go quadratic. Verification (true Jaccard) runs
+  only on candidates, semi-joined before shingling.
+* **Group formation**: pair outputs feed ``connected_components`` —
+  iterative min-label propagation with pointer jumping (O(log n) rounds
+  even on the chains the bucket cap emits) — then ``keep_canonical`` drops
+  every group member except the minimum id.
 * **SimHash**: bit-majority over token hashes via explode + codegen
   per-bit sum-aggregates. Near-dup candidates by the pigeonhole trick:
   split into C=4 16-bit chunks; hamming ≤ 3 ⇒ at least one chunk equal ⇒
@@ -191,9 +196,13 @@ def minhash_lsh_pairs(
     boilerplate near-identical docs) would make the self-join quadratic
     *within that bucket* and melt one reducer. Buckets larger than
     ``max_bucket_size`` switch from all-pairs to **consecutive-pair
-    chaining** (sorted by doc_id): O(size) pairs that preserve the
-    connected-component structure dedup grouping needs — members of a
-    degenerate bucket still end up transitively linked."""
+    chaining** ordered by the first minhash lane (similarity-correlated:
+    docs with Jaccard j share that lane with probability j, so
+    near-identical docs sort adjacent and their chain edges survive the
+    downstream Jaccard verification). Chaining keeps O(size) pairs;
+    transitive linking of a genuine duplicate group is preserved when the
+    group is contiguous under that ordering — guaranteed for homogeneous
+    buckets, probabilistic (per-lane collision) for mixed ones."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands")
     r = num_hashes // bands
@@ -209,36 +218,56 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("e")).select(
-        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    banded = sig.select(
+        "doc_id", F.col("sig")[0].alias("__ord0"), F.explode(band_structs).alias("e")
+    ).select(
+        "doc_id", "__ord0", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
-    return _bounded_self_pairs(banded, ["band", "bh"], max_bucket_size)
+    return _bounded_self_pairs(
+        banded, ["band", "bh"], max_bucket_size, chain_order=["__ord0"]
+    )
 
 
 def _bounded_self_pairs(
     banded: DataFrame, key_cols: list[str], max_bucket_size: int,
     payload: Optional[str] = None,
+    chain_order: Optional[list[str]] = None,
 ) -> DataFrame:
     """Within-bucket pairing with a size cap: full all-pairs equi-join for
     buckets ≤ cap, consecutive-pair chaining (one window pass) above it.
     ``payload``: optional extra column carried onto both sides (``<p>_a`` /
     ``<p>_b``).
 
-    Bucket sizes come from a COUNT window over the bucket key — not a
-    groupBy + self-join, which would re-evaluate the (expensive) upstream
-    signature computation per plan branch. The window shuffles once on the
-    bucket key; every downstream branch (both join sides, the chain window)
-    keeps that partitioning, so Catalyst reuses the single exchange."""
+    Bucket sizes come from a two-phase detection: ``groupBy(key).count()``
+    (map-side combine — each executor pre-reduces its rows, so even a
+    degenerate bucket ships one partial count per task, never its rows) and
+    a **broadcast** join of the over-cap bucket keys back onto the stream.
+    There are at most n/cap over-cap buckets, so the broadcast side is tiny
+    by construction. Unlike a COUNT window over the bucket key, no reducer
+    ever receives all rows of a degenerate bucket just to count it.
+
+    ``chain_order``: columns that order the consecutive chain within an
+    over-cap bucket. Pass a similarity-correlated key (a signature lane,
+    the simhash value, the vector itself) so near-identical docs sort
+    adjacent and their chain edge survives downstream verification.
+    Chaining preserves connected-component structure only for runs of
+    docs that verify pairwise — a homogeneous (boilerplate) bucket, or a
+    mixed bucket whose genuine groups are contiguous under ``chain_order``.
+    With doc_id ordering alone, a genuine group interleaved with
+    hash-collision noise could lose its links; hence the ordering hook."""
     import functools
     import operator
 
     from pyspark.sql import Window
 
-    tagged = banded.withColumn(
-        "__bn", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    big_keys = F.broadcast(
+        sizes.where(F.col("__bn") > max_bucket_size)
+        .select(*key_cols, F.lit(True).alias("__big"))
     )
-    small = tagged.where(F.col("__bn") <= max_bucket_size).drop("__bn")
-    big = tagged.where(F.col("__bn") > max_bucket_size).drop("__bn")
+    tagged = banded.join(big_keys, key_cols, "left")
+    small = tagged.where(F.col("__big").isNull()).drop("__big")
+    big = tagged.where(F.col("__big")).drop("__big")
 
     pay_a = [F.col(f"a.{payload}").alias(f"{payload}_a")] if payload else []
     pay_b = [F.col(f"b.{payload}").alias(f"{payload}_b")] if payload else []
@@ -250,16 +279,26 @@ def _bounded_self_pairs(
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), *pay_a, *pay_b
     )
 
-    w = Window.partitionBy(*key_cols).orderBy("doc_id")
+    order_cols = [F.col(c) for c in (chain_order or [])] + [F.col("doc_id")]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     prev_cols = ["doc_id"] + ([payload] if payload else [])
+    # chain_order need not follow doc_id order, so normalize each edge to
+    # id_a < id_b (and swap the payloads with the ids)
+    swap = F.col("__prev.doc_id") > F.col("doc_id")
     chained = (
         big.withColumn("__prev", F.lag(F.struct(*prev_cols)).over(w))
         .where(F.col("__prev").isNotNull())
         .select(
-            F.col("__prev.doc_id").alias("id_a"),
-            F.col("doc_id").alias("id_b"),
-            *([F.col(f"__prev.{payload}").alias(f"{payload}_a")] if payload else []),
-            *([F.col(payload).alias(f"{payload}_b")] if payload else []),
+            F.when(swap, F.col("doc_id")).otherwise(F.col("__prev.doc_id")).alias("id_a"),
+            F.when(swap, F.col("__prev.doc_id")).otherwise(F.col("doc_id")).alias("id_b"),
+            *(
+                [
+                    F.when(swap, F.col(payload)).otherwise(F.col(f"__prev.{payload}")).alias(f"{payload}_a"),
+                    F.when(swap, F.col(f"__prev.{payload}")).otherwise(F.col(payload)).alias(f"{payload}_b"),
+                ]
+                if payload
+                else []
+            ),
         )
     )
     return full.unionByName(chained).distinct()
@@ -410,7 +449,9 @@ def simhash_near_dups(
     exactly). Output: id_a, id_b, hamming.
 
     Chunk buckets above ``max_bucket_size`` (boilerplate-heavy corpora)
-    switch to consecutive-pair chaining — see ``_bounded_self_pairs``."""
+    switch to consecutive-pair chaining ordered by the full simhash value,
+    so docs at small hamming distance sort adjacent and their chain edges
+    survive the hamming filter — see ``_bounded_self_pairs``."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     sh = simhash_values(df, id_col, text_col)
@@ -426,7 +467,9 @@ def simhash_near_dups(
     chunked = sh.select("doc_id", "sh", F.explode(chunks).alias("e")).select(
         "doc_id", "sh", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv")
     )
-    pairs = _bounded_self_pairs(chunked, ["chunk", "cv"], max_bucket_size, payload="sh")
+    pairs = _bounded_self_pairs(
+        chunked, ["chunk", "cv"], max_bucket_size, payload="sh", chain_order=["sh"]
+    )
     return (
         pairs.select(
             "id_a", "id_b",
@@ -475,12 +518,16 @@ def embedding_near_dups(
     an identical sign pattern are compared (recall grows with fewer planes;
     at 100 TB run multiple seeds and union). Buckets above
     ``max_bucket_size`` (mass-duplicated embeddings) fall back to
-    consecutive-pair chaining. Output: id_a, id_b, cos."""
+    consecutive-pair chaining ordered lexicographically by the vector
+    itself, so identical / near-identical embeddings sort adjacent and
+    their chain edges survive the cosine filter. Output: id_a, id_b, cos."""
     emb = df.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
-    pairs = _bounded_self_pairs(emb, ["bucket"], max_bucket_size, payload="v")
+    pairs = _bounded_self_pairs(
+        emb, ["bucket"], max_bucket_size, payload="v", chain_order=["v"]
+    )
     return (
         pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
         .where(F.col("cos") >= threshold)
@@ -502,3 +549,87 @@ def embedding_brute_force_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# near-duplicate group formation (connected components over pair outputs)
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Transitive grouping of near-dup pairs: ``(doc_id, group_id)`` where
+    ``group_id`` is the minimum doc id in the connected component. Only
+    nodes that appear in at least one pair are returned (singletons are
+    their own trivial group — join back with a left join + coalesce).
+
+    Algorithm: iterative **min-label propagation with pointer jumping**.
+    Each round (a) every node takes the minimum label among itself and its
+    neighbors (one equi-join + hash aggregate, map-side combined), then
+    (b) every node jumps to its label's label (one more equi-join). The
+    jump step halves path lengths, so convergence is O(log n) rounds even
+    on the long chains the hot-bucket cap emits — plain propagation alone
+    would need O(diameter) rounds. Each round's label table is
+    ``localCheckpoint``-ed: lineage stays flat (no exponential plan
+    growth) and the convergence check re-reads materialized partitions.
+    At 10^12 rows use a reliable checkpoint dir instead; the label table
+    is one (id, label) row per *paired* doc — orders of magnitude smaller
+    than the corpus after LSH.
+    """
+    sym = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    # init: label(u) = min(u, min neighbor) — one aggregation pass
+    labels = edges.groupBy("u").agg(F.min("v").alias("__mn")).select(
+        "u", F.least(F.col("u"), F.col("__mn")).alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # (a) propagate: min label over the neighborhood
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("__vl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("__vl").alias("__nl"))
+        )
+        prop = labels.join(nbr, "u", "left").select(
+            "u", F.least(F.col("label"), F.coalesce(F.col("__nl"), F.col("label"))).alias("label")
+        )
+        # (b) pointer jump: label(u) := label(label(u))
+        parents = prop.select(F.col("u").alias("label"), F.col("label").alias("__pl"))
+        jumped = prop.join(parents, "label", "left").select(
+            "u", F.least(F.col("label"), F.coalesce(F.col("__pl"), F.col("label"))).alias("label")
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Drop every near-dup group member except the canonical (minimum-id)
+    doc: LEFT ANTI join of the corpus against the non-canonical ids from
+    ``connected_components`` output. One broadcast- or shuffle-anti-join
+    on the id; the non-canonical side is |paired docs| − |groups| rows,
+    far smaller than the corpus."""
+    losers = groups.where(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    return df.join(losers, df[id_col] == losers["doc_id"], "left_anti")

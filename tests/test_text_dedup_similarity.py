@@ -330,3 +330,89 @@ def test_minhash_signatures_matches_column_formulation(spark, docs):
     dfv = D.minhash_signatures(docs, "doc_id", "text")
     assert col.exceptAll(dfv).count() == 0
     assert dfv.exceptAll(col).count() == 0
+
+
+# -------------------------------------------- near-dup group formation
+
+def _union_find_groups(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.group_id for r in D.connected_components(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path_pointer_jumping(spark):
+    """A 400-node path (what consecutive-pair chaining emits for a
+    degenerate bucket): plain min-propagation needs 400 rounds; pointer
+    jumping must converge within the default 30."""
+    n = 400
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = D.connected_components(pairs).collect()
+    assert len(out) == n
+    assert all(r.group_id == 0 for r in out)
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 300, size=(250, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.group_id for r in D.connected_components(pairs).collect()}
+    assert got == _union_find_groups(edges)
+
+
+def test_keep_canonical(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    groups = D.connected_components(pairs)
+    df = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    kept = sorted(r.doc_id for r in D.keep_canonical(df, groups, "doc_id").collect())
+    # 2, 3 (group of 1) and 8 (group of 7) dropped; singletons kept
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_minhash_pairs_to_groups_end_to_end(spark, docs):
+    """Dedup pipeline story: LSH pairs -> verified pairs -> transitive
+    groups -> canonical survivors. Two injected variant families of the
+    same base doc must collapse into one group with the base id."""
+    base = docs.select("doc_id", "text").where(F.col("doc_id") < 200)
+    v1 = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail one")).alias("text"),
+    )
+    v2 = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail one two")).alias("text"),
+    )
+    df = base.unionByName(v1).unionByName(v2)
+    pairs = D.near_duplicates_minhash(df, "doc_id", "text", threshold=0.7)
+    groups = D.connected_components(pairs)
+    label = {r.doc_id: r.group_id for r in groups.collect()}
+    for d in range(0, 200, 10):
+        # base + both variants transitively in ONE group (organic near-dups
+        # of the base may merge in too — the group id is ≤ the base id)
+        assert label.get(d) is not None and label[d] == label[d + 1000] == label[d + 2000], d
+        assert label[d] <= d
+    survivors = D.keep_canonical(df, groups, "doc_id")
+    ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    # variants are never canonical (their base always has a smaller id)
+    assert all(d + 1000 not in ids and d + 2000 not in ids for d in range(0, 200, 10))
+    # exactly one survivor per group
+    assert all((g in ids) == (g == label[g]) for g in set(label.values()))
