@@ -357,6 +357,82 @@ def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP formation: LSH pairs -> true-Jaccard verification ->
+    connected components (min-label + pointer jumping). Two injected
+    variant families per base doc force genuine transitive merging (base ~
+    v1 ~ v2). Oracle = DuckDB recursive CTE transitive closure over the
+    exact brute-force Jaccard pair list (same recall argument as
+    minhash_near_dups: no pair in the LSH-uncertain band)."""
+    from jsschema_spark.functions.dedup import connected_components, near_duplicates_minhash
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = base.where(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+    )
+    v2 = base.where(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token two")).alias("text"),
+    )
+    df = base.unionByName(v1).unionByName(v2)
+    pairs = near_duplicates_minhash(df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7)
+    groups = connected_components(pairs)
+    return groups.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
+def _ann_corpus_and_queries(spark: SparkSession, sf_dir: str, n_copies: int = 8):
+    """ANN oracle construction: 5 query vectors + ``n_copies`` exact copies
+    of each injected into the corpus. Copies land in the query's own LSH
+    bucket / IVF cell deterministically (identical vector => identical
+    bucket), and their cosine (exactly 1.0) beats every organic vector —
+    so the approximate top-5 provably equals brute force."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    copies = (
+        queries.crossJoin(spark.range(1, n_copies + 1).select(F.col("id").alias("j")))
+        .select(
+            (F.lit(9000000) + F.col("query_id") * 100 + F.col("j")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    corpus = emb.unionByName(copies)
+    return corpus, queries
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN, hyperplane-LSH path, on the injected-copies corpus
+    where its result provably equals brute force (the oracle)."""
+    from jsschema_spark.functions.similarity import lsh_topk
+
+    corpus, queries = _ann_corpus_and_queries(spark, sf_dir)
+    out = lsh_topk(corpus, queries, k=5, dim=64, n_planes=8)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 5).alias("cos_r"),
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN, IVF path, on the injected-copies corpus where its
+    result provably equals brute force (the oracle)."""
+    from jsschema_spark.functions.similarity import ivf_topk
+
+    corpus, queries = _ann_corpus_and_queries(spark, sf_dir)
+    out = ivf_topk(corpus, queries, k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 5).alias("cos_r"),
+    )
+
+
 def q_key_set_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected-vs-actual key-set check (SURVEY §2.5 set-ops row): customers
     with no orders are 'missing' from the actual order key set; order
@@ -410,6 +486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "violation_samples_orders": q_violation_samples_orders,
         "key_set_customers_orders": q_key_set_customers_orders,
+        "near_dup_groups": q_near_dup_groups,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -589,6 +668,71 @@ SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS B
 FROM b GROUP BY doc_id
 """
 
+_NEAR_DUP_GROUPS_ORACLE = f"""
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra trailing token' FROM documents WHERE doc_id % 71 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text || ' extra trailing token two' FROM documents WHERE doc_id % 71 = 0
+),
+n AS (
+  SELECT doc_id, {_NORM_SQL.format(col='text')} AS norm
+  FROM all_docs WHERE text IS NOT NULL
+),
+t AS (
+  SELECT doc_id, CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks FROM n
+),
+s AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+walk AS (
+  SELECT u, u AS reach FROM (SELECT DISTINCT u FROM edges) nodes
+  UNION
+  SELECT w.u, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
+)
+SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(reach) AS BIGINT) AS group_id
+FROM walk GROUP BY u
+"""
+
+_ANN_CORPUS_SQL = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+copies AS (
+  SELECT 9000000 + query_id * 100 + j AS vec_id, qv AS v
+  FROM q, (SELECT unnest(range(1, 9)) AS j)
+),
+corpus AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM copies),
+scored AS (
+  SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos
+  FROM corpus c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+"""
+
+# brute force == the approximate result on the injected-copies corpus (the
+# 5 top hits per query are exact vector copies at cosine 1.0, provably in
+# the query's own LSH bucket / IVF probe cell)
+_ANN_TOPK_ORACLE = f"""
+WITH {_ANN_CORPUS_SQL}
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 5) AS cos_r
+FROM ranked WHERE rank <= 5
+"""
+
 _CLIPS_SQL = """
   SELECT
     printf('clip-%012d', doc_id) AS clip_id,
@@ -740,6 +884,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _MINHASH_ORACLE,
         "simhash_documents": _SIMHASH_ORACLE,
         "embedding_lsh_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
+        "near_dup_groups": _NEAR_DUP_GROUPS_ORACLE,
+        "lsh_topk": _ANN_TOPK_ORACLE,
+        "ivf_topk": _ANN_TOPK_ORACLE,
         "violation_samples_orders": _VIOLATION_SAMPLES_ORACLE,
         "key_set_customers_orders": """
             SELECT custkey, 'missing' AS status FROM (
