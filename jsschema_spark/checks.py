@@ -38,37 +38,51 @@ def duplicate_keys(
     (final, over at most ``salt_buckets`` rows per key) → ``filter(n > 1)``.
     Output: key columns + ``n_rows``.
     """
+    return _key_counts(df, key_cols, salt_buckets).where(F.col("n_rows") > 1)
+
+
+def _key_counts(df: DataFrame, key_cols: Sequence[str], salt_buckets: int) -> DataFrame:
+    """Per-key row counts via the two-phase salted aggregation (all keys,
+    no multiplicity filter)."""
     keys = [F.col(c) for c in key_cols]
     if salt_buckets <= 1:
-        counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    else:
-        # seeded rand is re-seeded per partition index, so a retried task
-        # replays the same salts (unlike monotonically_increasing_id) while
-        # still spreading byte-identical rows of a hot key across buckets
-        salt = (F.rand(42) * salt_buckets).cast("int")
-        partial = (
-            df.withColumn("__salt", salt)
-            .groupBy(*keys, F.col("__salt"))
-            .agg(F.count(F.lit(1)).alias("__partial"))
-        )
-        counted = partial.groupBy(*key_cols).agg(F.sum("__partial").alias("n_rows"))
-    return counted.where(F.col("n_rows") > 1)
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    # seeded rand is deterministic per (partition index, row position) for
+    # deterministic scan inputs; after a shuffle or AQE repartition a retry
+    # may deal different salts — harmless here, because the two-phase count
+    # is salt-invariant (phase 2 sums whatever phase-1 split occurred)
+    salt = (F.rand(42) * salt_buckets).cast("int")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, F.col("__salt"))
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("__partial").alias("n_rows"))
 
 
 def uniqueness_report(df: DataFrame, key_cols: Sequence[str], salt_buckets: int = 16) -> dict:
     """Driver-side rollup: total rows, distinct keys, duplicate keys, extra
-    rows that dedup would drop."""
-    dups = duplicate_keys(df, key_cols, salt_buckets)
-    agg = dups.agg(
-        F.count(F.lit(1)).alias("dup_keys"),
-        F.coalesce(F.sum(F.col("n_rows") - 1), F.lit(0)).alias("extra_rows"),
+    rows that dedup would drop.
+
+    ONE pass over the table: every scalar folds out of the per-key counts
+    of the phase-1/2 salted aggregation (``sum(n_rows)`` = total rows), so
+    the 10^12-row input is scanned once — not re-scanned for a separate
+    ``df.count()``."""
+    counts = _key_counts(df, key_cols, salt_buckets)
+    agg = counts.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("n_rows") > 1).cast("long")).alias("dup_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_rows") > 1, F.col("n_rows") - 1).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("extra_rows"),
     ).collect()[0]
-    n = df.count()
     return {
-        "n_rows": n,
-        "dup_keys": agg["dup_keys"],
+        "n_rows": int(agg["n_rows"]),
+        "dup_keys": int(agg["dup_keys"] or 0),
         "extra_rows": int(agg["extra_rows"]),
-        "n_unique_keys": n - int(agg["extra_rows"]),
+        "n_unique_keys": int(agg["n_keys"]),
     }
 
 
@@ -94,23 +108,29 @@ def referential_violations(
     fact: DataFrame,
     dim: DataFrame,
     on: Sequence[str] | dict[str, str],
-    broadcast_dim: bool = True,
+    broadcast_dim: Optional[bool] = None,
 ) -> DataFrame:
     """Fact rows whose key has no match in ``dim`` (LEFT ANTI join).
 
     ``on``: list of same-named columns, or ``{fact_col: dim_col}`` mapping.
-    ``broadcast_dim=True`` forces a broadcast hash anti-join — correct for
-    dimension tables that fit in executor memory (the codecs table, nation,
-    region...); set False for big dims → sort-merge anti-join + AQE skew
-    handling.
+
+    ``broadcast_dim``: ``None`` (default) lets Catalyst/AQE choose from the
+    dim-side size estimate (small dims auto-broadcast under
+    ``spark.sql.autoBroadcastJoinThreshold``, runtime sizes re-checked by
+    AQE) — the safe default, since forcing a broadcast of an unexpectedly
+    large dim OOMs executors. ``True`` forces a broadcast hash anti-join
+    (dims known to fit: codecs, nation, region); ``False`` forces the
+    shuffle path (sort-merge anti-join + AQE skew splitting).
     """
     if isinstance(on, dict):
         pairs = list(on.items())
     else:
         pairs = [(c, c) for c in on]
     dim_keys = dim.select(*[F.col(d).alias(f"__dim_{d}") for _f, d in pairs]).dropDuplicates()
-    if broadcast_dim:
+    if broadcast_dim is True:
         dim_keys = F.broadcast(dim_keys)
+    elif broadcast_dim is False:
+        dim_keys = dim_keys.hint("shuffle_merge")
     cond = None
     for f, d in pairs:
         c = fact[f] == dim_keys[f"__dim_{d}"]
@@ -119,7 +139,7 @@ def referential_violations(
 
 
 def referential_report(
-    fact: DataFrame, dim: DataFrame, on, broadcast_dim: bool = True,
+    fact: DataFrame, dim: DataFrame, on, broadcast_dim: Optional[bool] = None,
     sample: int = 10,
 ) -> dict:
     viol = referential_violations(fact, dim, on, broadcast_dim)

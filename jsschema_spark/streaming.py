@@ -4,8 +4,9 @@ The reference is batch-only and the north_rule asks for batch + resumable
 manifest rather than streaming (SURVEY.md §2.5) — but the same compiled
 predicate DAG applies unchanged to a streaming DataFrame, so the engine
 exposes it: ``readStream`` source → ``TableValidator`` columns → per-batch
-violation sink via ``foreachBatch`` (which reuses the batch sinks and gives
-exactly-once file output with checkpointing).
+violation sink via ``foreachBatch``, written idempotently per batch
+(``batch_id=``-partitioned overwrite) so at-least-once batch replays still
+yield exactly-once file output.
 
 At scale: the predicate columns add no state and no shuffle to the stream;
 watermark/windowed violation-rate aggregation is plain Spark on top of the
@@ -60,7 +61,15 @@ def start_violation_sink(
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """foreachBatch sink: per micro-batch, write exploded violation detail
-    rows as parquet (reuses the batch writer; checkpointed exactly-once)."""
+    rows as parquet.
+
+    Effectively exactly-once: ``foreachBatch`` itself is at-least-once (a
+    task/driver retry replays a batch after a partial write), so each batch
+    writes to its own ``batch_id=<n>`` partition directory with
+    ``mode("overwrite")`` — a replay overwrites the same directory instead
+    of appending duplicates, making the sink idempotent per batch. Readers
+    see ``batch_id`` as a normal partition column when reading
+    ``output_dir``."""
     tv_holder: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -69,7 +78,8 @@ def start_violation_sink(
             tv = TableValidator(schema, batch_df.schema)
             tv_holder["tv"] = tv
         details = tv.violation_details(batch_df, id_cols=id_cols or [])
-        details.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(output_dir)
+        # overwrite ONLY this batch's partition dir: idempotent on replay
+        details.write.mode("overwrite").parquet(f"{output_dir}/batch_id={int(batch_id)}")
 
     writer = stream_df.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if trigger_once:

@@ -57,12 +57,37 @@ def test_referential_broadcast_anti_join(spark, clips):
     n_bad = viol.count()
     assert n_bad == clips.where(F.col("codec") == "unknown").count()
     assert n_bad > 0
-    # the anti-join must be broadcast (no sort-merge exchange of the fact side)
+    # default (None): AQE converts to broadcast for a tiny dim at runtime —
+    # inspect the FINAL adaptive plan (viol.count() above materialized it)
+    viol.collect()
     plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     rep = referential_report(clips, dim, ["codec"])
     assert rep["n_violations"] == n_bad
     assert rep["sample_keys"] == [("unknown",)] * min(n_bad, 10)
+
+
+def test_referential_forced_join_strategies(spark, clips):
+    """broadcast_dim=True forces broadcast even when it would not be chosen;
+    broadcast_dim=False forces the shuffle path even for a tiny dim (the
+    big-dim safety valve: no unconditional driver/executor-OOM broadcast)."""
+    dim = codecs_dim(spark)
+    forced_b = referential_violations(clips, dim, ["codec"], broadcast_dim=True)
+    n_b = forced_b.count()
+    forced_b.collect()
+    plan_b = forced_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b and "LeftAnti" in plan_b
+    assert "SortMergeJoin" not in plan_b
+
+    forced_s = referential_violations(clips, dim, ["codec"], broadcast_dim=False)
+    forced_s.collect()
+    plan_s = forced_s._jdf.queryExecution().executedPlan().toString()
+    # merge hint respected even by AQE: no runtime broadcast conversion
+    assert "BroadcastHashJoin" not in plan_s and "LeftAnti" in plan_s
+    assert "SortMergeJoin" in plan_s
+    # both strategies agree on the answer
+    assert forced_s.count() == n_b
 
 
 def test_referential_on_star_schema(spark):

@@ -76,3 +76,30 @@ def test_streaming_validation(spark, tmp_path):
     expected = TableValidator(SCHEMA, static.schema).violation_details(static).count()
     assert viol.count() == expected
     assert "batch_id" in viol.columns
+
+
+def test_streaming_sink_idempotent_on_batch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch (same
+    batch_id, e.g. after a partial write + retry) must not duplicate
+    detail rows — the sink overwrites the batch's own partition dir."""
+    src = str(tmp_path / "replay_src")
+    clips_table(spark, 500, with_audio=False).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    out = str(tmp_path / "replay_viol")
+    ckpt = str(tmp_path / "replay_ckpt")
+    q = start_violation_sink(stream, SCHEMA, out, ckpt, id_cols=["clip_id"])
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+
+    # simulate the engine replaying batch 0 against the same output dir
+    from jsschema_spark.compiler import TableValidator
+
+    tv = TableValidator(SCHEMA, static.schema)
+    tv.violation_details(static, id_cols=["clip_id"]).write.mode("overwrite").parquet(
+        f"{out}/batch_id=0"
+    )
+    replayed = spark.read.parquet(out).count()
+    assert replayed == first  # no duplicates
