@@ -136,6 +136,26 @@ def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_num", 4).alias("min_num"),
         F.round("max_num", 4).alias("max_num"),
         F.round("mean", 4).alias("mean"),
+        F.round("p50", 4).alias("p50"),
+    )
+
+
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-frequency drift (top-K + __OTHER__ rollup): l_returnflag
+    distribution, full table vs the high-quantity slice. top_k=2 forces a
+    real __OTHER__ row out of the 3 flags."""
+    from jsschema_spark.stats import categorical_drift
+
+    base = _t(spark, sf_dir, "lineitem")
+    cur = base.where(F.col("l_quantity") > 25)
+    out = categorical_drift(base, cur, "l_returnflag", top_k=2)
+    return out.select(
+        "category",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("p_base", 6).alias("p_base_r"),
+        F.round("p_cur", 6).alias("p_cur_r"),
+        F.round("psi_term", 6).alias("psi_term_r"),
     )
 
 
@@ -471,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_events_user": q_uniqueness_events_user,
         "referential_orders_customer": q_referential_orders_customer,
         "stats_lineitem": q_stats_lineitem,
+        "categorical_drift_returnflag": q_categorical_drift,
         "histogram_l_quantity": q_histogram_l_quantity,
         "token_count_documents": q_token_count_documents,
         "text_profile_documents": q_text_profile_documents,
@@ -836,20 +857,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                    count(DISTINCT l_quantity) AS n_distinct,
                    round(min(l_quantity), 4) AS min_num, round(max(l_quantity), 4) AS max_num,
-                   round(avg(l_quantity), 4) AS mean
+                   round(avg(l_quantity), 4) AS mean,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS p50
             FROM lineitem
             UNION ALL
             SELECT 'l_discount', count(*),
                    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT l_discount),
-                   round(min(l_discount), 4), round(max(l_discount), 4), round(avg(l_discount), 4)
+                   round(min(l_discount), 4), round(max(l_discount), 4), round(avg(l_discount), 4),
+                   round(quantile_cont(l_discount, 0.5), 4)
             FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice', count(*),
                    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT l_extendedprice),
-                   round(min(l_extendedprice), 4), round(max(l_extendedprice), 4), round(avg(l_extendedprice), 4)
+                   round(min(l_extendedprice), 4), round(max(l_extendedprice), 4), round(avg(l_extendedprice), 4),
+                   round(quantile_cont(l_extendedprice, 0.5), 4)
             FROM lineitem""",
+        "categorical_drift_returnflag": """
+            WITH b AS (
+              SELECT coalesce(CAST(l_returnflag AS VARCHAR), '__NULL__') AS cat, count(*) AS n
+              FROM lineitem GROUP BY 1
+            ), c AS (
+              SELECT coalesce(CAST(l_returnflag AS VARCHAR), '__NULL__') AS cat, count(*) AS n
+              FROM lineitem WHERE l_quantity > 25 GROUP BY 1
+            ), top AS (SELECT cat FROM b ORDER BY n DESC, cat ASC LIMIT 2),
+            bm AS (
+              SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat ELSE '__OTHER__' END AS category,
+                     sum(n) AS n_base FROM b GROUP BY 1
+            ), cm AS (
+              SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat ELSE '__OTHER__' END AS category,
+                     sum(n) AS n_cur FROM c GROUP BY 1
+            ), j AS (
+              SELECT coalesce(bm.category, cm.category) AS category,
+                     coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+              FROM bm FULL OUTER JOIN cm ON bm.category = cm.category
+              WHERE coalesce(n_base, 0) > 0 OR coalesce(n_cur, 0) > 0
+            ), p AS (
+              SELECT category, n_base, n_cur,
+                     greatest(CAST(n_base AS DOUBLE) / sum(n_base) OVER (), 1e-6) AS pe,
+                     greatest(CAST(n_cur AS DOUBLE) / sum(n_cur) OVER (), 1e-6) AS pa
+              FROM j
+            )
+            SELECT category, n_base, n_cur,
+                   round(pe, 6) AS p_base_r, round(pa, 6) AS p_cur_r,
+                   round((pa - pe) * ln(pa / pe), 6) AS psi_term_r
+            FROM p""",
         "histogram_l_quantity": """
             SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS BIGINT) AS bucket,
                    count(*) AS n

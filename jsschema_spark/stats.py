@@ -17,6 +17,11 @@ Scale design:
   table size.
 * KS / PSI are computed driver-side from the two binned count vectors
   (O(nbins) — trivial), per SURVEY.md §4.
+* percentiles via ``percentile_approx`` (KLL-style mergeable sketch) on the
+  default path, exact ``percentile`` for oracle parity at test scale.
+* categorical drift bounds its output with a baseline top-K + __OTHER__
+  rollup, so high-cardinality columns cost two count aggregations and a
+  (top_k+1)-row join, never a per-category explosion.
 """
 
 from __future__ import annotations
@@ -43,10 +48,14 @@ def column_stats(
     """Per-column profile in one aggregation pass.
 
     Output: ``column, n_rows, n_null, n_distinct, min_num, max_num,
-    min_str, max_str, mean, stddev`` (numeric fields null for non-numerics).
+    min_str, max_str, mean, stddev, p25, p50, p75`` (numeric fields null
+    for non-numerics).
 
-    ``exact_distinct=True`` swaps HLL for ``count_distinct`` — use only for
-    oracle comparisons at test scale; at 100 TB keep the sketch.
+    ``exact_distinct=True`` swaps HLL for ``count_distinct`` and the
+    KLL-style ``percentile_approx`` sketch for exact ``percentile`` — use
+    only for oracle comparisons at test scale; at 100 TB keep the sketches
+    (both are fixed-size and mergeable, so the whole profile still ships
+    one partial row per task).
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     if cols is None:
@@ -62,12 +71,18 @@ def column_stats(
         else:
             aggs.append(F.approx_count_distinct(col, rsd).alias(f"{c}__dist"))
         if isinstance(dt, _NUMERIC):
+            pct = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
             aggs.extend(
                 [
                     F.min(col).cast("double").alias(f"{c}__min"),
                     F.max(col).cast("double").alias(f"{c}__max"),
                     F.avg(col).alias(f"{c}__mean"),
                     F.stddev(col).alias(f"{c}__std"),
+                    (
+                        F.percentile(col, pct)
+                        if exact_distinct
+                        else F.percentile_approx(col.cast("double"), pct, 10000)
+                    ).alias(f"{c}__pct"),
                 ]
             )
         else:
@@ -81,6 +96,7 @@ def column_stats(
     for c in cols:
         dt = fields[c]
         numeric = isinstance(dt, _NUMERIC)
+        pct = (row.get(f"{c}__pct") or [None, None, None]) if numeric else [None, None, None]
         out_rows.append(
             {
                 "column": c,
@@ -93,6 +109,9 @@ def column_stats(
                 "max_str": row.get(f"{c}__smax") if not numeric else None,
                 "mean": row.get(f"{c}__mean") if numeric else None,
                 "stddev": row.get(f"{c}__std") if numeric else None,
+                "p25": float(pct[0]) if pct[0] is not None else None,
+                "p50": float(pct[1]) if pct[1] is not None else None,
+                "p75": float(pct[2]) if pct[2] is not None else None,
             }
         )
     schema = T.StructType(
@@ -107,6 +126,9 @@ def column_stats(
             T.StructField("max_str", T.StringType()),
             T.StructField("mean", T.DoubleType()),
             T.StructField("stddev", T.DoubleType()),
+            T.StructField("p25", T.DoubleType()),
+            T.StructField("p50", T.DoubleType()),
+            T.StructField("p75", T.DoubleType()),
         ]
     )
     return df.sparkSession.createDataFrame(out_rows, schema)
@@ -189,4 +211,97 @@ def drift_report(
         "ks": ks_statistic(hb, hc, nbins),
         "baseline_n": int(sum(r["n"] for r in hb)),
         "current_n": int(sum(r["n"] for r in hc)),
+    }
+
+
+def categorical_counts(df: DataFrame, col: str) -> DataFrame:
+    """Per-category counts (nulls as '__NULL__'): one hash aggregation with
+    map-side combine — shuffle width = #categories, not #rows."""
+    return (
+        df.groupBy(F.coalesce(F.col(col).cast("string"), F.lit("__NULL__")).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def categorical_drift(
+    df_baseline: DataFrame,
+    df_current: DataFrame,
+    col: str,
+    top_k: int = 50,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Category-frequency drift of ``col`` between two tables, the
+    categorical sibling of the numeric histogram PSI/KS.
+
+    Categories = the ``top_k`` most frequent baseline values (deterministic
+    tie-break on the value); everything else rolls into ``__OTHER__``, so
+    the output is bounded at top_k+1 rows no matter how high-cardinality
+    the column is. Per category: baseline/current counts, frequencies and
+    the PSI term ``(p_cur − p_base)·ln(p_cur/p_base)`` (eps-floored).
+    Row with both counts zero (an all-zero __OTHER__) is dropped.
+
+    Scale shape: two hash aggregations (map-side combined, shuffle width =
+    #categories per side), a top-k collect of ``top_k`` rows on the driver,
+    a re-aggregation of the tiny count tables, and a full outer join of at
+    most top_k+1 rows per side. The input tables are each scanned once.
+    """
+    b = categorical_counts(df_baseline, col)
+    c = categorical_counts(df_current, col)
+    top = [
+        r["category"]
+        for r in b.orderBy(F.desc("n"), F.asc("category")).limit(top_k).collect()
+    ]
+
+    def rollup(counts: DataFrame) -> DataFrame:
+        cat = (
+            F.when(F.col("category").isin(top), F.col("category"))
+            .otherwise(F.lit("__OTHER__"))
+            .alias("category")
+        )
+        return counts.groupBy(cat).agg(F.sum("n").alias("n"))
+
+    bm = rollup(b).withColumnRenamed("n", "n_base")
+    cm = rollup(c).withColumnRenamed("n", "n_cur")
+    j = (
+        bm.join(cm, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+        .where((F.col("n_base") > 0) | (F.col("n_cur") > 0))
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    pe = F.greatest(F.col("n_base") / F.sum("n_base").over(tot), F.lit(eps))
+    pa = F.greatest(F.col("n_cur") / F.sum("n_cur").over(tot), F.lit(eps))
+    return j.select(
+        "category", "n_base", "n_cur",
+        pe.alias("p_base"), pa.alias("p_cur"),
+        ((pa - pe) * F.log(pa / pe)).alias("psi_term"),
+    )
+
+
+def categorical_drift_report(
+    df_baseline: DataFrame, df_current: DataFrame, col: str,
+    top_k: int = 50, eps: float = 1e-6,
+) -> dict:
+    """Driver-side rollup: total PSI and a Pearson chi-square statistic
+    over the (top_k+1)-category table (expected = baseline frequencies
+    scaled to the current total)."""
+    rows = [r.asDict() for r in categorical_drift(df_baseline, df_current, col, top_k, eps).collect()]
+    total_cur = sum(r["n_cur"] for r in rows) or 1
+    chi2 = 0.0
+    for r in rows:
+        expected = r["p_base"] * total_cur
+        if expected > 0:
+            chi2 += (r["n_cur"] - expected) ** 2 / expected
+    return {
+        "column": col,
+        "n_categories": len(rows),
+        "psi": sum(r["psi_term"] for r in rows),
+        "chi2": chi2,
+        "baseline_n": int(sum(r["n_base"] for r in rows)),
+        "current_n": int(sum(r["n_cur"] for r in rows)),
     }

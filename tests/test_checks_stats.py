@@ -158,3 +158,40 @@ def test_key_set_diff(spark):
     actual = spark.createDataFrame([(2,), (3,), (4,)], "k int")
     out = {(r.k, r.status) for r in key_set_diff(expected, actual, ["k"]).collect()}
     assert out == {(1, "missing"), (4, "unexpected")}
+
+
+def test_column_stats_percentiles(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    exact = column_stats(df, ["x"], exact_distinct=True).collect()[0]
+    assert abs(exact.p25 - 25.75) < 1e-9
+    assert abs(exact.p50 - 50.5) < 1e-9
+    assert abs(exact.p75 - 75.25) < 1e-9
+    approx = column_stats(df, ["x"]).collect()[0]  # sketch path
+    assert abs(approx.p50 - 50.5) <= 1.0  # KLL within a value at n=100
+
+
+def test_categorical_drift_topk_and_other(spark):
+    from jsschema_spark.stats import categorical_drift, categorical_drift_report
+
+    base = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 9 + [(None,)], "v string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 30 + [("c",)] * 55 + [("d",)] * 5, "v string"
+    )
+    rows = {r.category: r for r in categorical_drift(base, cur, "v", top_k=2).collect()}
+    # top-2 baseline cats explicit, the rest ('c', NULL, 'd') rolled up
+    assert set(rows) == {"a", "b", "__OTHER__"}
+    assert rows["a"].n_base == 60 and rows["a"].n_cur == 10
+    assert rows["__OTHER__"].n_base == 10 and rows["__OTHER__"].n_cur == 60
+    assert sum(r.n_base for r in rows.values()) == 100
+    assert rows["b"].psi_term == pytest.approx(0.0, abs=1e-12)  # unchanged share
+    assert rows["a"].psi_term > 0.5  # collapsed share
+
+    rep = categorical_drift_report(base, cur, "v", top_k=2)
+    assert rep["psi"] > 1.0 and rep["chi2"] > 50
+    assert rep["baseline_n"] == 100 and rep["current_n"] == 100
+
+    same = categorical_drift_report(base, base, "v", top_k=2)
+    assert same["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert same["chi2"] == pytest.approx(0.0, abs=1e-9)
