@@ -650,7 +650,10 @@ class TableValidator:
         order_cols = order_by or id_cols
         if not order_cols:
             raise ValueError("violation_samples needs id_cols or order_by for determinism")
-        details = self.violation_details(df, id_cols=id_cols)
+        # project the UNION of id and ordering columns — order_by without
+        # id_cols must still resolve inside the window input
+        detail_cols = list(dict.fromkeys((id_cols or []) + list(order_cols)))
+        details = self.violation_details(df, id_cols=detail_cols)
         w = Window.partitionBy("path", "keyword").orderBy(*[F.col(c) for c in order_cols])
         return (
             details.withColumn("rn", F.row_number().over(w))

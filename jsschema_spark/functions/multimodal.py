@@ -53,7 +53,14 @@ def real_image_decode(payload: bytes):
 def _byte_features(payload: bytes) -> tuple[float, list[int], int]:
     """Deterministic byte-level features (REAL, not a stub): a 16-bin byte
     histogram, its entropy, and a 64-bit locality hash — usable for corrupt-
-    payload screening and exact-dup detection without any codec."""
+    payload screening and exact-dup detection without any codec.
+
+    Called per payload inside the Arrow batch (a Python loop over rows of
+    one batch): variable-length binary cannot be numpy-vectorized ACROSS
+    payloads without ragged batching, so the loop is the honest shape —
+    each payload's own features ARE numpy-vectorized, and payload bytes
+    are touched exactly once per batch (mirrors audio.py's file-granular
+    note)."""
     if not payload:
         return 0.0, [0] * 16, 0
     arr = np.frombuffer(payload, dtype=np.uint8)

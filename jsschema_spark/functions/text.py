@@ -1,10 +1,13 @@
-"""Text analysis operators over a document table — all pure Catalyst
-expressions (JVM-side, whole-stage codegen; no Python in any of these).
+"""Text analysis operators over a document table — pure Catalyst
+expressions (JVM-side, whole-stage codegen), with ONE documented exception:
+``bpe_token_count``, whose vocab-driven merge loop is inherently
+data-dependent and runs as a memoized iterator pandas UDF.
 
-Operators: token counting (whitespace + BPE-ish subword estimate), quality
-scoring (length / punctuation / stopword / alpha ratios), language ID
-(stopword-hit heuristic over a fixed per-language lexicon), and document
-fingerprinting (normalized xxhash64 + shingle min-hash fingerprint).
+Operators: token counting (whitespace + BPE-ish subword estimate + exact
+vocab-driven BPE), quality scoring (length / punctuation / stopword / alpha
+ratios), language ID (stopword-hit heuristic over a fixed per-language
+lexicon), and document fingerprinting (normalized xxhash64 + shingle
+min-hash fingerprint).
 
 Each returns Column expressions so they compose into a single projection —
 one scan, no shuffles, for a full per-document profile at 100 TB.
@@ -12,6 +15,9 @@ one scan, no shuffles, for a full per-document profile at 100 TB.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -44,6 +50,53 @@ def subword_token_estimate(text: Column) -> Column:
     )
     punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
     return (word_units + punct).cast("long")
+
+
+def bpe_token_count(df, text_col: str, merges, out_col: str = "n_bpe_tokens"):
+    """Exact BPE token counting against a real merge table (the optional
+    vocab-driven sibling of ``subword_token_estimate``; the heuristic stays
+    the zero-dependency JVM default).
+
+    ``merges``: ordered merge pairs, lowest index = highest priority — the
+    standard BPE merge-list format. Each whitespace word is split to
+    characters and greedily merged by rank until no merge applies; the
+    token count is the number of remaining units summed over words.
+
+    Scale shape: merge ranks ship once per executor as a Spark broadcast
+    (not per-task closure), and the UDF is an ITERATOR pandas UDF so the
+    word→count memo persists across Arrow batches of a partition — cost is
+    bounded by distinct words (Zipf), not rows. This is the documented
+    Python path: BPE's data-dependent merge loop is not expressible as a
+    Catalyst expression."""
+    sc = df.sparkSession.sparkContext
+    ranks_b = sc.broadcast({(a, b): i for i, (a, b) in enumerate(merges)})
+
+    @F.pandas_udf("long")
+    def _count(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        ranks = ranks_b.value
+        cache: dict[str, int] = {}
+
+        def word_units(w: str) -> int:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            parts = list(w)
+            while len(parts) > 1:
+                best_rank, best_i = None, -1
+                for i in range(len(parts) - 1):
+                    r = ranks.get((parts[i], parts[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+            cache[w] = len(parts)
+            return len(parts)
+
+        for s in it:
+            yield s.fillna("").map(lambda t: sum(word_units(w) for w in t.split()))
+
+    return df.withColumn(out_col, _count(F.col(text_col)))
 
 
 # --------------------------------------------------------------------------

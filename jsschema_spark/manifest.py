@@ -13,8 +13,10 @@ Design:
   and input re-splits, unlike ``spark_partition_id``.
 * Buckets are processed in chunks; each chunk is one Spark job that writes
   its violation/valid output partitioned by bucket, then appends one
-  manifest JSON-lines file (write-temp-then-rename, so a kill mid-append
-  never leaves a half-recorded chunk).
+  manifest JSON-lines file through a pluggable ``ManifestStorage`` whose
+  write is all-or-nothing (local: temp+rename; object store: single PUT —
+  rename-free, since object-store rename is copy+delete, not atomic), so a
+  kill mid-append never leaves a half-recorded chunk.
 * On restart, completed buckets are anti-filtered BEFORE the scan predicate
   (`bucket IN (pending)`), so Spark skips whole partitions of work; the
   output directory is idempotent per bucket (dynamic partition overwrite).
@@ -51,12 +53,66 @@ def bucket_col(id_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
 
 
-class Manifest:
-    """JSON-lines manifest directory (one file per completed chunk)."""
+class ManifestStorage:
+    """Storage interface for manifest chunk files — lets the manifest live
+    on whatever the driver can reach. Contract: ``write`` must be
+    all-or-nothing per file (readers never see a partial chunk); ``list``
+    returns completed chunk names. How each backend achieves atomicity is
+    its own business:
+
+    * POSIX/local (``LocalManifestStorage``): write a dot-temp file, then
+      ``os.rename`` — atomic within a filesystem.
+    * Object stores (S3/GCS-style): a single PUT is already atomic and
+      RENAME IS NOT (copy+delete) — subclass by writing the final key
+      directly and listing by prefix. ``FakeObjectStoreStorage`` in the
+      tests pins this contract (it raises on any rename-style call).
+    * HDFS: create + rename works, or write-final + ``.jsonl`` suffix
+      filtering (in-progress files use a different suffix).
+    """
+
+    def list(self) -> list[str]:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def read(self, name: str) -> str:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def write(self, name: str, content: str) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class LocalManifestStorage(ManifestStorage):
+    """POSIX directory backend: temp-file + atomic rename."""
 
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
+
+    def list(self) -> list[str]:
+        return [n for n in os.listdir(self.path) if n.endswith(".jsonl")]
+
+    def read(self, name: str) -> str:
+        with open(os.path.join(self.path, name), encoding="utf-8") as f:
+            return f.read()
+
+    def write(self, name: str, content: str) -> None:
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(content)
+        os.rename(tmp, os.path.join(self.path, name))
+
+
+class Manifest:
+    """JSON-lines manifest (one file per completed chunk) over a pluggable
+    ``ManifestStorage`` — pass a path for the local backend, or any storage
+    implementation (object store, HDFS) for multi-node driver restarts."""
+
+    def __init__(self, path_or_storage: "str | ManifestStorage"):
+        if isinstance(path_or_storage, ManifestStorage):
+            self.storage = path_or_storage
+            self.path = getattr(path_or_storage, "path", None)
+        else:
+            self.path = path_or_storage
+            self.storage = LocalManifestStorage(path_or_storage)
 
     def completed_buckets(
         self,
@@ -68,39 +124,37 @@ class Manifest:
         input files by the same engine version — a resumed run over changed
         input re-validates instead of silently reporting stale results."""
         done: set[int] = set()
-        for name in os.listdir(self.path):
-            if not name.endswith(".jsonl"):
-                continue
-            with open(os.path.join(self.path, name), encoding="utf-8") as f:
-                for line in f:
-                    rec = json.loads(line)
-                    if rec.get("status") != "done":
-                        continue
-                    if lineage is not None and rec.get("input_files") != lineage:
-                        continue
-                    if (
-                        engine_version is not None
-                        and rec.get("engine_version") != engine_version
-                    ):
-                        continue
-                    done.add(rec["bucket"])
+        for name in self.storage.list():
+            for line in self.storage.read(name).splitlines():
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec.get("status") != "done":
+                    continue
+                if lineage is not None and rec.get("input_files") != lineage:
+                    continue
+                if (
+                    engine_version is not None
+                    and rec.get("engine_version") != engine_version
+                ):
+                    continue
+                done.add(rec["bucket"])
         return done
 
     def records(self) -> list[dict]:
         out = []
-        for name in sorted(os.listdir(self.path)):
-            if name.endswith(".jsonl"):
-                with open(os.path.join(self.path, name), encoding="utf-8") as f:
-                    out.extend(json.loads(line) for line in f)
+        for name in sorted(self.storage.list()):
+            out.extend(
+                json.loads(line)
+                for line in self.storage.read(name).splitlines()
+                if line.strip()
+            )
         return out
 
     def append(self, records: list[dict]) -> None:
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
-        final = os.path.join(self.path, f"chunk-{int(time.time()*1000)}-{uuid.uuid4().hex[:8]}.jsonl")
-        with open(tmp, "w", encoding="utf-8") as f:
-            for r in records:
-                f.write(json.dumps(r) + "\n")
-        os.rename(tmp, final)
+        name = f"chunk-{int(time.time()*1000)}-{uuid.uuid4().hex[:8]}.jsonl"
+        content = "".join(json.dumps(r) + "\n" for r in records)
+        self.storage.write(name, content)
 
 
 class ResumableValidation:
@@ -109,14 +163,16 @@ class ResumableValidation:
     def __init__(
         self,
         validator: TableValidator,
-        manifest_dir: str,
+        manifest_dir: "str | Manifest",
         output_dir: Optional[str] = None,
         id_col: str = "clip_id",
         n_buckets: int = 64,
         buckets_per_job: int = 16,
     ):
         self.validator = validator
-        self.manifest = Manifest(manifest_dir)
+        self.manifest = (
+            manifest_dir if isinstance(manifest_dir, Manifest) else Manifest(manifest_dir)
+        )
         self.output_dir = output_dir
         self.id_col = id_col
         self.n_buckets = n_buckets

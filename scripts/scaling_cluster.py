@@ -169,6 +169,13 @@ def main() -> None:
             "rows_per_sec": round(n_items / best, 1),
         }
 
+    def efficiency(lo: dict, hi: dict) -> "float | None":
+        # a leg with no timed rounds (crash, --rounds 0) yields {}: report
+        # null rather than KeyError so partial runs still emit a summary
+        if not lo or not hi:
+            return None
+        return round(hi["rows_per_sec"] / lo["rows_per_sec"] / ratio, 3)
+
     ratio = args.execs_hi / args.execs_lo
     lo_p = summarize(args.execs_lo, "pred", args.rows)
     hi_p = summarize(args.execs_hi, "pred", args.rows)
@@ -182,14 +189,14 @@ def main() -> None:
         "cores_per_exec": args.cores_per_exec,
         "exec_mem_mb": args.exec_mem_mb,
         "predicate": {"lo": lo_p, "hi": hi_p},
-        "efficiency_predicate": round(hi_p["rows_per_sec"] / lo_p["rows_per_sec"] / ratio, 3),
+        "efficiency_predicate": efficiency(lo_p, hi_p),
         "n_valid_core_invariant": len(n_valid_seen) == 1,
     }
     if not args.skip_audio:
         lo_a = summarize(args.execs_lo, "audio", args.audio_rows)
         hi_a = summarize(args.execs_hi, "audio", args.audio_rows)
         out["audio"] = {"lo": lo_a, "hi": hi_a}
-        out["efficiency_audio"] = round(hi_a["rows_per_sec"] / lo_a["rows_per_sec"] / ratio, 3)
+        out["efficiency_audio"] = efficiency(lo_a, hi_a)
         out["snr_core_invariant"] = len(snr_seen) == 1
     print(json.dumps(out))
 

@@ -88,3 +88,54 @@ def test_resume_revalidates_on_changed_input(spark, tmp_path):
     assert len(run_b.pending_buckets(sorted(df_b.inputFiles()))) == 8
     results = run_b.run(df_b)
     assert sum(r.n_rows for r in results) == 800  # re-validated, not skipped
+
+
+from jsschema_spark.manifest import ManifestStorage
+
+
+class FakeObjectStoreStorage(ManifestStorage):
+    """Rename-less storage pinning the object-store contract: single
+    atomic PUT of the final key, list-by-prefix, NO rename (object stores
+    implement rename as copy+delete — not atomic — so the manifest must
+    never rely on it)."""
+
+    def __init__(self):
+        self._blobs: dict[str, str] = {}
+        self.puts = 0
+
+    def list(self):
+        return [n for n in self._blobs if n.endswith(".jsonl")]
+
+    def read(self, name):
+        return self._blobs[name]
+
+    def write(self, name, content):
+        self.puts += 1
+        self._blobs[name] = content  # one atomic PUT
+
+    def rename(self, *_a, **_k):  # pragma: no cover - contract guard
+        raise AssertionError("object stores have no atomic rename")
+
+
+def test_manifest_on_object_store_backend(spark, tmp_path):
+    """Kill-and-resume over a DFS/object-store manifest backend: same
+    resume semantics as the local backend, zero rename calls."""
+    src = str(tmp_path / "os_src")
+    clips_table(spark, 1000, with_audio=False).write.parquet(src)
+    df = spark.read.parquet(src)
+    tv = TableValidator(parse_schema(CLIPS_DRAFT04_SCHEMA), df.schema)
+
+    store = FakeObjectStoreStorage()
+    manifest = Manifest(store)
+    run1 = ResumableValidation(tv, manifest, None, n_buckets=8, buckets_per_job=2)
+    with pytest.raises(RuntimeError):
+        run1.run(df, fail_after_chunks=2)
+    done = Manifest(store).completed_buckets()
+    assert len(done) == 4 and store.puts == 2
+
+    run2 = ResumableValidation(tv, manifest, None, n_buckets=8, buckets_per_job=2)
+    results = run2.run(df)
+    assert {r.bucket for r in results} == set(range(8)) - done
+    assert Manifest(store).completed_buckets() == set(range(8))
+    # every record readable through the backend
+    assert len(Manifest(store).records()) == 8

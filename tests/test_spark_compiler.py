@@ -226,3 +226,30 @@ def test_whole_stage_codegen_plan(spark):
     assert plan.lstrip().startswith("*(1)")  # '*' = inside WholeStageCodegen
     for bad in ("Exchange", "PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, f"unexpected {bad} in plan:\n{plan}"
+
+
+def test_violation_samples_order_by_without_id_cols(spark):
+    """order_by columns must resolve even when absent from id_cols — the
+    window input projects the union of both column sets."""
+    df = clips_df(spark)
+    tv = TableValidator(parse_schema(CLIPS_SCHEMA), df.schema)
+
+    # order_by only: no AnalysisException, ordering column in the output
+    out = tv.violation_samples(df, k=2, order_by=["clip_id"])
+    rows = out.collect()
+    assert rows and "clip_id" in out.columns
+
+    # id_cols + disjoint order_by: both projected, ordering honored
+    out2 = tv.violation_samples(df, k=5, id_cols=["clip_id"], order_by=["dur_ms"])
+    assert {"clip_id", "dur_ms"} <= set(out2.columns)
+    per_key = {}
+    for r in out2.collect():
+        per_key.setdefault((r.path, r.keyword), []).append(r)
+    for rs in per_key.values():
+        ordered = sorted(rs, key=lambda r: r.rn)
+        assert [r.dur_ms for r in ordered] == sorted(
+            r.dur_ms for r in rs
+        )
+
+    with pytest.raises(ValueError):
+        tv.violation_samples(df, k=2)

@@ -416,3 +416,31 @@ def test_minhash_pairs_to_groups_end_to_end(spark, docs):
     assert all(d + 1000 not in ids and d + 2000 not in ids for d in range(0, 200, 10))
     # exactly one survivor per group
     assert all((g in ids) == (g == label[g]) for g in set(label.values()))
+
+
+def test_bpe_token_count_reference_merges(spark):
+    """Classic BPE example: merges learned over {low, lower, newest, widest}
+    — verify counts against hand-applied merges on fixed strings."""
+    merges = [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+        ("n", "e"), ("ne", "w"), ("new", "est"), ("w", "i"),
+        ("wi", "d"), ("wid", "est"), ("low", "e"), ("lowe", "r"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, "low"),          # low -> 1
+            (2, "lower"),        # lowe+r -> lower? merges: low,e->lowe; lowe,r->lower -> 1
+            (3, "newest"),       # new+est -> newest? (new,est) rank 6 -> 1
+            (4, "widest"),       # wid+est -> (wid,est) -> 1
+            (5, "lowest"),       # low + est -> no (low,est) merge -> 2
+            (6, "xyz"),          # no merges apply -> 3
+            (7, "low lower xyz"),  # 1 + 1 + 3 = 5
+            (8, ""),             # 0
+            (9, None),           # null text -> 0
+        ],
+        "id long, text string",
+    )
+    from jsschema_spark.functions.text import bpe_token_count
+
+    out = {r.id: r.n_bpe_tokens for r in bpe_token_count(df, "text", merges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 3, 7: 5, 8: 0, 9: 0}
