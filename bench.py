@@ -85,6 +85,13 @@ def main() -> None:
             lambda: audio_invariant_scan(spark, asrc).where(F.col("snr_db") >= 30.0).count(),
         )
         extras["audio_clips_per_sec"] = round(audio_n / times["clips_audio_invariant"], 1)
+        # second (warm) pass: Python workers spawned, page cache hot — the
+        # steady-state rate a long-running job sees (reported separately;
+        # the timed suite value stays the cold number for round-over-round
+        # comparability)
+        t0 = time.time()
+        audio_invariant_scan(spark, asrc).where(F.col("snr_db") >= 30.0).count()
+        extras["audio_clips_per_sec_warm"] = round(audio_n / (time.time() - t0), 1)
 
         # q4+: engine queries over the driver tables
         qs = entry_mod.queries()
@@ -95,6 +102,7 @@ def main() -> None:
             "minhash_near_dups", "simhash_documents", "embedding_topk",
             "embedding_lsh_near_dups", "violation_samples_orders", "key_set_customers_orders",
             "events_props_json", "conformance_corpus",
+            "near_dup_groups", "lsh_topk", "ivf_topk", "categorical_drift_returnflag",
         ):
             q = qs[name]
             timed(name, lambda q=q: q(spark, sf_dir).count())

@@ -260,6 +260,13 @@ def _bounded_self_pairs(
 
     from pyspark.sql import Window
 
+    # materialize the (small) banded stream once: it feeds THREE consumers —
+    # the size aggregation, both sides of the all-pairs join, and the chain
+    # window — and its upstream (signature computation) is the expensive
+    # part. A row here is a few dozen bytes (ids + bucket key), so this is
+    # MBs per million docs. At real scale swap for persist(DISK_ONLY) or a
+    # reliable checkpoint (localCheckpoint pins partitions to executors).
+    banded = banded.localCheckpoint(eager=True)
     sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
     big_keys = F.broadcast(
         sizes.where(F.col("__bn") > max_bucket_size)
@@ -583,6 +590,12 @@ def connected_components(
         sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
+    # materialize the edge list ONCE — it is consumed in every iteration
+    # (neighbor join + convergence check), and the upstream pair pipeline
+    # (LSH + verification) must not be re-executed per round. At real scale
+    # swap for persist(DISK_ONLY) or a reliable checkpoint dir (localCheckpoint
+    # pins partitions to executors).
+    edges = edges.localCheckpoint(eager=True)
     # init: label(u) = min(u, min neighbor) — one aggregation pass
     labels = edges.groupBy("u").agg(F.min("v").alias("__mn")).select(
         "u", F.least(F.col("u"), F.col("__mn")).alias("label")

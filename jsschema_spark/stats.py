@@ -44,6 +44,7 @@ def column_stats(
     cols: Optional[Sequence[str]] = None,
     rsd: float = 0.02,
     exact_distinct: bool = False,
+    percentile_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Per-column profile in one aggregation pass.
 
@@ -56,12 +57,18 @@ def column_stats(
     only for oracle comparisons at test scale; at 100 TB keep the sketches
     (both are fixed-size and mergeable, so the whole profile still ships
     one partial row per task).
+
+    ``percentile_cols``: restrict percentiles to these columns (default:
+    every numeric column). Exact ``percentile`` cost grows with the
+    column's distinct-value count, so in exact mode limit it to
+    low-cardinality columns; the sketch path is cardinality-independent.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     if cols is None:
         cols = [n for n, dt in fields.items() if not isinstance(dt, (T.BinaryType, T.ArrayType, T.MapType, T.StructType))]
 
     aggs = [F.count(F.lit(1)).alias("__n")]
+    pct_aggs: list = []
     for c in cols:
         dt = fields[c]
         col = F.col(c)
@@ -71,26 +78,38 @@ def column_stats(
         else:
             aggs.append(F.approx_count_distinct(col, rsd).alias(f"{c}__dist"))
         if isinstance(dt, _NUMERIC):
-            pct = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
             aggs.extend(
                 [
                     F.min(col).cast("double").alias(f"{c}__min"),
                     F.max(col).cast("double").alias(f"{c}__max"),
                     F.avg(col).alias(f"{c}__mean"),
                     F.stddev(col).alias(f"{c}__std"),
+                ]
+            )
+            if percentile_cols is None or c in percentile_cols:
+                pct = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                # exact mode: keep percentile aggregates OUT of the main agg —
+                # multi-count_distinct plans via Expand (row multiplication),
+                # and a TypedImperativeAggregate in the same stage forces the
+                # whole expanded stream through sort-based aggregation
+                # (measured 2×+). A second scan of the pruned columns is
+                # cheaper. Sketch mode stays single-pass: no Expand, and
+                # percentile_approx hash-aggregates fine.
+                (pct_aggs if exact_distinct else aggs).append(
                     (
                         F.percentile(col, pct)
                         if exact_distinct
                         else F.percentile_approx(col.cast("double"), pct, 10000)
-                    ).alias(f"{c}__pct"),
-                ]
-            )
+                    ).alias(f"{c}__pct")
+                )
         else:
             str_col = col.cast("string")
             aggs.extend(
                 [F.min(str_col).alias(f"{c}__smin"), F.max(str_col).alias(f"{c}__smax")]
             )
     row = df.agg(*aggs).collect()[0].asDict()
+    if pct_aggs:
+        row.update(df.agg(*pct_aggs).collect()[0].asDict())
 
     out_rows = []
     for c in cols:
