@@ -410,6 +410,49 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep-one-per-group: the corpus after dropping every near-dup group
+    member except the minimum id (same pair pipeline + components as
+    near_dup_groups; oracle anti-joins the recursive-CTE closure)."""
+    from jsschema_spark.functions.dedup import (
+        connected_components,
+        keep_canonical,
+        near_duplicates_minhash,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = base.where(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+    )
+    v2 = base.where(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token two")).alias("text"),
+    )
+    df = base.unionByName(v1).unionByName(v2)
+    pairs = near_duplicates_minhash(df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7)
+    groups = connected_components(pairs)
+    return keep_canonical(df, groups, "doc_id").select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin numeric drift (engine-side PSI terms): l_quantity histogram,
+    full table vs the high-discount slice."""
+    from jsschema_spark.stats import numeric_drift
+
+    base = _t(spark, sf_dir, "lineitem")
+    cur = base.where(F.col("l_discount") > 0.02)
+    out = numeric_drift(base, cur, "l_quantity", 1.0, 51.0, nbins=10)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("p_base", 6).alias("p_base_r"),
+        F.round("p_cur", 6).alias("p_cur_r"),
+        F.round("psi_term", 6).alias("psi_term_r"),
+    )
+
+
 def _ann_corpus_and_queries(spark: SparkSession, sf_dir: str, n_copies: int = 8):
     """ANN oracle construction: 5 query vectors + ``n_copies`` exact copies
     of each injected into the corpus. Copies land in the query's own LSH
@@ -514,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_samples_orders": q_violation_samples_orders,
         "key_set_customers_orders": q_key_set_customers_orders,
         "near_dup_groups": q_near_dup_groups,
+        "near_dup_canonical": q_near_dup_canonical,
+        "numeric_drift_quantity": q_numeric_drift,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
     }
@@ -695,7 +740,7 @@ SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS B
 FROM b GROUP BY doc_id
 """
 
-_NEAR_DUP_GROUPS_ORACLE = f"""
+_NEAR_DUP_CTE = f"""
 WITH RECURSIVE all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -728,8 +773,43 @@ walk AS (
   UNION
   SELECT w.u, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
 )
+"""
+
+_NEAR_DUP_GROUPS_ORACLE = _NEAR_DUP_CTE + """
 SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(reach) AS BIGINT) AS group_id
 FROM walk GROUP BY u
+"""
+
+_NEAR_DUP_CANONICAL_ORACLE = _NEAR_DUP_CTE + """
+, g AS (SELECT u, min(reach) AS grp FROM walk GROUP BY u)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM all_docs d
+WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = d.doc_id AND g.grp <> d.doc_id)
+"""
+
+_NUMERIC_DRIFT_ORACLE = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
+         count(*) AS n_base
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+), c AS (
+  SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
+         count(*) AS n_cur
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount > 0.02 GROUP BY 1
+), j AS (
+  SELECT coalesce(b.bucket, c.bucket) AS bucket,
+         coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket
+), p AS (
+  SELECT bucket, n_base, n_cur,
+         greatest(CAST(n_base AS DOUBLE) / sum(n_base) OVER (), 1e-6) AS pe,
+         greatest(CAST(n_cur AS DOUBLE) / sum(n_cur) OVER (), 1e-6) AS pa
+  FROM j
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_base, n_cur,
+       round(pe, 6) AS p_base_r, round(pa, 6) AS p_cur_r,
+       round((pa - pe) * ln(pa / pe), 6) AS psi_term_r
+FROM p
 """
 
 _ANN_CORPUS_SQL = """
@@ -944,6 +1024,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _SIMHASH_ORACLE,
         "embedding_lsh_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
         "near_dup_groups": _NEAR_DUP_GROUPS_ORACLE,
+        "near_dup_canonical": _NEAR_DUP_CANONICAL_ORACLE,
+        "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
         "lsh_topk": _ANN_TOPK_ORACLE,
         "ivf_topk": _ANN_TOPK_ORACLE,
         "violation_samples_orders": _VIOLATION_SAMPLES_ORACLE,

@@ -324,3 +324,47 @@ def categorical_drift_report(
         "baseline_n": int(sum(r["n_base"] for r in rows)),
         "current_n": int(sum(r["n_cur"] for r in rows)),
     }
+
+
+def numeric_drift(
+    df_baseline: DataFrame,
+    df_current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-bin numeric drift as a DataFrame (the engine-side sibling of the
+    driver-side ``drift_report`` scalars): fixed-width histogram of both
+    tables, full-outer joined on bucket, with eps-floored frequencies and
+    the PSI term per bin. ``sum(psi_term)`` = PSI; the binned KS statistic
+    is the running max of ``|cum(p_base) − cum(p_cur)|``.
+
+    Scale shape: two histogram aggregations (map-side combined, ≤nbins rows
+    per executor cross the shuffle) + an nbins-row join. Each input is
+    scanned once."""
+    hb = histogram(df_baseline, col, lo, hi, nbins).select(
+        "bucket", F.col("n").alias("n_base")
+    )
+    hc = histogram(df_current, col, lo, hi, nbins).select(
+        "bucket", F.col("n").alias("n_cur")
+    )
+    j = (
+        hb.join(hc, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    pe = F.greatest(F.col("n_base") / F.sum("n_base").over(tot), F.lit(eps))
+    pa = F.greatest(F.col("n_cur") / F.sum("n_cur").over(tot), F.lit(eps))
+    return j.select(
+        "bucket", "n_base", "n_cur",
+        pe.alias("p_base"), pa.alias("p_cur"),
+        ((pa - pe) * F.log(pa / pe)).alias("psi_term"),
+    )

@@ -195,3 +195,21 @@ def test_categorical_drift_topk_and_other(spark):
     same = categorical_drift_report(base, base, "v", top_k=2)
     assert same["psi"] == pytest.approx(0.0, abs=1e-9)
     assert same["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_numeric_drift_dataframe(spark, clips):
+    from jsschema_spark.stats import numeric_drift
+
+    same = numeric_drift(clips, clips, "dur_ms", 0, 15000, nbins=10).collect()
+    assert sum(r.psi_term for r in same) == pytest.approx(0.0, abs=1e-12)
+    assert all(r.n_base == r.n_cur for r in same)
+
+    shifted = clips.withColumn("dur_ms", F.col("dur_ms") + F.lit(6000))
+    rows = numeric_drift(clips, shifted, "dur_ms", 0, 15000, nbins=10).collect()
+    psi_total = sum(r.psi_term for r in rows)
+    assert psi_total > 0.25  # agrees with drift_report's detection
+    # per-bin counts reconcile with the scalar report path
+    from jsschema_spark.stats import drift_report
+
+    rep = drift_report(clips, shifted, "dur_ms", 0, 15000, nbins=10)
+    assert psi_total == pytest.approx(rep["psi"], rel=1e-9)
