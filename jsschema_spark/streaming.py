@@ -85,3 +85,91 @@ def start_violation_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def violation_streaks(
+    stream_df: DataFrame,
+    schema: SchemaNode,
+    key_col: str,
+    order_col: str,
+    threshold: int = 3,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-key consecutive-violation streaks across micro-batches.
+
+    Emits one row per key per batch: current streak, the max streak ever,
+    cumulative rows/invalids, and whether the max streak has reached
+    ``threshold`` — the alerting primitive for "this upstream source has
+    been producing bad clips for N records in a row".
+
+    State per key is four longs (constant size — no row buffering): the
+    carry-in streak plus counters; rows inside a batch are ordered by
+    ``order_col``, and the streak arithmetic is numpy-vectorized over the
+    batch (run-length via positions of valid rows), not a per-row Python
+    loop. At 10^12 rows the state store holds O(#keys) tiny records and
+    the shuffle is the groupBy(key) the semantics require.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    validated = validate_stream(stream_df, schema, with_violations=False).select(
+        F.col(key_col).cast("string").alias("key"), F.col(order_col).alias("__ord"), "valid"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("streak", T.LongType()),
+            T.StructField("max_streak", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_invalid", T.LongType()),
+            T.StructField("alert", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("streak", T.LongType()),
+            T.StructField("max_streak", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_invalid", T.LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state):
+        streak, mx, n, ninv = state.get if state.exists else (0, 0, 0, 0)
+        # a key's batch may arrive as several Arrow chunks with no global
+        # order — concatenate before the single sort (state itself stays
+        # constant-size; this buffers one key's batch rows only)
+        frames = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(frames).sort_values("__ord")] if frames else []):
+            valid = pdf["valid"].to_numpy(dtype=bool)
+            n += len(valid)
+            ninv += int((~valid).sum())
+            ok_idx = np.flatnonzero(valid)
+            if len(ok_idx) == 0:
+                streak += len(valid)
+                mx = max(mx, streak)
+            else:
+                # carry-in run ends at the first valid row
+                mx = max(mx, streak + int(ok_idx[0]))
+                if len(ok_idx) > 1:
+                    gaps = np.diff(ok_idx) - 1
+                    if len(gaps):
+                        mx = max(mx, int(gaps.max()))
+                streak = int(len(valid) - ok_idx[-1] - 1)
+                mx = max(mx, streak)
+        state.update((int(streak), int(mx), int(n), int(ninv)))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0], "streak": int(streak), "max_streak": int(mx),
+                    "n_rows": int(n), "n_invalid": int(ninv),
+                    "alert": bool(mx >= threshold),
+                }
+            ]
+        )
+
+    return validated.groupBy("key").applyInPandasWithState(
+        track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -103,3 +103,55 @@ def test_streaming_sink_idempotent_on_batch_replay(spark, tmp_path):
     )
     replayed = spark.read.parquet(out).count()
     assert replayed == first  # no duplicates
+
+
+def test_violation_streaks_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom operator: consecutive-violation streaks
+    must carry across micro-batch boundaries (one input file per trigger)."""
+    import pandas as pd
+    from jsschema_spark import parse_schema
+    from jsschema_spark.streaming import violation_streaks
+
+    schema = parse_schema({
+        "type": "object",
+        "properties": {"v": {"type": "integer", "minimum": 0}},
+    })
+    src = str(tmp_path / "streak_src")
+    os.makedirs(src)
+    # key 'a': batch1 ends with 2 invalids, batch2 starts with 2 more ->
+    # max streak 4 only if state crosses the batch boundary.
+    # key 'b': never more than 1 consecutive invalid.
+    batch1 = [("a", 1, 5), ("a", 2, -1), ("a", 3, -1), ("b", 1, -1), ("b", 2, 7)]
+    batch2 = [("a", 4, -1), ("a", 5, -1), ("a", 6, 9), ("b", 3, -1)]
+    cols = ["k", "seq", "v"]
+    pd.DataFrame(batch1, columns=cols).to_parquet(os.path.join(src, "f0.parquet"))
+    pd.DataFrame(batch2, columns=cols).to_parquet(os.path.join(src, "f1.parquet"))
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = violation_streaks(stream, schema, key_col="k", order_col="seq", threshold=3)
+    q = (
+        out.writeStream.format("memory").queryName("streaks")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "streak_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM streaks").collect()
+    # last update per key wins
+    last = {}
+    for r in rows:
+        if r.key not in last or r.n_rows > last[r.key].n_rows:
+            last[r.key] = r
+    a, b = last["a"], last["b"]
+    assert a.n_rows == 6 and a.n_invalid == 4
+    assert a.max_streak == 4 and a.alert  # 2 at end of batch1 + 2 at start of batch2
+    assert a.streak == 0  # last row valid
+    assert b.n_rows == 3 and b.n_invalid == 2
+    assert b.max_streak == 1 and not b.alert
+    assert b.streak == 1  # batch2 ended invalid
