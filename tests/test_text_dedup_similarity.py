@@ -444,3 +444,18 @@ def test_bpe_token_count_reference_merges(spark):
 
     out = {r.id: r.n_bpe_tokens for r in bpe_token_count(df, "text", merges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 3, 7: 5, 8: 0, 9: 0}
+
+
+def test_hot_bucket_two_phase_plan_shape(spark, docs):
+    """Bucket-size detection must be groupBy+broadcast (map-side combined
+    counts, over-cap keys broadcast back), NOT a COUNT window over the full
+    banded stream — a window would funnel every row of a degenerate bucket
+    through one reducer just to count it."""
+    pairs = D.minhash_lsh_pairs(docs.limit(300), "doc_id", "text", max_bucket_size=50)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the over-cap key tag arrives via a broadcast join
+    assert "BroadcastHashJoin" in plan
+    # exactly one Window remains: the consecutive-pair chain over the
+    # (filtered) over-cap rows — counting itself must not window
+    assert plan.count("Window") <= 1
