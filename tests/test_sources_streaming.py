@@ -155,3 +155,24 @@ def test_violation_streaks_stateful_across_batches(spark, tmp_path):
     assert b.n_rows == 3 and b.n_invalid == 2
     assert b.max_streak == 1 and not b.alert
     assert b.streak == 1  # batch2 ended invalid
+
+
+def test_read_table_catalog_path(spark, tmp_path):
+    """fmt='iceberg' resolves through the session catalog (spark.table)
+    when the name exists there — the same code path an Iceberg catalog
+    table takes; parquet fallback only fires for unresolvable names."""
+    from jsschema_spark.sources import read_table
+
+    src = str(tmp_path / "cat_clips")
+    clips_table(spark, 200, with_audio=False).write.parquet(src)
+    spark.read.parquet(src).createOrReplaceTempView("clips_catalog_entry")
+    try:
+        via_catalog = read_table(spark, "clips_catalog_entry", fmt="iceberg",
+                                 columns=["clip_id", "codec"])
+        assert via_catalog.columns == ["clip_id", "codec"]
+        assert via_catalog.count() == 200
+        # unresolvable name degrades to parquet-by-path
+        via_fallback = read_table(spark, src, fmt="iceberg")
+        assert via_fallback.count() == 200
+    finally:
+        spark.catalog.dropTempView("clips_catalog_entry")
