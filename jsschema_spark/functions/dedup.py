@@ -232,6 +232,7 @@ def _bounded_self_pairs(
     banded: DataFrame, key_cols: list[str], max_bucket_size: int,
     payload: Optional[str] = None,
     chain_order: Optional[list[str]] = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Within-bucket pairing with a size cap: full all-pairs equi-join for
     buckets ≤ cap, consecutive-pair chaining (one window pass) above it.
@@ -260,13 +261,18 @@ def _bounded_self_pairs(
 
     from pyspark.sql import Window
 
-    # materialize the (small) banded stream once: it feeds THREE consumers —
-    # the size aggregation, both sides of the all-pairs join, and the chain
-    # window — and its upstream (signature computation) is the expensive
-    # part. A row here is a few dozen bytes (ids + bucket key), so this is
-    # MBs per million docs. At real scale swap for persist(DISK_ONLY) or a
-    # reliable checkpoint (localCheckpoint pins partitions to executors).
-    banded = banded.localCheckpoint(eager=True)
+    # materialize the banded stream once when its upstream is expensive
+    # (minhash/simhash signatures): it feeds THREE consumers — the size
+    # aggregation, both sides of the all-pairs join, and the chain window —
+    # which would otherwise each re-execute the signature pipeline
+    # (measured 3× wall on minhash). Rows are a few dozen bytes (ids +
+    # bucket key), so this is MBs per million docs. Callers whose upstream
+    # is a cheap projection but whose rows carry a fat payload (embedding
+    # vectors) pass materialize=False and recompute instead. At real scale
+    # swap for persist(DISK_ONLY) or a reliable checkpoint (localCheckpoint
+    # pins partitions to executors).
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
     big_keys = F.broadcast(
         sizes.where(F.col("__bn") > max_bucket_size)
@@ -533,7 +539,8 @@ def embedding_near_dups(
         hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     pairs = _bounded_self_pairs(
-        emb, ["bucket"], max_bucket_size, payload="v", chain_order=["v"]
+        emb, ["bucket"], max_bucket_size, payload="v", chain_order=["v"],
+        materialize=False,  # upstream is one cheap projection; rows carry the vector
     )
     return (
         pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
