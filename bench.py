@@ -103,6 +103,7 @@ def main() -> None:
             "embedding_lsh_near_dups", "violation_samples_orders", "key_set_customers_orders",
             "events_props_json", "conformance_corpus",
             "near_dup_groups", "lsh_topk", "ivf_topk", "categorical_drift_returnflag",
+            "numeric_drift_quantity",
         ):
             q = qs[name]
             timed(name, lambda q=q: q(spark, sf_dir).count())
