@@ -144,6 +144,14 @@ def main() -> None:
                 n_valid_seen.add(n_valid)
 
                 if not args.skip_audio:
+                    # untimed warmup: spawn every executor's Python workers +
+                    # numpy import BEFORE timing (symmetric across legs). The
+                    # criterion is steady-state throughput scaling; one-time
+                    # worker spawn is a per-session constant that host
+                    # contention can inflate 5× (measured 5s → 25-35s between
+                    # measurement windows), swamping a 30s leg.
+                    audio_invariant_scan(sp, audio_src).where(
+                        F.col("snr_db") >= 30.0).count()
                     scan = audio_invariant_scan(sp, audio_src)
                     t0 = time.time()
                     n_snr = scan.where(F.col("snr_db") >= 30.0).count()
