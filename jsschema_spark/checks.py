@@ -89,19 +89,29 @@ def uniqueness_report(df: DataFrame, key_cols: Sequence[str], salt_buckets: int 
 def dedup_keep_first(
     df: DataFrame, key_cols: Sequence[str], order_cols: Optional[Sequence] = None
 ) -> DataFrame:
-    """Keep one row per key. With ``order_cols``: deterministic keep-first via
-    row_number window (one shuffle on key). Without: ``dropDuplicates`` —
-    cheaper (partial agg) but keeps an arbitrary row."""
+    """Keep one row per key. With ``order_cols``: deterministic keep-first
+    (the row minimizing the ordering tuple; unique ordering ⇒ fully
+    deterministic). Without: ``dropDuplicates`` — keeps an arbitrary row.
+
+    Both paths are hash aggregations with map-side combine: a hot key's
+    billions of rows pre-reduce to one candidate per task before the
+    shuffle. The row_number-window formulation would instead shuffle every
+    row of the key to a single reducer and sort — the skew trap this
+    module exists to avoid. ``order_cols`` are compared ascending as a
+    tuple (wrap values, e.g. ``-ts``, to invert — struct comparison has no
+    per-field sort direction)."""
     if not order_cols:
         return df.dropDuplicates(list(key_cols))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order_cols)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    kept = (
+        df.select(
+            *[F.col(c) for c in key_cols],
+            F.struct(*df.columns).alias("__row"),
+            F.struct(*[F.col(c) if isinstance(c, str) else c for c in order_cols]).alias("__ord"),
+        )
+        .groupBy(*key_cols)
+        .agg(F.min_by(F.col("__row"), F.col("__ord")).alias("__row"))
     )
+    return kept.select("__row.*")
 
 
 def referential_violations(

@@ -79,11 +79,21 @@ def exact_duplicate_groups(
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep the lowest-id doc per fingerprint (deterministic)."""
-    from pyspark.sql import Window
+    """Keep the lowest-id doc per fingerprint (deterministic).
 
-    w = Window.partitionBy(content_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
-    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    ``min_by`` hash aggregation, not a row_number window: the aggregate
+    gets map-side combine (each task pre-reduces its duplicates, so a
+    fingerprint with a million copies ships one row per task), while a
+    window must shuffle EVERY row to its fingerprint's reducer and sort
+    there — the difference between shuffle width = #distinct docs and
+    shuffle width = #rows at 100 TB."""
+    fp = content_fingerprint(F.col(text_col)).alias("__fp")
+    kept = (
+        df.select(fp, F.struct(*df.columns).alias("__row"))
+        .groupBy("__fp")
+        .agg(F.min_by(F.col("__row"), F.col(f"__row.{id_col}")).alias("__row"))
+    )
+    return kept.select("__row.*")
 
 
 # --------------------------------------------------------------------------
