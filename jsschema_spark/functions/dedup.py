@@ -353,6 +353,11 @@ def jaccard_pairs(
         cand_ids, "doc_id", "left_semi"
     )
     sh = pruned.select("doc_id", word_shingles(F.col("__t"), shingle_k).alias("sh"))
+    # both join sides (id_a, id_b) consume the shingle table; materialize it
+    # once or the semi-join + shingling subtree executes twice. Bounded by
+    # the candidate set, which LSH already made orders of magnitude smaller
+    # than the corpus.
+    sh = sh.localCheckpoint(eager=True)
     out = (
         candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -459,3 +459,22 @@ def test_hot_bucket_two_phase_plan_shape(spark, docs):
     # exactly one Window remains: the consecutive-pair chain over the
     # (filtered) over-cap rows — counting itself must not window
     assert plan.count("Window") <= 1
+
+
+def test_connected_components_property_random_graphs(spark):
+    """Property: Spark CC == union-find on arbitrary graphs (hypothesis)."""
+    from hypothesis import given, settings, strategies as st
+
+    edge = st.tuples(st.integers(0, 60), st.integers(0, 60))
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=80))
+    def check(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.doc_id: r.group_id for r in D.connected_components(pairs).collect()}
+        assert got == _union_find_groups(edges)
+
+    check()
