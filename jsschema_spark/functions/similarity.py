@@ -74,21 +74,89 @@ def lsh_topk(
     )
 
 
+def ivf_train(
+    corpus: DataFrame, n_centroids: int = 16, iters: int = 2, seed: int = 42,
+    corpus_id: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means centroids for the IVF index: deterministic
+    hash-ordered corpus sample as init, then ``iters`` Lloyd rounds —
+    assign each vector to its max-dot centroid (one scan, codegen), new
+    centroid = per-dimension mean of the cell (posexplode → groupBy(cell,
+    dim).avg — map-side combined, n_centroids×dim tiny rows cross the
+    shuffle), L2-normalized so max-dot ordering == cosine ordering.
+
+    Driver holds only the centroid matrix (n_centroids × dim floats);
+    every heavy step is a distributed scan/aggregate. Refined cells cut
+    the probe fan-out a query needs for a given recall versus sampled
+    centroids."""
+    import math
+
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(corpus_id), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+
+    def normalize(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cents = [normalize([float(x) for x in r[0]]) for r in rows]
+    v = F.col(vec_col)
+    for _ in range(max(0, iters)):
+        scored = F.array(
+            *[
+                F.struct(
+                    (-_dot(v, F.array(*[F.lit(x) for x in c]))).alias("neg"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        # cell assignment and posexplode in SEPARATE selects: a generator in
+        # the same projection rewrites sibling struct literals' field names
+        # to col1/col2 (Spark generator-output normalization), breaking the
+        # ["cid"] access
+        assigned = corpus.select(
+            F.array_sort(scored)[0]["cid"].alias("cell"), v.alias("__v")
+        ).select("cell", F.posexplode("__v").alias("dim", "val"))
+        means = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = float(r["m"])
+        dim = len(cents[0])
+        cents = [
+            normalize([by_cell[i].get(d, 0.0) for d in range(dim)]) if i in by_cell else cents[i]
+            for i in range(n_centroids)
+        ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_centroids: int = 16,
     nprobe: int = 4, seed: int = 42,
     corpus_id: str = "vec_id", query_id: str = "query_id", vec_col: str = "embedding",
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
-    """IVF: deterministic sample of the corpus as centroids; corpus rows
-    assigned to the nearest centroid (one scan); queries probe the nprobe
-    nearest centroid cells. At 10^12 rows the assignment is written once
-    (bucketed table) and reused."""
-    cents = [
-        (i, [float(x) for x in r[0]])
-        for i, r in enumerate(
-            corpus.select(vec_col).orderBy(F.xxhash64(F.col(corpus_id), F.lit(seed))).limit(n_centroids).collect()
-        )
-    ]
+    """IVF: deterministic sample of the corpus as centroids (or pass the
+    ``ivf_train`` spherical-k-means refinement via ``centroids``); corpus
+    rows assigned to the nearest centroid (one scan); queries probe the
+    nprobe nearest centroid cells. At 10^12 rows the assignment is written
+    once (bucketed table) and reused."""
+    if centroids is not None:
+        cents = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    else:
+        cents = [
+            (i, [float(x) for x in r[0]])
+            for i, r in enumerate(
+                corpus.select(vec_col).orderBy(F.xxhash64(F.col(corpus_id), F.lit(seed))).limit(n_centroids).collect()
+            )
+        ]
 
     def nearest(vec, n: int):
         scored = F.array(

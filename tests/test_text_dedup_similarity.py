@@ -478,3 +478,16 @@ def test_connected_components_property_random_graphs(spark):
         assert got == _union_find_groups(edges)
 
     check()
+
+
+def test_ivf_train_refines_centroids(spark, emb):
+    cents = S.ivf_train(emb, n_centroids=8, iters=2)
+    assert len(cents) == 8 and len(cents[0]) == len(emb.select("embedding").first()[0])
+    import math
+    for c in cents:
+        assert math.isclose(math.sqrt(sum(x * x for x in c)), 1.0, rel_tol=1e-9)
+    # trained centroids plug into ivf_topk and self-match still holds
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4, centroids=cents).collect()
+    top1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
+    assert top1 == {q: q for q in top1}
