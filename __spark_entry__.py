@@ -383,13 +383,12 @@ def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
 
 
-def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUP formation: LSH pairs -> true-Jaccard verification ->
-    connected components (min-label + pointer jumping). Two injected
-    variant families per base doc force genuine transitive merging (base ~
-    v1 ~ v2). Oracle = DuckDB recursive CTE transitive closure over the
-    exact brute-force Jaccard pair list (same recall argument as
-    minhash_near_dups: no pair in the LSH-uncertain band)."""
+def _near_dup_corpus_and_groups(spark: SparkSession, sf_dir: str):
+    """Shared construction for the two group-formation queries (must stay
+    bit-identical to the DuckDB ``_NEAR_DUP_CTE`` oracle): two injected
+    variant families per %71 base doc force genuine transitive merging
+    (base ~ v1 ~ v2), then LSH pairs -> true-Jaccard verification ->
+    connected components."""
     from jsschema_spark.functions.dedup import connected_components, near_duplicates_minhash
 
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -403,7 +402,15 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = base.unionByName(v1).unionByName(v2)
     pairs = near_duplicates_minhash(df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7)
-    groups = connected_components(pairs)
+    return df, connected_components(pairs)
+
+
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP formation (min-label + pointer jumping). Oracle =
+    DuckDB recursive CTE transitive closure over the exact brute-force
+    Jaccard pair list (same recall argument as minhash_near_dups: no pair
+    in the LSH-uncertain band)."""
+    _df, groups = _near_dup_corpus_and_groups(spark, sf_dir)
     return groups.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("group_id").cast("long").alias("group_id"),
@@ -414,24 +421,9 @@ def q_near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """keep-one-per-group: the corpus after dropping every near-dup group
     member except the minimum id (same pair pipeline + components as
     near_dup_groups; oracle anti-joins the recursive-CTE closure)."""
-    from jsschema_spark.functions.dedup import (
-        connected_components,
-        keep_canonical,
-        near_duplicates_minhash,
-    )
+    from jsschema_spark.functions.dedup import keep_canonical
 
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    v1 = base.where(F.col("doc_id") % 71 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
-    )
-    v2 = base.where(F.col("doc_id") % 71 == 0).select(
-        (F.col("doc_id") + 4000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra trailing token two")).alias("text"),
-    )
-    df = base.unionByName(v1).unionByName(v2)
-    pairs = near_duplicates_minhash(df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7)
-    groups = connected_components(pairs)
+    df, groups = _near_dup_corpus_and_groups(spark, sf_dir)
     return keep_canonical(df, groups, "doc_id").select(F.col("doc_id").cast("long").alias("doc_id"))
 
 

@@ -102,6 +102,13 @@ def dedup_keep_first(
     per-field sort direction)."""
     if not order_cols:
         return df.dropDuplicates(list(key_cols))
+    for c in order_cols:
+        if not isinstance(c, str) and (" DESC" in str(c) or " ASC" in str(c)):
+            raise ValueError(
+                "dedup_keep_first order_cols are compared as an ascending "
+                "tuple; sort-order columns like F.col('ts').desc() are not "
+                "supported — wrap the value instead (e.g. -F.col('ts'))"
+            )
     kept = (
         df.select(
             *[F.col(c) for c in key_cols],

@@ -88,10 +88,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     there — the difference between shuffle width = #distinct docs and
     shuffle width = #rows at 100 TB."""
     fp = content_fingerprint(F.col(text_col)).alias("__fp")
+    # min_by DROPS rows whose ordering expression is NULL — a group whose
+    # every id is null would yield an all-NULL row. Order by (id IS NULL,
+    # id) instead: non-null ids win, and all-null groups still keep a real
+    # row (struct ordering treats the null field consistently).
+    ord_key = F.struct(
+        F.col(f"__row.{id_col}").isNull().alias("n"), F.col(f"__row.{id_col}").alias("v")
+    )
     kept = (
         df.select(fp, F.struct(*df.columns).alias("__row"))
         .groupBy("__fp")
-        .agg(F.min_by(F.col("__row"), F.col(f"__row.{id_col}")).alias("__row"))
+        .agg(F.min_by(F.col("__row"), ord_key).alias("__row"))
     )
     return kept.select("__row.*")
 

@@ -97,6 +97,10 @@ def ivf_train(
         .limit(n_centroids)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_train: empty corpus")
+    # a corpus smaller than n_centroids can only seed len(rows) clusters
+    n_centroids = min(n_centroids, len(rows))
 
     def normalize(v: list[float]) -> list[float]:
         n = math.sqrt(sum(x * x for x in v)) or 1.0

@@ -233,11 +233,16 @@ def drift_report(
     }
 
 
-def categorical_counts(df: DataFrame, col: str) -> DataFrame:
-    """Per-category counts (nulls as '__NULL__'): one hash aggregation with
-    map-side combine — shuffle width = #categories, not #rows."""
+def categorical_counts(df: DataFrame, col: str, null_label: str = "__NULL__") -> DataFrame:
+    """Per-category counts (nulls as ``null_label``): one hash aggregation
+    with map-side combine — shuffle width = #categories, not #rows.
+
+    ``null_label`` (and ``categorical_drift``'s ``other_label``) are
+    sentinels: a data value equal to the sentinel merges with it. If the
+    column can legitimately contain the default strings, pass sentinels
+    that cannot collide with the data."""
     return (
-        df.groupBy(F.coalesce(F.col(col).cast("string"), F.lit("__NULL__")).alias("category"))
+        df.groupBy(F.coalesce(F.col(col).cast("string"), F.lit(null_label)).alias("category"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -248,12 +253,14 @@ def categorical_drift(
     col: str,
     top_k: int = 50,
     eps: float = 1e-6,
+    null_label: str = "__NULL__",
+    other_label: str = "__OTHER__",
 ) -> DataFrame:
     """Category-frequency drift of ``col`` between two tables, the
     categorical sibling of the numeric histogram PSI/KS.
 
     Categories = the ``top_k`` most frequent baseline values (deterministic
-    tie-break on the value); everything else rolls into ``__OTHER__``, so
+    tie-break on the value); everything else rolls into ``other_label``, so
     the output is bounded at top_k+1 rows no matter how high-cardinality
     the column is. Per category: baseline/current counts, frequencies and
     the PSI term ``(p_cur − p_base)·ln(p_cur/p_base)`` (eps-floored).
@@ -264,8 +271,8 @@ def categorical_drift(
     a re-aggregation of the tiny count tables, and a full outer join of at
     most top_k+1 rows per side. The input tables are each scanned once.
     """
-    b = categorical_counts(df_baseline, col)
-    c = categorical_counts(df_current, col)
+    b = categorical_counts(df_baseline, col, null_label)
+    c = categorical_counts(df_current, col, null_label)
     top = [
         r["category"]
         for r in b.orderBy(F.desc("n"), F.asc("category")).limit(top_k).collect()
@@ -274,7 +281,7 @@ def categorical_drift(
     def rollup(counts: DataFrame) -> DataFrame:
         cat = (
             F.when(F.col("category").isin(top), F.col("category"))
-            .otherwise(F.lit("__OTHER__"))
+            .otherwise(F.lit(other_label))
             .alias("category")
         )
         return counts.groupBy(cat).agg(F.sum("n").alias("n"))

@@ -213,3 +213,20 @@ def test_numeric_drift_dataframe(spark, clips):
 
     rep = drift_report(clips, shifted, "dur_ms", 0, 15000, nbins=10)
     assert psi_total == pytest.approx(rep["psi"], rel=1e-9)
+
+
+def test_dedup_keep_first_rejects_sort_order_columns(spark):
+    df = spark.createDataFrame([("a", 1, "x")], "k string, ord int, v string")
+    with pytest.raises(ValueError, match="ascending"):
+        dedup_keep_first(df, ["k"], order_cols=[F.col("ord").desc()])
+
+
+def test_exact_dedup_all_null_id_group_keeps_real_row(spark):
+    from jsschema_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(None, "same text"), (None, "same text"), (3, "other")],
+        "doc_id int, text string",
+    )
+    rows = {r.text for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert rows == {"same text", "other"}  # text survives, not an all-NULL row
