@@ -176,3 +176,18 @@ def test_read_table_catalog_path(spark, tmp_path):
         assert via_fallback.count() == 200
     finally:
         spark.catalog.dropTempView("clips_catalog_entry")
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A codec predicate over a codec-partitioned clips table must prune at
+    the source (PartitionFilters), not post-filter a full scan — at 10^12
+    rows this is the difference between reading one codec's files and all
+    of them."""
+    src = str(tmp_path / "part_clips")
+    clips_table(spark, 2000, with_audio=False).write.partitionBy("codec").parquet(src)
+    df = read_for_validation(spark, src, SCHEMA).where(F.col("codec") == "flac")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "codec" in pf and "flac" in pf
+    assert df.count() == spark.read.parquet(src).where(F.col("codec") == "flac").count()
