@@ -74,12 +74,19 @@ def read_for_validation(
 
 def write_violations(
     details: DataFrame, path: str, mode: str = "append", by_keyword: bool = True,
+    files_per_keyword: int = 4,
 ) -> None:
     """Violation detail sink: parquet partitioned by keyword (pruning for
-    consumers), coalesced per keyword to avoid small-file spray."""
+    consumers), repartitioned by (keyword, salt) before the write.
+
+    Plain ``repartition("keyword")`` avoids small-file spray but funnels a
+    dominant keyword (violations are usually one failure mode) through ONE
+    writer task; the salt spreads each keyword over ``files_per_keyword``
+    writers while keeping the file count per directory bounded."""
     out = details
     if by_keyword and "keyword" in details.columns:
-        out = details.repartition("keyword")
+        salt = (F.rand(7) * files_per_keyword).cast("int")
+        out = details.repartition(F.col("keyword"), salt)
         out.write.mode(mode).partitionBy("keyword").parquet(path)
     else:
         out.write.mode(mode).parquet(path)
