@@ -38,7 +38,12 @@ def main() -> None:
 
     spark = build_session(
         app_name="jsschema-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+            # python workers must import jsschema_spark even when bench.py
+            # is launched from outside the repo
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+        },
     )
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
