@@ -962,10 +962,10 @@ def oracle_sql() -> dict[str, str]:
             ), top AS (SELECT cat FROM b ORDER BY n DESC, cat ASC LIMIT 2),
             bm AS (
               SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat ELSE '__OTHER__' END AS category,
-                     sum(n) AS n_base FROM b GROUP BY 1
+                     CAST(sum(n) AS BIGINT) AS n_base FROM b GROUP BY 1
             ), cm AS (
               SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat ELSE '__OTHER__' END AS category,
-                     sum(n) AS n_cur FROM c GROUP BY 1
+                     CAST(sum(n) AS BIGINT) AS n_cur FROM c GROUP BY 1
             ), j AS (
               SELECT coalesce(bm.category, cm.category) AS category,
                      coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur

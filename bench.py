@@ -41,8 +41,12 @@ def main() -> None:
         extra_conf={
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
             # python workers must import jsschema_spark even when bench.py
-            # is launched from outside the repo
-            "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+            # is launched from outside the repo; prepend, don't clobber any
+            # PYTHONPATH the workers already need
+            "spark.executorEnv.PYTHONPATH": os.pathsep.join(
+                p for p in [os.path.dirname(os.path.abspath(__file__)),
+                            os.environ.get("PYTHONPATH", "")] if p
+            ),
         },
     )
     times: dict[str, float] = {}

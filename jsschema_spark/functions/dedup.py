@@ -204,6 +204,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket_size: int = 500,
+    materialize: "str | bool" = "persist",
 ) -> DataFrame:
     """Candidate near-dup pairs ``(id_a, id_b)`` (id_a < id_b) that share at
     least one LSH band. rows-per-band R = num_hashes/bands sets the
@@ -241,15 +242,41 @@ def minhash_lsh_pairs(
         "doc_id", "__ord0", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
     return _bounded_self_pairs(
-        banded, ["band", "bh"], max_bucket_size, chain_order=["__ord0"]
+        banded, ["band", "bh"], max_bucket_size, chain_order=["__ord0"],
+        materialize=materialize,
     )
+
+
+def _materialize(df: DataFrame, mode: "str | bool") -> DataFrame:
+    """Caller-facing materialization knob for multi-consumer DataFrames.
+
+    * ``"persist"`` (default) — ``persist(DISK_ONLY)``: lazy (no job at
+      DataFrame-construction time) and recomputable, so an executor loss
+      mid-job recovers by lineage — the right default for the 100 TB
+      resilience story.
+    * ``"checkpoint"`` — ``localCheckpoint(eager=True)``: truncates lineage
+      (needed by iterative algorithms whose plans would otherwise grow
+      per round) at the cost of eager execution and executor-pinned
+      partitions.
+    * ``"none"`` / ``False`` — no materialization; upstream recomputes per
+      consumer (right when upstream is a cheap scan-side projection).
+    """
+    if mode in ("none", False, None):
+        return df
+    if mode in ("checkpoint", True):
+        return df.localCheckpoint(eager=True)
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    raise ValueError(f"unknown materialize mode: {mode!r}")
 
 
 def _bounded_self_pairs(
     banded: DataFrame, key_cols: list[str], max_bucket_size: int,
     payload: Optional[str] = None,
     chain_order: Optional[list[str]] = None,
-    materialize: bool = True,
+    materialize: "str | bool" = "persist",
 ) -> DataFrame:
     """Within-bucket pairing with a size cap: full all-pairs equi-join for
     buckets ≤ cap, consecutive-pair chaining (one window pass) above it.
@@ -285,13 +312,14 @@ def _bounded_self_pairs(
     # (measured 3× wall on minhash). Rows are a few dozen bytes (ids +
     # bucket key), so this is MBs per million docs. Callers whose upstream
     # is a cheap projection but whose rows carry a fat payload (embedding
-    # vectors) pass materialize=False and recompute instead. At real scale
-    # swap for persist(DISK_ONLY) or a reliable checkpoint (localCheckpoint
-    # pins partitions to executors).
-    if materialize:
-        banded = banded.localCheckpoint(eager=True)
+    # vectors) pass materialize="none" and recompute instead. Default is
+    # lazy, lineage-recoverable persist(DISK_ONLY) — see _materialize.
+    banded = _materialize(banded, materialize)
     sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
-    big_keys = F.broadcast(
+    # over-cap keys are usually tiny (≤ n/cap), but on a boilerplate-heavy
+    # corpus n/cap itself can be huge — let Catalyst/AQE pick the join from
+    # the runtime size estimate rather than force-broadcasting
+    big_keys = (
         sizes.where(F.col("__bn") > max_bucket_size)
         .select(*key_cols, F.lit(True).alias("__big"))
     )
@@ -363,8 +391,8 @@ def jaccard_pairs(
     # both join sides (id_a, id_b) consume the shingle table; materialize it
     # once or the semi-join + shingling subtree executes twice. Bounded by
     # the candidate set, which LSH already made orders of magnitude smaller
-    # than the corpus.
-    sh = sh.localCheckpoint(eager=True)
+    # than the corpus. Lazy persist: recomputable on executor loss.
+    sh = _materialize(sh, "persist")
     out = (
         candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -478,6 +506,7 @@ def simhash_values(
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     max_bucket_size: int = 500,
+    materialize: "str | bool" = "persist",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using the
     pigeonhole chunk join (C = max_hamming + 1 chunks ⇒ one chunk must match
@@ -503,7 +532,8 @@ def simhash_near_dups(
         "doc_id", "sh", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv")
     )
     pairs = _bounded_self_pairs(
-        chunked, ["chunk", "cv"], max_bucket_size, payload="sh", chain_order=["sh"]
+        chunked, ["chunk", "cv"], max_bucket_size, payload="sh", chain_order=["sh"],
+        materialize=materialize,
     )
     return (
         pairs.select(
@@ -562,7 +592,7 @@ def embedding_near_dups(
     )
     pairs = _bounded_self_pairs(
         emb, ["bucket"], max_bucket_size, payload="v", chain_order=["v"],
-        materialize=False,  # upstream is one cheap projection; rows carry the vector
+        materialize="none",  # upstream is one cheap projection; rows carry the vector
     )
     return (
         pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
@@ -621,9 +651,11 @@ def connected_components(
     )
     # materialize the edge list ONCE — it is consumed in every iteration
     # (neighbor join + convergence check), and the upstream pair pipeline
-    # (LSH + verification) must not be re-executed per round. At real scale
-    # swap for persist(DISK_ONLY) or a reliable checkpoint dir (localCheckpoint
-    # pins partitions to executors).
+    # (LSH + verification) must not be re-executed per round. Checkpoint
+    # (not persist) is load-bearing here: the iterative loop needs lineage
+    # TRUNCATION or the per-round plan grows without bound. At real scale
+    # point spark.checkpoint.dir at reliable storage and use checkpoint();
+    # localCheckpoint trades executor-loss recovery for no-HDFS local runs.
     edges = edges.localCheckpoint(eager=True)
     # init: label(u) = min(u, min neighbor) — one aggregation pass
     labels = edges.groupBy("u").agg(F.min("v").alias("__mn")).select(
@@ -659,6 +691,18 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iterations without the convergence check ever
+        # passing — the labels below may split a genuine component; never
+        # let that be consumed silently
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iterations} "
+            "iterations; group labels may be incomplete (raise max_iterations)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("group_id"))
 
