@@ -97,12 +97,18 @@ def q_invalid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customer_acctbal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment numeric range check through the shipped
+    ``stats.grouped_range_check`` operator (one map-side-combined hash
+    aggregate; shuffle width = #segments)."""
+    from jsschema_spark.stats import grouped_range_check
+
     df = _t(spark, sf_dir, "customer")
-    return df.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum((F.col("c_acctbal") < 0).cast("long")).cast("long").alias("n_below_zero"),
-        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    out = grouped_range_check(df, ["c_mktsegment"], "c_acctbal", min_allowed=0.0)
+    return out.select(
+        "c_mktsegment", "n_rows",
+        F.col("n_below").alias("n_below_zero"),
+        F.round("min_val", 2).alias("min_bal"),
+        F.round("max_val", 2).alias("max_bal"),
     )
 
 
@@ -494,6 +500,73 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / search-many ANN: persist the IVF index (cell-partitioned
+    parquet + centroid sidecar) then search it — the search plan reads only
+    the probed cell partitions and never recomputes the corpus assignment.
+    Same injected-copies corpus, so the result provably equals brute force
+    (same oracle as ivf_topk)."""
+    import tempfile
+
+    from jsschema_spark.functions.similarity import ivf_build, ivf_search
+
+    corpus, queries = _ann_corpus_and_queries(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="jsschema_ivf_") + "/index"
+    ivf_build(corpus, path, n_centroids=16, seed=42, train=False)
+    out = ivf_search(queries, path, k=5, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 5).alias("cos_r"),
+    )
+
+
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the base corpus' minhash signatures
+    are persisted ONCE, then the incoming batch (the %71 trailing-token
+    variants) is deduped against the stored index — new-batch signaturing +
+    band equi-join, no corpus recompute. Oracle: brute-force Jaccard pairs
+    restricted to pairs touching a new id."""
+    import tempfile
+
+    from jsschema_spark.functions.dedup import (
+        incremental_near_duplicates_minhash,
+        write_minhash_index,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = base.where(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+    )
+    path = tempfile.mkdtemp(prefix="jsschema_sig_") + "/index"
+    write_minhash_index(base, path, "doc_id", "text")
+    index = spark.read.parquet(path)
+    out = incremental_near_duplicates_minhash(
+        new, base, index, "doc_id", "text", threshold=0.7
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+def q_embedding_multiseed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-seed LSH union (recall control for near-identical vectors),
+    oracled on the injected-exact-duplicates corpus where every seed's
+    buckets provably contain each duplicate pair — the union therefore
+    equals the single-seed result AND the brute-force oracle (recall
+    improvement on *near*-identical vectors is asserted in pytest, where
+    a brute-force reference is affordable)."""
+    from jsschema_spark.functions.dedup import embedding_near_dups_multiseed
+
+    base = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = base.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    df = base.unionByName(dup)
+    out = embedding_near_dups_multiseed(
+        df, "vec_id", "embedding", dim=64, threshold=0.9999, seeds=(42, 1042)
+    )
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
+
+
 def q_key_set_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected-vs-actual key-set check (SURVEY §2.5 set-ops row): customers
     with no orders are 'missing' from the actual order key set; order
@@ -553,6 +626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_drift_quantity": q_numeric_drift,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_index_search": q_ivf_index_search,
+        "incremental_minhash": q_incremental_minhash,
+        "embedding_multiseed_near_dups": q_embedding_multiseed_near_dups,
     }
 
 
@@ -715,6 +791,14 @@ j AS (
 )
 SELECT id_a, id_b, round(jaccard, 4) AS jaccard_r FROM j WHERE jaccard >= 0.7
 """
+
+# the incremental path must find exactly the full-recompute pairs that touch
+# a new (id >= 2000000) doc — new-vs-corpus via the stored index plus
+# new-vs-new within the batch
+_INCREMENTAL_MINHASH_ORACLE = _MINHASH_ORACLE.replace(
+    "WHERE jaccard >= 0.7",
+    "WHERE jaccard >= 0.7 AND (id_a >= 2000000 OR id_b >= 2000000)",
+)
 
 _SIMHASH_ORACLE = f"""
 WITH n AS (
@@ -1020,6 +1104,9 @@ def oracle_sql() -> dict[str, str]:
         "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
         "lsh_topk": _ANN_TOPK_ORACLE,
         "ivf_topk": _ANN_TOPK_ORACLE,
+        "ivf_index_search": _ANN_TOPK_ORACLE,
+        "incremental_minhash": _INCREMENTAL_MINHASH_ORACLE,
+        "embedding_multiseed_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
         "violation_samples_orders": _VIOLATION_SAMPLES_ORACLE,
         "key_set_customers_orders": """
             SELECT custkey, 'missing' AS status FROM (

@@ -363,6 +363,162 @@ def _bounded_self_pairs(
 
 
 # --------------------------------------------------------------------------
+# incremental dedup against a persisted signature index
+#
+# A training pipeline does not re-signature 100 TB of corpus to admit a new
+# batch: it writes the per-doc minhash signatures ONCE (they are pure
+# functions of the text), then dedups each incoming batch against the
+# stored signature table — one new-batch signature pass + an equi-join on
+# band buckets, never a full recompute.
+
+def write_minhash_index(
+    df: DataFrame, path: str, id_col: str, text_col: str,
+    num_hashes: int = 64, shingle_k: int = 3, mode: str = "overwrite",
+) -> None:
+    """Persist ``(doc_id, sig)`` minhash signatures as the corpus dedup
+    index (~520 B/doc at 64 hashes). ``mode="append"`` admits a verified
+    batch into the index after ``incremental_minhash_pairs``."""
+    minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).write.mode(
+        mode
+    ).parquet(path)
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame, index: DataFrame,
+    id_col: str, text_col: str,
+    num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """LSH candidate pairs of an incoming batch against a persisted
+    signature index (``(doc_id, sig)``, see ``write_minhash_index``) plus
+    within-batch pairs — WITHOUT recomputing corpus signatures.
+
+    Shapes: banding the stored signatures is ``bands`` xxhash64 calls over
+    array slices (codegen, no shingling, no text); the new batch is
+    signatured once; candidates come from (a) a new-vs-corpus equi-join on
+    (band, band_hash) and (b) the capped within-batch self-join. Corpus
+    band buckets larger than ``max_bucket_size`` are truncated to their
+    ``max_bucket_size`` smallest doc_ids (sort-based, one window pass over
+    over-cap rows only — O(size log size), never quadratic): a new doc
+    only needs ONE surviving link into an existing group to be recognized
+    as a duplicate, and degenerate buckets are boilerplate families where
+    any representative verifies. Returns ``(id_a, id_b)`` candidates,
+    id_a < id_b; verify with ``jaccard_pairs`` over the union table."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into bands")
+    r = num_hashes // bands
+
+    def banded(sig_df: DataFrame) -> DataFrame:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig_df.select(
+            "doc_id", F.col("sig")[0].alias("__ord0"), F.explode(band_structs).alias("e")
+        ).select("doc_id", "__ord0", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+    new_sig = _materialize(
+        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_k), "persist"
+    )
+    new_banded = _materialize(banded(new_sig), "persist")
+    corpus_banded = banded(index.select("doc_id", "sig"))
+
+    # cap degenerate corpus buckets (one window pass over over-cap rows only)
+    from pyspark.sql import Window
+
+    sizes = corpus_banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__bn"))
+    big = sizes.where(F.col("__bn") > max_bucket_size).select("band", "bh", F.lit(True).alias("__big"))
+    tagged = corpus_banded.join(big, ["band", "bh"], "left")
+    w = Window.partitionBy("band", "bh").orderBy("doc_id")
+    capped = tagged.where(
+        F.col("__big").isNull()
+    ).drop("__big").unionByName(
+        tagged.where(F.col("__big"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_bucket_size)
+        .drop("__big", "__rn")
+    )
+
+    cross = (
+        new_banded.alias("n")
+        .join(capped.alias("c"), ["band", "bh"])
+        .where(F.col("n.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("c.doc_id")).alias("id_a"),
+            F.greatest(F.col("n.doc_id"), F.col("c.doc_id")).alias("id_b"),
+        )
+    )
+    within = _bounded_self_pairs(
+        new_banded, ["band", "bh"], max_bucket_size, chain_order=["__ord0"],
+        materialize="none",  # new_banded is already persisted above
+    )
+    return cross.unionByName(within.select("id_a", "id_b")).distinct()
+
+
+def incremental_near_duplicates_minhash(
+    new_df: DataFrame, corpus_df: DataFrame, index: DataFrame,
+    id_col: str, text_col: str,
+    num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
+    threshold: float = 0.8, max_bucket_size: int = 500,
+) -> DataFrame:
+    """Full incremental pipeline: index-joined LSH candidates → true-Jaccard
+    verification. ``corpus_df`` supplies text ONLY for the candidate ids
+    (semi-joined before shingling — the corpus is never re-signatured)."""
+    cand = incremental_minhash_pairs(
+        new_df, index, id_col, text_col, num_hashes, bands, shingle_k, max_bucket_size
+    )
+    both = corpus_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_df.select(F.col(id_col), F.col(text_col))
+    )
+    return jaccard_pairs(both, cand, id_col, text_col, shingle_k, threshold)
+
+
+def write_fingerprint_index(
+    df: DataFrame, path: str, id_col: str, text_col: str,
+    fingerprint_fn: Callable[[Column], Column] = content_fingerprint,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the exact-dedup index: one ``(fingerprint, doc_id)`` row per
+    DISTINCT fingerprint (min doc id — map-side combined, so shuffle width
+    is #distinct, not #rows)."""
+    (
+        df.select(
+            fingerprint_fn(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame, index: DataFrame, id_col: str, text_col: str,
+    fingerprint_fn: Callable[[Column], Column] = content_fingerprint,
+) -> DataFrame:
+    """New-batch rows that survive exact dedup against a persisted
+    fingerprint index (``write_fingerprint_index``) AND within the batch:
+    anti-join on fingerprint (AQE broadcast/shuffle by size), then the
+    usual min_by keep-first inside the batch."""
+    fp = fingerprint_fn(F.col(text_col)).alias("__fp")
+    tagged = new_df.select(F.struct(*new_df.columns).alias("__row"), fp)
+    fresh = tagged.join(
+        index.select(F.col("fingerprint").alias("__fp")), "__fp", "left_anti"
+    )
+    ord_key = F.struct(
+        F.col(f"__row.{id_col}").isNull().alias("n"), F.col(f"__row.{id_col}").alias("v")
+    )
+    kept = fresh.groupBy("__fp").agg(F.min_by(F.col("__row"), ord_key).alias("__row"))
+    return kept.select("__row.*")
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard (verification for candidates, or exact small-scale pairing)
 
 def jaccard_pairs(
@@ -581,23 +737,77 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold. LSH-bucketed: only vectors with
     an identical sign pattern are compared (recall grows with fewer planes;
-    at 100 TB run multiple seeds and union). Buckets above
-    ``max_bucket_size`` (mass-duplicated embeddings) fall back to
-    consecutive-pair chaining ordered lexicographically by the vector
-    itself, so identical / near-identical embeddings sort adjacent and
-    their chain edges survive the cosine filter. Output: id_a, id_b, cos."""
-    emb = df.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    see ``embedding_near_dups_multiseed`` for the multi-seed recall path).
+    Buckets above ``max_bucket_size`` (mass-duplicated embeddings) fall
+    back to consecutive-pair chaining ordered by a FINER sign pattern (24
+    extra hyperplanes), so identical / near-identical embeddings sort
+    adjacent and their chain edges survive the cosine filter.
+
+    Plan shape: ONE Arrow-batched matmul per vector produces both the
+    coarse bucket and the fine chain-order (bit-split of a single
+    projection), the skinny ``(doc_id, bucket, order)`` stream — a few
+    bytes/row, no vector payload — is persisted once for the three
+    pair-generation consumers, and the embedding column is only joined
+    back onto the surviving candidate pairs for cosine scoring (|pairs| ≪
+    |corpus| after LSH). Output: id_a, id_b, cos."""
+    from jsschema_spark.functions.linalg import hyperplane_bucket_v, hyperplanes
+
+    n_fine = 24
+    planes = np.vstack([
+        hyperplanes(dim, n_planes, seed),
+        hyperplanes(dim, n_fine, seed + 1),
+    ])
+    # UDF in its own select so the matmul provably runs once per row; the
+    # bit-split into (bucket, order) is plain codegen on its output
+    skinny = df.select(
+        F.col(id_col).alias("doc_id"),
+        hyperplane_bucket_v(F.col(vec_col), planes).alias("__ord"),
+    ).select(
+        "doc_id",
+        F.col("__ord").bitwiseAND(F.lit((1 << n_planes) - 1)).alias("bucket"),
+        "__ord",
     )
     pairs = _bounded_self_pairs(
-        emb, ["bucket"], max_bucket_size, payload="v", chain_order=["v"],
-        materialize="none",  # upstream is one cheap projection; rows carry the vector
+        skinny, ["bucket"], max_bucket_size, chain_order=["__ord"],
+        materialize="persist",
     )
+    vt = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
+        pairs.join(
+            vt.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+        )
+        .join(vt.select(F.col("doc_id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def embedding_near_dups_multiseed(
+    df: DataFrame, id_col: str, vec_col: str, dim: int,
+    threshold: float = 0.95, n_planes: int = 12,
+    seeds: "tuple[int, ...]" = (42, 1042, 2042),
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Multi-seed LSH union for recall control on *near*- (not exact-)
+    duplicates: a single hyperplane set misses a pair whenever any plane
+    separates the two vectors, so single-seed recall at cosine≈threshold
+    is well below 1. K independent seeds each give an independent chance
+    (miss probability multiplies: 1-r → (1-r)^K), and the union of the
+    per-seed verified pairs is deduplicated on (id_a, id_b) — cosine is
+    seed-independent, so the surviving values are identical across seeds.
+
+    Cost: K skinny bucket projections of the corpus (each one Arrow matmul
+    per vector + one equi-join); candidates are verified per seed before
+    the union, so no unverified pair survives. At 100 TB run the seeds as
+    one pass by widening the matmul (K×n_planes planes) if scan cost
+    dominates; kept separate here for per-seed recall accounting."""
+    out = None
+    for s in seeds:
+        p = embedding_near_dups(
+            df, id_col, vec_col, dim, threshold, n_planes, s, max_bucket_size
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def embedding_brute_force_pairs(

@@ -1,0 +1,101 @@
+"""Vectorized (Arrow-batched) dense linear algebra for the ANN paths.
+
+Catalyst does not codegen higher-order functions, so a per-row
+``F.aggregate(zip_with(...))`` dot product against C centroids costs C
+interpreted 64-dim folds per row — the measured cost center of the round-3
+IVF path (14.5s of a 71.7s suite). These helpers replace that with one
+numpy matmul per Arrow batch inside an iterator pandas UDF: the projection
+matrix (centroids / hyperplanes — at most a few thousand floats) is
+captured as a closure literal, serialized once per executor, and every
+batch of B vectors costs a single ``(B, dim) @ (dim, C)`` BLAS call.
+
+This is the blessed vectorized-UDF shape (Arrow batch transfer, no per-row
+Python) — NOT a contradiction of the documented HOF-vs-unrolled experiment
+(BENCH/BASELINE.md), which compared two *expression* forms; this is
+expression vs batched kernel.
+
+Determinism note: numpy's matmul sums in a different order than the
+sequential HOF fold, so near-tie argmax decisions can differ between the
+two formulations. Consumers must therefore use the SAME formulation on
+both sides of an index (corpus assignment and query probing) — identical
+vectors then provably land in identical cells/buckets, which is the
+invariant the oracles and the self-match tests rely on.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+
+def _stack(s: pd.Series) -> "tuple[np.ndarray, np.ndarray]":
+    """(mask of non-null rows, dense (n_valid, dim) float64 matrix)."""
+    mask = s.notna().to_numpy()
+    if mask.all():
+        return mask, np.array(s.tolist(), dtype=np.float64)
+    valid = s[mask]
+    if len(valid) == 0:
+        return mask, np.empty((0, 0), dtype=np.float64)
+    return mask, np.array(valid.tolist(), dtype=np.float64)
+
+
+def nearest_cells(vec: Column, centroids: "list[list[float]]", nprobe: int = 1) -> Column:
+    """``array<int>`` of the ``nprobe`` nearest centroid ids by dot product
+    (desc), ties broken by centroid id (asc — stable argsort). One matmul
+    per Arrow batch; null vectors yield null."""
+    C = np.asarray(centroids, dtype=np.float64)
+    n = min(nprobe, C.shape[0])
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _nearest(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            mask, M = _stack(s)
+            if M.size:
+                order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :n].astype("int32")
+                if mask.all():
+                    yield pd.Series(list(order))
+                    continue
+                out = np.empty(len(s), dtype=object)
+                out[:] = None
+                for j, i in enumerate(np.flatnonzero(mask)):
+                    out[i] = order[j]
+                yield pd.Series(out)
+            else:
+                yield pd.Series([None] * len(s), dtype=object)
+
+    return _nearest(vec)
+
+
+def nearest_cell(vec: Column, centroids: "list[list[float]]") -> Column:
+    """Single nearest centroid id (int) — corpus-side assignment."""
+    return nearest_cells(vec, centroids, nprobe=1)[0]
+
+
+def hyperplane_bucket_v(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id (long) against literal hyperplanes — the
+    Arrow-batched formulation of ``dedup.hyperplane_bucket`` (bit i set
+    iff ``vec·plane_i > 0``). Null vectors yield null."""
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (np.int64(1) << np.arange(P.shape[0], dtype=np.int64))
+
+    @F.pandas_udf(LongType())
+    def _bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            mask, M = _stack(s)
+            out = np.full(len(s), np.nan, dtype=np.float64)
+            if M.size:
+                out[mask] = ((M @ P.T) > 0).astype(np.int64) @ weights
+            yield pd.Series(out).astype("Int64")
+
+    return _bucket(vec)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplane matrix — same planes on every executor."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))

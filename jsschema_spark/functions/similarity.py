@@ -18,10 +18,16 @@
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jsschema_spark.functions.dedup import _dot, cosine, hyperplane_bucket
+from jsschema_spark.functions.dedup import cosine
+from jsschema_spark.functions.linalg import (
+    hyperplane_bucket_v,
+    hyperplanes,
+    nearest_cell,
+    nearest_cells,
+)
 
 
 def brute_force_topk(
@@ -42,9 +48,10 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _multi_probe_buckets(vec, dim: int, n_planes: int, seed: int):
-    """Bucket id + single-bit-flip probes (n_planes+1 bucket candidates)."""
-    base = hyperplane_bucket(vec, dim, n_planes, seed)
+def _multi_probe(base, n_planes: int):
+    """Bucket id + single-bit-flip probes (n_planes+1 bucket candidates).
+    Bitwise expansion of an already-computed base bucket — the float work
+    (one matmul per Arrow batch) happens exactly once per vector."""
     return F.array(base, *[base.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)])
 
 
@@ -54,14 +61,19 @@ def lsh_topk(
     corpus_id: str = "vec_id", query_id: str = "query_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose hyperplane bucket
-    matches the query's bucket or any 1-bit probe of it."""
+    matches the query's bucket or any 1-bit probe of it. Buckets on both
+    sides come from the same Arrow-batched matmul (see linalg), so an
+    identical vector provably lands in its query's own bucket."""
+    planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("cv"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        hyperplane_bucket_v(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(_multi_probe_buckets(F.col(vec_col), dim, n_planes, seed)).alias("bucket"),
+        F.explode(
+            _multi_probe(hyperplane_bucket_v(F.col(vec_col), planes), n_planes)
+        ).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("cos")
@@ -109,21 +121,10 @@ def ivf_train(
     cents = [normalize([float(x) for x in r[0]]) for r in rows]
     v = F.col(vec_col)
     for _ in range(max(0, iters)):
-        scored = F.array(
-            *[
-                F.struct(
-                    (-_dot(v, F.array(*[F.lit(x) for x in c]))).alias("neg"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        )
-        # cell assignment and posexplode in SEPARATE selects: a generator in
-        # the same projection rewrites sibling struct literals' field names
-        # to col1/col2 (Spark generator-output normalization), breaking the
-        # ["cid"] access
+        # assignment: one Arrow-batched matmul per batch (see linalg) —
+        # replaces the n_centroids interpreted HOF dot folds per row
         assigned = corpus.select(
-            F.array_sort(scored)[0]["cid"].alias("cell"), v.alias("__v")
+            nearest_cell(v, cents).alias("cell"), v.alias("__v")
         ).select("cell", F.posexplode("__v").alias("dim", "val"))
         means = (
             assigned.groupBy("cell", "dim")
@@ -141,6 +142,24 @@ def ivf_train(
     return cents
 
 
+def _ivf_centroids(
+    corpus: DataFrame, n_centroids: int, seed: int,
+    corpus_id: str, vec_col: str,
+    centroids: "list[list[float]] | None",
+) -> list[list[float]]:
+    """Trained centroids if given, else a deterministic hash-ordered corpus
+    sample (driver holds only n_centroids × dim floats)."""
+    if centroids is not None:
+        return [[float(x) for x in c] for c in centroids]
+    return [
+        [float(x) for x in r[0]]
+        for r in corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(corpus_id), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    ]
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_centroids: int = 16,
     nprobe: int = 4, seed: int = 42,
@@ -149,40 +168,147 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF: deterministic sample of the corpus as centroids (or pass the
     ``ivf_train`` spherical-k-means refinement via ``centroids``); corpus
-    rows assigned to the nearest centroid (one scan); queries probe the
-    nprobe nearest centroid cells. At 10^12 rows the assignment is written
-    once (bucketed table) and reused."""
-    if centroids is not None:
-        cents = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    else:
-        cents = [
-            (i, [float(x) for x in r[0]])
-            for i, r in enumerate(
-                corpus.select(vec_col).orderBy(F.xxhash64(F.col(corpus_id), F.lit(seed))).limit(n_centroids).collect()
-            )
-        ]
-
-    def nearest(vec, n: int):
-        scored = F.array(
-            *[
-                F.struct(
-                    (-_dot(vec, F.array(*[F.lit(x) for x in cvec]))).alias("neg"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in cents
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, n)
+    rows assigned to the nearest centroid (one scan, one Arrow-batched
+    matmul per batch); queries probe the nprobe nearest centroid cells.
+    For repeated querying persist the assignment once with ``ivf_build``
+    and search it with ``ivf_search`` (no re-assignment scan)."""
+    cents = _ivf_centroids(corpus, n_centroids, seed, corpus_id, vec_col, centroids)
 
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("cv"),
-        nearest(F.col(vec_col), 1)[0]["cid"].alias("cell"),
+        nearest_cell(F.col(vec_col), cents).alias("cell"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(F.transform(nearest(F.col(vec_col), nprobe), lambda s: s["cid"])).alias("cell"),
+        F.explode(nearest_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
     )
     scored = c.join(F.broadcast(q), "cell").select(
+        "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.dropDuplicates(["query_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# persisted ANN indexes — build once, search many times
+#
+# The expensive half of both approximate paths is the corpus-side
+# assignment (cell / bucket of every vector). A real user queries an index
+# repeatedly; recomputing the assignment per query batch wastes a full
+# corpus scan + matmul each time. ``*_build`` writes the assignment ONCE as
+# a cell/bucket-partitioned parquet table (directory-partitioned: a search
+# that probes p cells reads exactly p directories — partition pruning, no
+# full scan), with the index parameters in an underscore-prefixed sidecar
+# (`_centroids` / `_meta`) that Spark's file index ignores when reading the
+# main table. ``*_search`` never touches the raw corpus: its only
+# vectorized work is on the (tiny, broadcast) query batch.
+
+def ivf_build(
+    corpus: DataFrame, path: str, n_centroids: int = 16, iters: int = 2,
+    seed: int = 42, corpus_id: str = "vec_id", vec_col: str = "embedding",
+    train: bool = True,
+) -> list[list[float]]:
+    """Build and persist an IVF index at ``path``: spherical-k-means
+    centroids (``train=False`` skips Lloyd refinement and uses the seeded
+    sample), then one corpus scan writing ``(vec_id, embedding, cell)``
+    partitioned by cell. Returns the centroid matrix."""
+    spark = corpus.sparkSession
+    cents = (
+        ivf_train(corpus, n_centroids, iters, seed, corpus_id, vec_col)
+        if train
+        else _ivf_centroids(corpus, n_centroids, seed, corpus_id, vec_col, None)
+    )
+    assigned = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        nearest_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    return cents
+
+
+def ivf_load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/_centroids").orderBy("cid").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def ivf_search(
+    queries: DataFrame, path: str, k: int = 10, nprobe: int = 4,
+    query_id: str = "query_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF index: probe the ``nprobe`` nearest
+    cells per query (query-batch matmul only — the corpus assignment is
+    read back, never recomputed) and score within the probed partitions."""
+    spark = queries.sparkSession
+    cents = ivf_load_centroids(spark, path)
+    idx = spark.read.parquet(path).select("vec_id", F.col("embedding").alias("cv"), "cell")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(nearest_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
+    )
+    # the probed cell set is tiny (≤ |queries|·nprobe ints) — collect it and
+    # push a STATIC partition filter into the index scan, so only the probed
+    # cell directories are ever read (provable in-plan as PartitionFilters;
+    # runtime DPP does not fire through the Generate+UDF build side)
+    probe = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    idx = idx.where(F.col("cell").isin(probe))
+    scored = idx.join(F.broadcast(q), "cell").select(
+        "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.dropDuplicates(["query_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def lsh_build(
+    corpus: DataFrame, path: str, dim: int = 64, n_planes: int = 8,
+    seed: int = 42, corpus_id: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persist a hyperplane-LSH index: ``(vec_id, embedding, bucket)``
+    partitioned by bucket, plus a ``_meta`` sidecar carrying (dim,
+    n_planes, seed) — the planes are deterministic from the seed, so only
+    three ints need storing."""
+    spark = corpus.sparkSession
+    planes = hyperplanes(dim, n_planes, seed)
+    corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        hyperplane_bucket_v(F.col(vec_col), planes).alias("bucket"),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spark.createDataFrame(
+        [(dim, n_planes, seed)], "dim int, n_planes int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def lsh_search(
+    queries: DataFrame, path: str, k: int = 10,
+    query_id: str = "query_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted LSH index (multi-probe: base bucket + all
+    1-bit flips). Only the query batch is projected; probed buckets map to
+    index partitions."""
+    spark = queries.sparkSession
+    meta = spark.read.parquet(f"{path}/_meta").collect()[0]
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    idx = spark.read.parquet(path).select("vec_id", F.col("embedding").alias("cv"), "bucket")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(
+            _multi_probe(hyperplane_bucket_v(F.col(vec_col), planes), meta["n_planes"])
+        ).alias("bucket"),
+    )
+    # static partition pruning: only the probed bucket directories are read
+    probe = sorted({r["bucket"] for r in q.select("bucket").distinct().collect()})
+    idx = idx.where(F.col("bucket").isin(probe))
+    scored = idx.join(F.broadcast(q), "bucket").select(
         "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -53,6 +53,21 @@ def build_session(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", exec_opts)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "134217728")
+        # python workers must be able to import jsschema_spark (pandas-UDF
+        # closures pickle by module reference) even when the driver script
+        # runs from outside the repo; prepend, never clobber. On a real
+        # cluster spark-submit --py-files supersedes this.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in [
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                ]
+                if p
+            ),
+        )
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -39,6 +39,37 @@ _NUMERIC = (
 )
 
 
+def grouped_range_check(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    min_allowed: Optional[float] = None,
+    max_allowed: Optional[float] = None,
+) -> DataFrame:
+    """Per-group range-violation summary — the grouped form of a numeric
+    min/max constraint (north-rule per-partition pass/fail rows keyed by a
+    grouping column instead of a physical partition).
+
+    Output: ``*group_cols, n_rows, n_below, n_above, min_val, max_val``
+    (``n_below``/``n_above`` only when the corresponding bound is given).
+    One hash aggregate with map-side combine: each task pre-reduces its
+    rows, so shuffle width is #groups, never #rows — the plan that holds
+    at 100 TB with any group cardinality."""
+    col = F.col(value_col)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(col).alias("min_val"),
+        F.max(col).alias("max_val"),
+    ]
+    # coalesce: an all-NULL group sums to NULL, but "no violations" is 0
+    if min_allowed is not None:
+        aggs.insert(1, F.coalesce(F.sum((col < F.lit(min_allowed)).cast("long")), F.lit(0)).cast("long").alias("n_below"))
+    if max_allowed is not None:
+        aggs.insert(2 if min_allowed is not None else 1,
+                    F.coalesce(F.sum((col > F.lit(max_allowed)).cast("long")), F.lit(0)).cast("long").alias("n_above"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def column_stats(
     df: DataFrame,
     cols: Optional[Sequence[str]] = None,

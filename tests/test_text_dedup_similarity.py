@@ -491,3 +491,183 @@ def test_ivf_train_refines_centroids(spark, emb):
     out = S.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4, centroids=cents).collect()
     top1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
     assert top1 == {q: q for q in top1}
+
+
+# ------------------------------------------------------- persisted ANN index
+
+def test_ivf_build_search_matches_inline_and_prunes(spark, emb, tmp_path):
+    """ivf_search over a persisted index returns the same self-match result
+    as inline ivf_topk, its plan reads ONLY the probed cell partitions
+    (static PartitionFilters), and the index scan has no Python stage —
+    the corpus assignment is reused, never recomputed."""
+    path = str(tmp_path / "ivf")
+    cents = S.ivf_build(emb, path, n_centroids=8, iters=1)
+    assert len(cents) == 8
+
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivf_search(queries, path, k=3, nprobe=4)
+    rows = out.collect()
+    top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert top1 == {q: q for q in top1}
+
+    inline = S.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4, centroids=cents)
+    assert sorted((r.query_id, r.vec_id, r.rank) for r in rows) == sorted(
+        (r.query_id, r.vec_id, r.rank) for r in inline.collect()
+    )
+
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==" — assert
+    # on the final section only
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # index scan: partition-pruned on cell, and fed by no Python eval
+    scan_lines = [l for l in plan.splitlines() if path.split("/")[-1] in l and "FileScan" in l]
+    assert scan_lines and all("cell#" in l and "PartitionFilters: [" in l for l in scan_lines), plan
+    assert all("cell IN" in l or "cell#" in l.split("PartitionFilters:")[1] for l in scan_lines)
+    # exactly one Arrow stage: the query-batch probe
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_lsh_build_search_self_match_and_prunes(spark, emb, tmp_path):
+    path = str(tmp_path / "lsh")
+    S.lsh_build(emb, path, dim=64, n_planes=8)
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.lsh_search(queries, path, k=3)
+    rows = out.collect()
+    top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert top1 == {q: q for q in top1}
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("ArrowEvalPython") == 1, plan
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l and path.split("/")[-1] in l]
+    assert scan_lines and all("PartitionFilters: [" in l for l in scan_lines), plan
+
+
+# ----------------------------------------------------- multi-seed LSH recall
+
+def _near_identical_corpus(spark, emb, n_base=150, seed=9):
+    """Pairs of NEAR- (not exact-) identical vectors: each base vector v is
+    paired with a copy rotated by an exact angle θ (cos θ drawn in
+    [0.9955, 0.9995]) in a random plane through v. cosine(v, w) == cos θ
+    by construction — comfortably above a 0.995 threshold — but each
+    hyperplane flips sign with probability ≈ θ/π, so single-seed LSH
+    recall is < 1 by construction."""
+    import numpy as np
+
+    rows = emb.limit(n_base).collect()
+    rng = np.random.default_rng(seed)
+    data = []
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        nv = np.linalg.norm(v)
+        vn = v / nv
+        u = rng.standard_normal(len(v))
+        u -= (u @ vn) * vn
+        u /= np.linalg.norm(u)
+        ct = rng.uniform(0.9955, 0.9995)
+        w = nv * (ct * vn + np.sqrt(1 - ct * ct) * u)
+        data.append((int(r.vec_id), [float(x) for x in v]))
+        data.append((int(r.vec_id) + 1_000_000, [float(x) for x in w]))
+    return spark.createDataFrame(data, "vec_id long, embedding array<double>")
+
+
+def test_multiseed_lsh_union_improves_recall(spark, emb):
+    df = _near_identical_corpus(spark, emb)
+    thr = 0.995
+    brute = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_brute_force_pairs(df, "vec_id", "embedding", threshold=thr).collect()
+    }
+    assert len(brute) >= 100  # the construction produced verifiable near-dups
+    single = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dups(
+            df, "vec_id", "embedding", 64, threshold=thr, n_planes=12, seed=42
+        ).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dups_multiseed(
+            df, "vec_id", "embedding", 64, threshold=thr, n_planes=12,
+            seeds=(42, 1042, 2042),
+        ).collect()
+    }
+    assert single <= brute and multi <= brute  # cosine-verified: no false positives
+    r_single = len(single) / len(brute)
+    r_multi = len(multi) / len(brute)
+    assert r_single < 1.0  # near-dups DO fall out of single-seed buckets here
+    assert r_multi >= r_single
+    assert r_multi >= 0.8  # three seeds recover the bulk of the pairs
+
+
+# ------------------------------------------------- incremental (index) dedup
+
+def test_incremental_minhash_matches_full_recompute(spark, docs, tmp_path):
+    """Batch 2 deduped against batch 1's persisted signature index yields
+    exactly the pairs a full recompute finds that touch batch-2 ids."""
+    base = docs.select("doc_id", "text")
+    new = base.where(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+    )
+    idx_path = str(tmp_path / "sig_index")
+    D.write_minhash_index(base, idx_path, "doc_id", "text")
+    index = spark.read.parquet(idx_path)
+
+    inc = {
+        (r.id_a, r.id_b)
+        for r in D.incremental_near_duplicates_minhash(
+            new, base, index, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in D.near_duplicates_minhash(
+            base.unionByName(new), "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    new_ids = {r.doc_id for r in new.collect()}
+    full_touching_new = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert inc == full_touching_new
+    assert len(inc) > 0  # the injected variants were found via the index
+
+
+def test_incremental_minhash_index_append_round(spark, docs, tmp_path):
+    """After appending batch 2's signatures, a batch-3 exact copy of a
+    batch-2 doc is caught against the grown index."""
+    base = docs.select("doc_id", "text").where(F.col("doc_id") < 100)
+    idx_path = str(tmp_path / "sig_index2")
+    D.write_minhash_index(base, idx_path, "doc_id", "text")
+    batch2 = docs.select("doc_id", "text").where(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+    ).select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    D.write_minhash_index(batch2, idx_path, "doc_id", "text", mode="append")
+    index = spark.read.parquet(idx_path)
+    # batch 3 = exact copy of one batch-2 doc
+    batch3 = batch2.limit(1).select((F.col("doc_id") + 900_000).alias("doc_id"), "text")
+    corpus = base.unionByName(batch2)
+    pairs = D.incremental_near_duplicates_minhash(
+        batch3, corpus, index, "doc_id", "text", threshold=0.9
+    ).collect()
+    b3 = batch3.collect()[0]
+    assert any(
+        {r.id_a, r.id_b} == {b3.doc_id, b3.doc_id - 900_000} for r in pairs
+    ), pairs
+
+
+def test_incremental_exact_dedup(spark, docs, tmp_path):
+    base = docs.select("doc_id", "text")
+    idx_path = str(tmp_path / "fp_index")
+    D.write_fingerprint_index(base, idx_path, "doc_id", "text")
+    index = spark.read.parquet(idx_path)
+    # new batch: one exact copy of an old doc, one self-duplicated fresh doc,
+    # one genuinely fresh doc
+    old = base.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [
+            (10_000_001, old.text),          # dup of the corpus → dropped
+            (10_000_002, "a brand new doc"), # fresh, kept
+            (10_000_003, "a brand new doc"), # within-batch dup → dropped
+            (10_000_004, "another fresh doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in D.incremental_exact_dedup(new, index, "doc_id", "text").collect()}
+    assert kept == {10_000_002, 10_000_004}
