@@ -15,6 +15,7 @@ one scan, no shuffles, for a full per-document profile at 100 TB.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -50,6 +51,31 @@ def subword_token_estimate(text: Column) -> Column:
     )
     punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
     return (word_units + punct).cast("long")
+
+
+def load_merges(source) -> "list[tuple[str, str]]":
+    """Parse the standard BPE ``merges.txt`` format into the ordered merge
+    list ``bpe_token_count`` takes: one space-separated pair per line,
+    priority = line order, ``#version``-style comment headers and blank
+    lines skipped. ``source`` is a file path or the file's text content.
+
+    This is driver-side metadata loading (a merge table is a few hundred
+    KB); the table still ships to executors once, as a broadcast."""
+    if isinstance(source, str) and "\n" not in source and os.path.exists(source):
+        with open(source, encoding="utf-8") as f:
+            text = f.read()
+    else:
+        text = source
+    merges: list[tuple[str, str]] = []
+    for ln in text.splitlines():
+        ln = ln.rstrip("\n")
+        if not ln.strip() or ln.startswith("#"):
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"load_merges: malformed merge line {ln!r}")
+        merges.append((parts[0], parts[1]))
+    return merges
 
 
 def bpe_token_count(df, text_col: str, merges, out_col: str = "n_bpe_tokens"):

@@ -671,3 +671,41 @@ def test_incremental_exact_dedup(spark, docs, tmp_path):
     )
     kept = {r.doc_id for r in D.incremental_exact_dedup(new, index, "doc_id", "text").collect()}
     assert kept == {10_000_002, 10_000_004}
+
+
+def test_load_merges_standard_format(spark, tmp_path):
+    """load_merges parses the public merges.txt format (version header,
+    blank lines, one pair per line) and the result drives bpe_token_count
+    to the same counts as the in-memory merge list."""
+    content = (
+        "#version: 0.2\n"
+        "e s\n"
+        "es t\n"
+        "l o\n"
+        "lo w\n"
+        "\n"
+        "n e\n"
+        "ne w\n"
+        "new est\n"
+        "w i\n"
+        "wi d\n"
+        "wid est\n"
+        "low e\n"
+        "lowe r\n"
+    )
+    mf = tmp_path / "merges.txt"
+    mf.write_text(content, encoding="utf-8")
+
+    from jsschema_spark.functions.text import bpe_token_count, load_merges
+
+    for merges in (load_merges(str(mf)), load_merges(content)):
+        assert merges[0] == ("e", "s") and merges[-1] == ("lowe", "r")
+        assert len(merges) == 12
+        df = spark.createDataFrame(
+            [(1, "low"), (2, "lowest"), (3, "low lower xyz")], "id long, text string"
+        )
+        out = {r.id: r.n_bpe_tokens for r in bpe_token_count(df, "text", merges).collect()}
+        assert out == {1: 1, 2: 2, 3: 5}
+
+    with pytest.raises(ValueError):
+        load_merges("a b c\n")
