@@ -113,6 +113,7 @@ def main() -> None:
             "events_props_json", "conformance_corpus",
             "near_dup_groups", "lsh_topk", "ivf_topk", "categorical_drift_returnflag",
             "numeric_drift_quantity",
+            "ivf_index_search", "incremental_minhash", "embedding_multiseed_near_dups",
         ):
             q = qs[name]
             timed(name, lambda q=q: q(spark, sf_dir).count())

@@ -204,7 +204,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket_size: int = 500,
-    materialize: "str | bool" = "persist",
+    materialize: "str | bool" = "checkpoint",
 ) -> DataFrame:
     """Candidate near-dup pairs ``(id_a, id_b)`` (id_a < id_b) that share at
     least one LSH band. rows-per-band R = num_hashes/bands sets the
@@ -250,14 +250,18 @@ def minhash_lsh_pairs(
 def _materialize(df: DataFrame, mode: "str | bool") -> DataFrame:
     """Caller-facing materialization knob for multi-consumer DataFrames.
 
-    * ``"persist"`` (default) — ``persist(DISK_ONLY)``: lazy (no job at
-      DataFrame-construction time) and recomputable, so an executor loss
-      mid-job recovers by lineage — the right default for the 100 TB
-      resilience story.
-    * ``"checkpoint"`` — ``localCheckpoint(eager=True)``: truncates lineage
-      (needed by iterative algorithms whose plans would otherwise grow
-      per round) at the cost of eager execution and executor-pinned
-      partitions.
+    * ``"checkpoint"`` (default) — ``localCheckpoint(eager=True)``: one
+      eager job materializes the stream, consumers read materialized
+      partitions, lineage is truncated. Measured 3-5× faster than persist
+      for this engine's pair pipelines (minhash_near_dups first execution:
+      3.0s checkpointed vs 14.5-19.6s under lazy/eager DISK_ONLY or
+      MEMORY_AND_DISK persist at sf0.1/local[32] — the InMemoryRelation
+      path costs far more than the extra job). Trade-off: partitions pin
+      to executors; at cluster scale with executor churn, point
+      spark.checkpoint.dir at reliable storage or pass "persist".
+    * ``"persist"`` — ``persist(DISK_ONLY)``: lazy (no job at
+      DataFrame-construction time) and recomputable by lineage on executor
+      loss; measurably slower on first execution here (numbers above).
     * ``"none"`` / ``False`` — no materialization; upstream recomputes per
       consumer (right when upstream is a cheap scan-side projection).
     """
@@ -276,7 +280,7 @@ def _bounded_self_pairs(
     banded: DataFrame, key_cols: list[str], max_bucket_size: int,
     payload: Optional[str] = None,
     chain_order: Optional[list[str]] = None,
-    materialize: "str | bool" = "persist",
+    materialize: "str | bool" = "checkpoint",
 ) -> DataFrame:
     """Within-bucket pairing with a size cap: full all-pairs equi-join for
     buckets ≤ cap, consecutive-pair chaining (one window pass) above it.
@@ -313,7 +317,9 @@ def _bounded_self_pairs(
     # bucket key), so this is MBs per million docs. Callers whose upstream
     # is a cheap projection but whose rows carry a fat payload (embedding
     # vectors) pass materialize="none" and recompute instead. Default is
-    # lazy, lineage-recoverable persist(DISK_ONLY) — see _materialize.
+    # an eager localCheckpoint — measured 3-5x faster here than lazy OR
+    # eager persist; see _materialize for numbers and the cluster-scale
+    # trade-off.
     banded = _materialize(banded, materialize)
     sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
     # over-cap keys are usually tiny (≤ n/cap), but on a boilerplate-heavy
@@ -423,9 +429,9 @@ def incremental_minhash_pairs(
         ).select("doc_id", "__ord0", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
 
     new_sig = _materialize(
-        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_k), "persist"
+        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_k), "checkpoint"
     )
-    new_banded = _materialize(banded(new_sig), "persist")
+    new_banded = _materialize(banded(new_sig), "checkpoint")
     corpus_banded = banded(index.select("doc_id", "sig"))
 
     # cap degenerate corpus buckets (one window pass over over-cap rows only)
@@ -547,8 +553,8 @@ def jaccard_pairs(
     # both join sides (id_a, id_b) consume the shingle table; materialize it
     # once or the semi-join + shingling subtree executes twice. Bounded by
     # the candidate set, which LSH already made orders of magnitude smaller
-    # than the corpus. Lazy persist: recomputable on executor loss.
-    sh = _materialize(sh, "persist")
+    # than the corpus.
+    sh = _materialize(sh, "checkpoint")
     out = (
         candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -662,7 +668,7 @@ def simhash_values(
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     max_bucket_size: int = 500,
-    materialize: "str | bool" = "persist",
+    materialize: "str | bool" = "checkpoint",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using the
     pigeonhole chunk join (C = max_hamming + 1 chunks ⇒ one chunk must match
@@ -769,7 +775,7 @@ def embedding_near_dups(
     )
     pairs = _bounded_self_pairs(
         skinny, ["bucket"], max_bucket_size, chain_order=["__ord"],
-        materialize="persist",
+        materialize="checkpoint",
     )
     vt = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
     return (
