@@ -30,11 +30,14 @@ Scale design (the whole point — 100 TB of documents):
   exact cosine verifies within buckets (capped like the text buckets).
   Brute-force pairing is only for oracle tests.
 
-Everything here is Python-free: Column/DataFrame compositions only
-(whole-stage codegen + standard shuffles Catalyst can plan). Dot products
-and the shingle builder intentionally stay as higher-order-function folds —
-the measured alternative (dim-term unrolled expressions) was 3-4× slower
-(see BENCH/BASELINE.md).
+The text paths are Python-free: Column/DataFrame compositions only
+(whole-stage codegen + standard shuffles Catalyst can plan); the shingle
+builder intentionally stays a higher-order-function fold — the measured
+alternative (dim-term unrolled expressions) was 3-4× slower (see
+BENCH/BASELINE.md). The embedding paths compute hyperplane sign patterns
+as ONE Arrow-batched numpy matmul per batch (``functions/linalg.py``) —
+the per-row HOF dot folds they replace were the round-3 cost center —
+and verify candidates with the exact cosine expression.
 """
 
 from __future__ import annotations
@@ -721,19 +724,6 @@ def _norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     den = _norm(a) * _norm(b)
     return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
-
-
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
-    """Sign-pattern bucket id from deterministic random hyperplanes (same
-    planes on every executor — literals, no RNG state shipped)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        bit = F.when(_dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
-    return bucket
 
 
 def embedding_near_dups(

@@ -78,8 +78,8 @@ def nearest_cell(vec: Column, centroids: "list[list[float]]") -> Column:
 
 def hyperplane_bucket_v(vec: Column, planes: np.ndarray) -> Column:
     """Sign-pattern bucket id (long) against literal hyperplanes — the
-    Arrow-batched formulation of ``dedup.hyperplane_bucket`` (bit i set
-    iff ``vec·plane_i > 0``). Null vectors yield null."""
+    Arrow-batched hyperplane-LSH signature (bit i set iff
+    ``vec·plane_i > 0``). Null vectors yield null."""
     P = np.asarray(planes, dtype=np.float64)
     weights = (np.int64(1) << np.arange(P.shape[0], dtype=np.int64))
 

@@ -233,6 +233,25 @@ def ivf_build(
     return cents
 
 
+def ivf_append(new_vectors: DataFrame, path: str,
+               corpus_id: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Admit a new vector batch into an existing IVF index: assign against
+    the STORED centroids (one matmul per Arrow batch over the new rows
+    only) and append into the cell partitions — the existing corpus is
+    never rescanned. Centroids are frozen at build time; retrain with
+    ``ivf_build`` when drift degrades cell balance."""
+    cents = ivf_load_centroids(new_vectors.sparkSession, path)
+    (
+        new_vectors.select(
+            F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
+            nearest_cell(F.col(vec_col), cents).alias("cell"),
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def ivf_load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
     rows = spark.read.parquet(f"{path}/_centroids").orderBy("cid").collect()
     return [[float(x) for x in r["centroid"]] for r in rows]

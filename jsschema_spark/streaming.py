@@ -87,6 +87,66 @@ def start_violation_sink(
     return writer.start()
 
 
+def start_dedup_admission_sink(
+    stream_df: DataFrame,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus admission with exact dedup against a persisted
+    fingerprint index: per micro-batch, drop rows whose content fingerprint
+    already exists in the index (or repeats within the batch, keep-first),
+    write the survivors to ``admitted_dir``, and admit their fingerprints
+    into the index — so later batches dedup against everything admitted
+    before them.
+
+    Replay-idempotent without transactions: both the admitted rows and the
+    index contribution are written to per-batch ``batch_id=<n>`` partition
+    directories with ``mode("overwrite")``, and the index read EXCLUDES the
+    current batch's own partition — a replayed batch therefore sees exactly
+    the index state of its first attempt (its own half-written contribution
+    can never mask its rows) and overwrites both outputs deterministically.
+
+    Scale shape per batch: one fingerprint projection of the batch, one
+    anti-join against the index (AQE broadcast/shuffle by size), one
+    ``min_by`` keep-first aggregate — shuffle width = #distinct new
+    fingerprints. The index holds one ~16-byte row per distinct corpus
+    document."""
+    from pyspark.errors import AnalysisException
+
+    from jsschema_spark.functions.dedup import incremental_exact_dedup
+    from jsschema_spark.functions.text import content_fingerprint
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_dir).where(
+                F.col("batch_id") != int(batch_id)
+            )
+        except AnalysisException:
+            index = spark.createDataFrame([], "fingerprint long, doc_id long")
+        kept = incremental_exact_dedup(batch_df, index, id_col, text_col)
+        kept.write.mode("overwrite").parquet(f"{admitted_dir}/batch_id={int(batch_id)}")
+        (
+            kept.select(
+                content_fingerprint(F.col(text_col)).alias("fingerprint"),
+                F.col(id_col).alias("doc_id"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/batch_id={int(batch_id)}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def violation_streaks(
     stream_df: DataFrame,
     schema: SchemaNode,

@@ -57,6 +57,8 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--keep-input", type=str, default=None)
     ap.add_argument("--skip-audio", action="store_true")
+    ap.add_argument("--skip-pred", action="store_true",
+                    help="audio-only rounds (e.g. extra min-of-rounds samples)")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -131,17 +133,18 @@ def main() -> None:
                 while sp.sparkContext.defaultParallelism < want and time.time() < deadline:
                     time.sleep(0.5)
 
-                clips = sp.read.parquet(pred_src)
-                tv = TableValidator(parse_schema(CLIPS_DRAFT04_SCHEMA), clips.schema)
-                # warmup: touch all partitions on all executors (JIT + code
-                # shipping + parquet footer cache), untimed, sampled
-                tv.apply(clips.sample(0.03, seed=1), with_violations=False).where(
-                    F.col("valid")).count()
+                if not args.skip_pred:
+                    clips = sp.read.parquet(pred_src)
+                    tv = TableValidator(parse_schema(CLIPS_DRAFT04_SCHEMA), clips.schema)
+                    # warmup: touch all partitions on all executors (JIT + code
+                    # shipping + parquet footer cache), untimed, sampled
+                    tv.apply(clips.sample(0.03, seed=1), with_violations=False).where(
+                        F.col("valid")).count()
 
-                t0 = time.time()
-                n_valid = tv.apply(clips, with_violations=False).where(F.col("valid")).count()
-                results[n_execs]["pred"].append(time.time() - t0)
-                n_valid_seen.add(n_valid)
+                    t0 = time.time()
+                    n_valid = tv.apply(clips, with_violations=False).where(F.col("valid")).count()
+                    results[n_execs]["pred"].append(time.time() - t0)
+                    n_valid_seen.add(n_valid)
 
                 if not args.skip_audio:
                     # untimed warmup: spawn every executor's Python workers +
@@ -160,7 +163,9 @@ def main() -> None:
             finally:
                 sp.stop()
                 time.sleep(2)
-            msg = f"round {rnd} execs {n_execs}: pred {results[n_execs]['pred'][-1]:.2f}s"
+            msg = f"round {rnd} execs {n_execs}:"
+            if results[n_execs]["pred"]:
+                msg += f" pred {results[n_execs]['pred'][-1]:.2f}s"
             if results[n_execs]["audio"]:
                 msg += f" audio {results[n_execs]['audio'][-1]:.2f}s"
             print(msg, file=sys.stderr, flush=True)

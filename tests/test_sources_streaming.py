@@ -191,3 +191,66 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "codec" in pf and "flac" in pf
     assert df.count() == spark.read.parquet(src).where(F.col("codec") == "flac").count()
+
+
+def test_streaming_dedup_admission_across_batches(spark, tmp_path):
+    """Each micro-batch dedups against the fingerprints admitted by all
+    earlier batches (maxFilesPerTrigger=1 → one file per batch), and a
+    replayed batch is idempotent: it sees the index state of its first
+    attempt, never its own contribution."""
+    from jsschema_spark.functions.text import content_fingerprint
+    from jsschema_spark.streaming import start_dedup_admission_sink
+
+    import pandas as pd
+
+    src = str(tmp_path / "adm_src")
+    os.makedirs(src)
+    # file 0: docs 1-3; file 1: doc 4 (fresh), doc 5 = dup of doc 1's text,
+    # docs 6+7 = within-batch dups of each other
+    rows0 = [(1, "alpha text one"), (2, "beta text two"), (3, "gamma text three")]
+    rows1 = [(4, "delta text four"), (5, "alpha text one"),
+             (6, "epsilon text six"), (7, "epsilon text six")]
+    cols = ["doc_id", "text"]
+    pd.DataFrame(rows0, columns=cols).to_parquet(os.path.join(src, "f0.parquet"))
+    pd.DataFrame(rows1, columns=cols).to_parquet(os.path.join(src, "f1.parquet"))
+    b0 = spark.createDataFrame(rows0, "doc_id long, text string")
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = str(tmp_path / "adm_idx")
+    out = str(tmp_path / "adm_out")
+    ckpt = str(tmp_path / "adm_ckpt")
+    q = start_dedup_admission_sink(stream, idx, out, ckpt, "doc_id", "text")
+    q.awaitTermination(120)
+
+    admitted = spark.read.parquet(out)
+    ids = {r.doc_id for r in admitted.collect()}
+    # doc 5 deduped against an earlier batch via the index; 6/7 keep-first
+    assert 5 not in ids
+    assert {1, 2, 3, 4} <= ids
+    assert len({6, 7} & ids) == 1 and min({6, 7} & ids) == 6
+    # the index holds one row per admitted distinct fingerprint
+    index = spark.read.parquet(idx)
+    assert index.count() == admitted.count()
+    assert index.select("fingerprint").distinct().count() == index.count()
+
+    # replay the LAST batch (its own fingerprints are in the index):
+    # process() must exclude its own partition and reproduce the output
+    last_bid = max(r.batch_id for r in index.select("batch_id").distinct().collect())
+    before = sorted(ids)
+    from jsschema_spark.functions.dedup import incremental_exact_dedup
+
+    replay_index = spark.read.parquet(idx).where(F.col("batch_id") != last_bid)
+    batch_df = b1 if last_bid > 0 else b0
+    kept = incremental_exact_dedup(batch_df, replay_index, "doc_id", "text")
+    kept.write.mode("overwrite").parquet(f"{out}/batch_id={last_bid}")
+    kept.select(
+        content_fingerprint(F.col("text")).alias("fingerprint"),
+        F.col("doc_id").alias("doc_id"),
+    ).write.mode("overwrite").parquet(f"{idx}/batch_id={last_bid}")
+    after = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert after == before

@@ -709,3 +709,24 @@ def test_load_merges_standard_format(spark, tmp_path):
 
     with pytest.raises(ValueError):
         load_merges("a b c\n")
+
+
+def test_ivf_append_searchable_without_corpus_rescan(spark, emb, tmp_path):
+    """Vectors appended to a persisted IVF index are found by ivf_search;
+    the append assigns ONLY the new batch (stored centroids, no corpus
+    rescan) and lands in the right cell partitions."""
+    path = str(tmp_path / "ivf_app")
+    base = emb.where(F.col("vec_id") >= 10)
+    S.ivf_build(base, path, n_centroids=8, iters=1)
+    # append the held-out vectors
+    held = emb.where(F.col("vec_id") < 10)
+    S.ivf_append(held, path)
+    # a held-out vector must now self-match at rank 1
+    queries = held.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = S.ivf_search(queries, path, k=3, nprobe=4).collect()
+    top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert top1 == {q: q for q in top1}
+    # index row count = base + appended, and every row carries a cell
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    assert idx.where(F.col("cell").isNull()).count() == 0
