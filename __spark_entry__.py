@@ -373,6 +373,28 @@ def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level SimHash near-dup detection (pigeonhole chunk join), in
+    portable-hash mode so DuckDB brute force (bit_count(xor) ≤ 3 over all
+    pairs) is an exact oracle: below the bucket cap the pigeonhole
+    candidate set provably contains every qualifying pair, so the capped
+    equi-join must equal the O(n²) reference. Exact duplicates (%50,
+    hamming 0) are injected to guarantee hits."""
+    from jsschema_spark.functions.dedup import portable_hash64, simhash_near_dups
+
+    base = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    dup = base.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    df = base.unionByName(dup)
+    out = simhash_near_dups(
+        df, "doc_id", "text", max_hamming=3, n_bits=60, hash_fn=portable_hash64
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-bucketed embedding near-dup path (the scale path), oracled on
     a corpus with injected exact-duplicate vectors: identical vectors land in
@@ -618,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_validation": q_clips_validation,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_documents": q_simhash_documents,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "violation_samples_orders": q_violation_samples_orders,
         "key_set_customers_orders": q_key_set_customers_orders,
@@ -814,6 +837,30 @@ WITH n AS (
 )
 SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash60
 FROM b GROUP BY doc_id
+"""
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL
+), n AS (
+  SELECT doc_id, {_NORM_SQL.format(col='text')} AS norm FROM all_docs
+), u AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv FROM u
+), b AS (
+  SELECT doc_id, bit, sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(60)) AS bit) GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS v
+  FROM b GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= 3
 """
 
 _NEAR_DUP_CTE = f"""
@@ -1098,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_validation": _CLIPS_VALIDATION_ORACLE,
         "minhash_near_dups": _MINHASH_ORACLE,
         "simhash_documents": _SIMHASH_ORACLE,
+        "simhash_near_dup_pairs": _SIMHASH_PAIRS_ORACLE,
         "embedding_lsh_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
         "near_dup_groups": _NEAR_DUP_GROUPS_ORACLE,
         "near_dup_canonical": _NEAR_DUP_CANONICAL_ORACLE,

@@ -672,18 +672,29 @@ def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     max_bucket_size: int = 500,
     materialize: "str | bool" = "checkpoint",
+    n_bits: int = 64,
+    hash_fn: Optional[Callable[[Column], Column]] = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using the
     pigeonhole chunk join (C = max_hamming + 1 chunks ⇒ one chunk must match
-    exactly). Output: id_a, id_b, hamming.
+    exactly — the candidate set provably CONTAINS every qualifying pair,
+    so below the bucket cap this equals brute force). Output: id_a, id_b,
+    hamming.
+
+    ``n_bits``/``hash_fn`` mirror ``simhash_values`` (pass 60 +
+    ``portable_hash64`` for external-SQL oracle parity); ``n_bits`` must
+    split evenly into the C chunks or the top bits would escape the
+    pigeonhole argument.
 
     Chunk buckets above ``max_bucket_size`` (boilerplate-heavy corpora)
     switch to consecutive-pair chaining ordered by the full simhash value,
     so docs at small hamming distance sort adjacent and their chain edges
     survive the hamming filter — see ``_bounded_self_pairs``."""
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    sh = simhash_values(df, id_col, text_col)
+    if n_bits % n_chunks:
+        raise ValueError("n_bits must divide into max_hamming + 1 chunks")
+    width = n_bits // n_chunks
+    sh = simhash_values(df, id_col, text_col, n_bits=n_bits, hash_fn=hash_fn)
     chunks = F.array(
         *[
             F.struct(
