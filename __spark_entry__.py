@@ -200,6 +200,28 @@ def q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: top-50 whitespace tokens by count
+    (explode → map-side-combined hash agg → deterministic top-k)."""
+    from jsschema_spark.functions.text import top_tokens
+
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return top_tokens(df, "text", k=50).select(
+        "token", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_ngram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 trigram document frequencies (boilerplate detection signal;
+    shingles are distinct per doc, so count == document frequency)."""
+    from jsschema_spark.functions.text import ngram_doc_freq
+
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return ngram_doc_freq(df, "text", n=3, k=25).select(
+        "ngram", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
     injected = base.where(F.col("doc_id") % 50 == 0).select(
@@ -630,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift_returnflag": q_categorical_drift,
         "histogram_l_quantity": q_histogram_l_quantity,
         "token_count_documents": q_token_count_documents,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "ngram_doc_freq": q_ngram_doc_freq,
         "text_profile_documents": q_text_profile_documents,
         "exact_dup_documents": q_exact_dup_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -837,6 +861,31 @@ WITH n AS (
 )
 SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash60
 FROM b GROUP BY doc_id
+"""
+
+_VOCAB_TOP_TOKENS_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents WHERE text IS NOT NULL
+), u AS (SELECT unnest(toks) AS token FROM t)
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM u
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+_NGRAM_DOC_FREQ_ORACLE = f"""
+WITH n AS (
+  SELECT {_NORM_SQL.format(col='text')} AS norm
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks FROM n
+), s AS (
+  SELECT list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+), u AS (SELECT unnest(sh) AS ngram FROM s)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs FROM u
+GROUP BY ngram ORDER BY n_docs DESC, ngram ASC LIMIT 25
 """
 
 _SIMHASH_PAIRS_ORACLE = f"""
@@ -1146,6 +1195,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _MINHASH_ORACLE,
         "simhash_documents": _SIMHASH_ORACLE,
         "simhash_near_dup_pairs": _SIMHASH_PAIRS_ORACLE,
+        "vocab_top_tokens": _VOCAB_TOP_TOKENS_ORACLE,
+        "ngram_doc_freq": _NGRAM_DOC_FREQ_ORACLE,
         "embedding_lsh_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
         "near_dup_groups": _NEAR_DUP_GROUPS_ORACLE,
         "near_dup_canonical": _NEAR_DUP_CANONICAL_ORACLE,

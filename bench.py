@@ -114,7 +114,7 @@ def main() -> None:
             "near_dup_groups", "lsh_topk", "ivf_topk", "categorical_drift_returnflag",
             "numeric_drift_quantity",
             "ivf_index_search", "incremental_minhash", "embedding_multiseed_near_dups",
-            "simhash_near_dup_pairs",
+            "simhash_near_dup_pairs", "vocab_top_tokens", "ngram_doc_freq",
         ):
             q = qs[name]
             timed(name, lambda q=q: q(spark, sf_dir).count())

@@ -266,3 +266,32 @@ def rolling_fingerprint(text: Column, k: int = 3) -> Column:
     """Min-of-shingle-hashes fingerprint (1-permutation minhash): a compact
     near-dup signal — equal fingerprints ⇒ likely near-duplicates."""
     return F.array_min(F.transform(word_shingles(text, k), F.xxhash64))
+
+
+# --------------------------------------------------------------------------
+# corpus vocabulary / n-gram statistics
+
+def top_tokens(df, text_col: str, k: int = 100, min_count: int = 1):
+    """Corpus token vocabulary: top-``k`` whitespace tokens as ``(token,
+    n)``, ordered by count desc then token asc (fully deterministic
+    cutoff). The training-pipeline vocab-building primitive.
+
+    Scale shape: explode → hash aggregate with map-side combine (shuffle
+    width = |vocab|, never #token occurrences) → global top-k
+    (TakeOrdered: each partition keeps k rows, driver merges k·P)."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= min_count)
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def ngram_doc_freq(df, text_col: str, n: int = 3, k: int = 100):
+    """Document frequency of normalized k-word shingles: in how many docs
+    does each n-gram appear (shingles are distinct per doc, so the count
+    IS document frequency — the boilerplate-detection signal). Top-``k``
+    by (df desc, ngram asc). Same explode → map-side-combined aggregate →
+    top-k shape as ``top_tokens``."""
+    grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts.orderBy(F.desc("n_docs"), F.asc("ngram")).limit(k)

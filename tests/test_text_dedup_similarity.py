@@ -730,3 +730,40 @@ def test_ivf_append_searchable_without_corpus_rescan(spark, emb, tmp_path):
     idx = spark.read.parquet(path)
     assert idx.count() == emb.count()
     assert idx.where(F.col("cell").isNull()).count() == 0
+
+
+def test_top_tokens_and_ngram_doc_freq(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "  "), (4, None), (5, "b B a")],
+        "doc_id long, text string",
+    )
+    top = [(r.token, r.n) for r in X.top_tokens(df, "text", k=3).collect()]
+    # counts: a=4, b=2, B=1 (tokens are raw whitespace splits; case kept),
+    # c=1 — tie between 'B' and 'c' broken by token asc
+    assert top == [("a", 4), ("b", 2), ("B", 1)]
+    assert X.top_tokens(df, "text", k=10, min_count=2).count() == 2
+
+    df2 = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z"), (3, "x y")], "doc_id long, text string"
+    )
+    freq = [(r.ngram, r.n_docs) for r in X.ngram_doc_freq(df2, "text", n=3, k=2).collect()]
+    assert freq == [("x y z", 2), ("y z w", 1)]
+
+
+def test_ivf_recall_increases_with_nprobe(spark, emb):
+    """The vectorized IVF path behaves like an IVF index should: top-1
+    recall vs brute force is imperfect at nprobe=1 on organic data and
+    non-decreasing in nprobe."""
+    queries = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {r.query_id: r.vec_id for r in S.brute_force_topk(emb, queries, k=1).collect()}
+
+    def recall(nprobe):
+        got = {
+            r.query_id: r.vec_id
+            for r in S.ivf_topk(emb, queries, k=1, n_centroids=8, nprobe=nprobe).collect()
+        }
+        return sum(got.get(q) == v for q, v in exact.items()) / len(exact)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8
+    assert r8 == 1.0  # nprobe == n_centroids probes every cell == brute force
