@@ -65,9 +65,15 @@ def lsh_topk(
     sides come from the same Arrow-batched matmul (see linalg), so an
     identical vector provably lands in its query's own bucket."""
     planes = hyperplanes(dim, n_planes, seed)
+    # coalesce(-1): a provably non-null join key, so the join's inferred
+    # isnotnull filter constant-folds away instead of being pushed below
+    # the projection — which would make the corpus-side matmul UDF
+    # evaluate TWICE (once for the filter, once for the project).
+    # -1 is unreachable from any real bucket or its 1-bit probes, so null
+    # vectors still match nothing.
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("cv"),
-        hyperplane_bucket_v(F.col(vec_col), planes).alias("bucket"),
+        F.coalesce(hyperplane_bucket_v(F.col(vec_col), planes), F.lit(-1).cast("long")).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"),
@@ -174,9 +180,12 @@ def ivf_topk(
     and search it with ``ivf_search`` (no re-assignment scan)."""
     cents = _ivf_centroids(corpus, n_centroids, seed, corpus_id, vec_col, centroids)
 
+    # coalesce(-1): non-null join key so the inferred isnotnull filter
+    # cannot be pushed below the projection and double-evaluate the
+    # corpus-side matmul UDF (see lsh_topk); real cells are always >= 0
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("cv"),
-        nearest_cell(F.col(vec_col), cents).alias("cell"),
+        F.coalesce(nearest_cell(F.col(vec_col), cents), F.lit(-1)).alias("cell"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"),
@@ -222,9 +231,11 @@ def ivf_build(
         if train
         else _ivf_centroids(corpus, n_centroids, seed, corpus_id, vec_col, None)
     )
+    # -1 = the null-vector cell (never probed); keeps the partition column
+    # non-null and the directory layout clean
     assigned = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
-        nearest_cell(F.col(vec_col), cents).alias("cell"),
+        F.coalesce(nearest_cell(F.col(vec_col), cents), F.lit(-1)).alias("cell"),
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     spark.createDataFrame(
@@ -244,7 +255,7 @@ def ivf_append(new_vectors: DataFrame, path: str,
     (
         new_vectors.select(
             F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
-            nearest_cell(F.col(vec_col), cents).alias("cell"),
+            F.coalesce(nearest_cell(F.col(vec_col), cents), F.lit(-1)).alias("cell"),
         )
         .write.mode("append")
         .partitionBy("cell")
@@ -300,7 +311,7 @@ def lsh_build(
     planes = hyperplanes(dim, n_planes, seed)
     corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
-        hyperplane_bucket_v(F.col(vec_col), planes).alias("bucket"),
+        F.coalesce(hyperplane_bucket_v(F.col(vec_col), planes), F.lit(-1).cast("long")).alias("bucket"),
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
     spark.createDataFrame(
         [(dim, n_planes, seed)], "dim int, n_planes int, seed int"

@@ -767,3 +767,37 @@ def test_ivf_recall_increases_with_nprobe(spark, emb):
     r1, r4, r8 = recall(1), recall(4), recall(8)
     assert r1 <= r4 <= r8
     assert r8 == 1.0  # nprobe == n_centroids probes every cell == brute force
+
+
+# --------------------------------------------------------- plan-shape guards
+
+def _final_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+
+
+def test_ivf_topk_plan_is_vectorized_equijoin(spark, emb):
+    """Regression guard for the round-3 perf defect: IVF assignment must be
+    the Arrow-batched matmul (one ArrowEvalPython per side — corpus assign
+    + query probe), never per-row interpreted HOF centroid folds, and the
+    probe must be a broadcast equi-join on the cell id."""
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4)
+    out.count()
+    plan = _final_plan(out)
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "BroadcastHashJoin" in plan and "cell" in plan
+    # the old shape folded a zip_with dot per centroid BEFORE the join
+    # (assignment side); cosine after the join legitimately uses zip_with,
+    # so assert the join build side (query probes) carries no fold chain of
+    # n_centroids dots: 8 centroids would mean >= 8 'zip_with(embedding'
+    assert plan.count("zip_with(embedding") == 0, plan
+
+
+def test_top_tokens_plan_has_partial_agg_and_topk(spark, docs):
+    out = X.top_tokens(docs, "text", k=10)
+    out.collect()
+    plan = _final_plan(out)
+    # map-side combine before the shuffle, and a TakeOrdered-style top-k
+    # (never a global sort of the whole vocab)
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
