@@ -116,3 +116,24 @@ def validate_table(
     if metrics_path:
         write_metrics(summary, metrics_path)
     return summary
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_cols: Sequence[str], n_buckets: int,
+    sort_cols: Optional[Sequence[str]] = None, mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join key —
+    the co-located-join primitive for repeated big-to-big joins at 100 TB.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle: each task reads matching bucket files from both
+    sides (Spark's bucketing uses ``Murmur3Hash(key) pmod n`` on both the
+    write and read path, so bucket i on one side only ever matches bucket
+    i on the other). Referential checks that run per-ingest against the
+    same dimension amortize their shuffle to zero this way. Requires a
+    session catalog (``saveAsTable``) — bucket metadata lives in the
+    metastore, not the parquet footer."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -254,3 +254,43 @@ def test_streaming_dedup_admission_across_batches(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{idx}/batch_id={last_bid}")
     after = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert after == before
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed by the join key join with ZERO Exchange in the
+    plan — the co-located-join primitive for repeated referential checks.
+    (An unbucketed baseline of the same join plans at least one shuffle.)"""
+    from jsschema_spark.sources import write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+    write_bucketed(orders, "orders_b", ["o_custkey"], 8)
+    write_bucketed(cust, "cust_b", ["c_custkey"], 8)
+    try:
+        # disable auto-broadcast so the join shape (not the dim size)
+        # decides; a real 100 TB fact-to-fact join is not broadcastable
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ob, cb = spark.table("orders_b"), spark.table("cust_b")
+            joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+            n = joined.count()
+            assert n > 0
+            plan = joined._jdf.queryExecution().executedPlan().toString().split(
+                "== Initial Plan =="
+            )[0]
+            assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+
+            base = orders.join(cust, orders.o_custkey == cust.c_custkey)
+            assert base.count() == n
+            base_plan = base._jdf.queryExecution().executedPlan().toString().split(
+                "== Initial Plan =="
+            )[0]
+            assert "Exchange" in base_plan  # unbucketed baseline shuffles
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
