@@ -801,3 +801,18 @@ def test_top_tokens_plan_has_partial_agg_and_topk(spark, docs):
     # (never a global sort of the whole vocab)
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_top_tokens_matches_python_counter(spark, docs):
+    """top_tokens == collections.Counter over raw whitespace splits (the
+    oracle-in-miniature for the vocab primitive, incl. tie ordering)."""
+    import collections
+
+    sub = docs.where(F.col("doc_id") < 300).select("doc_id", "text")
+    cnt = collections.Counter()
+    for r in sub.collect():
+        if r.text and r.text.strip():
+            cnt.update(r.text.split())
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.token, r.n) for r in X.top_tokens(sub, "text", k=20).collect()]
+    assert got == expected
