@@ -794,6 +794,7 @@ def embedding_near_dups_multiseed(
     threshold: float = 0.95, n_planes: int = 12,
     seeds: "tuple[int, ...]" = (42, 1042, 2042),
     max_bucket_size: int = 2000,
+    single_pass: bool = True,
 ) -> DataFrame:
     """Multi-seed LSH union for recall control on *near*- (not exact-)
     duplicates: a single hyperplane set misses a pair whenever any plane
@@ -803,18 +804,65 @@ def embedding_near_dups_multiseed(
     per-seed verified pairs is deduplicated on (id_a, id_b) — cosine is
     seed-independent, so the surviving values are identical across seeds.
 
-    Cost: K skinny bucket projections of the corpus (each one Arrow matmul
-    per vector + one equi-join); candidates are verified per seed before
-    the union, so no unverified pair survives. At 100 TB run the seeds as
-    one pass by widening the matmul (K×n_planes planes) if scan cost
-    dominates; kept separate here for per-seed recall accounting."""
-    out = None
-    for s in seeds:
-        p = embedding_near_dups(
-            df, id_col, vec_col, dim, threshold, n_planes, s, max_bucket_size
+    ``single_pass=True`` (default, the scale path): ONE widened matmul
+    computes all K seeds' sign patterns plus the fine chain-order bits
+    (K·n_planes + n_fine ≤ 63 packed into one long) — one corpus scan and
+    one skinny checkpoint instead of K, candidates explode per seed, and
+    cosine verification runs once over the distinct candidate union.
+    ``single_pass=False`` runs the per-seed pipelines and unions the
+    verified pairs — K scans, but per-seed recall is observable."""
+    if not single_pass:
+        out = None
+        for s in seeds:
+            p = embedding_near_dups(
+                df, id_col, vec_col, dim, threshold, n_planes, s, max_bucket_size
+            )
+            out = p if out is None else out.unionByName(p)
+        return out.dropDuplicates(["id_a", "id_b"])
+
+    from jsschema_spark.functions.linalg import hyperplane_bucket_v, hyperplanes
+
+    k = len(seeds)
+    n_fine = 24
+    if k * n_planes + n_fine > 63:
+        raise ValueError(
+            f"{k} seeds x {n_planes} planes + {n_fine} order bits exceed one "
+            "long; reduce seeds/planes or use single_pass=False"
         )
-        out = p if out is None else out.unionByName(p)
-    return out.dropDuplicates(["id_a", "id_b"])
+    planes = np.vstack(
+        [hyperplanes(dim, n_planes, s) for s in seeds]
+        + [hyperplanes(dim, n_fine, seeds[0] + 1)]
+    )
+    mask = (1 << n_planes) - 1
+    skinny = df.select(
+        F.col(id_col).alias("doc_id"),
+        hyperplane_bucket_v(F.col(vec_col), planes).alias("__sig"),
+    )
+    seed_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"),
+                F.shiftright(F.col("__sig"), i * n_planes).bitwiseAND(F.lit(mask)).alias("bucket"),
+            )
+            for i in range(k)
+        ]
+    )
+    banded = skinny.select(
+        "doc_id",
+        F.shiftright(F.col("__sig"), k * n_planes).alias("__ord"),
+        F.explode(seed_structs).alias("e"),
+    ).select("doc_id", "__ord", F.col("e.seed").alias("seed"), F.col("e.bucket").alias("bucket"))
+    pairs = _bounded_self_pairs(
+        banded, ["seed", "bucket"], max_bucket_size, chain_order=["__ord"],
+        materialize="checkpoint",
+    )
+    vt = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
+    return (
+        pairs.join(vt.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(vt.select(F.col("doc_id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
 
 
 def embedding_brute_force_pairs(

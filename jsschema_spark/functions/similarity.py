@@ -318,6 +318,25 @@ def lsh_build(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
+def lsh_append(new_vectors: DataFrame, path: str,
+               corpus_id: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Admit a new vector batch into a persisted LSH index: bucket against
+    the stored plane parameters (new rows only) and append into the bucket
+    partitions — mirror of ``ivf_append``."""
+    spark = new_vectors.sparkSession
+    meta = spark.read.parquet(f"{path}/_meta").collect()[0]
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    (
+        new_vectors.select(
+            F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
+            F.coalesce(hyperplane_bucket_v(F.col(vec_col), planes), F.lit(-1).cast("long")).alias("bucket"),
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def lsh_search(
     queries: DataFrame, path: str, k: int = 10,
     query_id: str = "query_id", vec_col: str = "embedding",

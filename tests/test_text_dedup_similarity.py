@@ -589,12 +589,22 @@ def test_multiseed_lsh_union_improves_recall(spark, emb):
             seeds=(42, 1042, 2042),
         ).collect()
     }
-    assert single <= brute and multi <= brute  # cosine-verified: no false positives
+    # the K-scan variant must behave equivalently (same planes, separate
+    # matmuls; candidates can differ only on sign near-ties)
+    multi_kscan = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dups_multiseed(
+            df, "vec_id", "embedding", 64, threshold=thr, n_planes=12,
+            seeds=(42, 1042, 2042), single_pass=False,
+        ).collect()
+    }
+    assert single <= brute and multi <= brute and multi_kscan <= brute
     r_single = len(single) / len(brute)
     r_multi = len(multi) / len(brute)
     assert r_single < 1.0  # near-dups DO fall out of single-seed buckets here
     assert r_multi >= r_single
     assert r_multi >= 0.8  # three seeds recover the bulk of the pairs
+    assert len(multi_kscan) / len(brute) >= 0.8
 
 
 # ------------------------------------------------- incremental (index) dedup
@@ -709,6 +719,17 @@ def test_load_merges_standard_format(spark, tmp_path):
 
     with pytest.raises(ValueError):
         load_merges("a b c\n")
+
+
+def test_lsh_append_searchable(spark, emb, tmp_path):
+    path = str(tmp_path / "lsh_app")
+    S.lsh_build(emb.where(F.col("vec_id") >= 10), path, dim=64, n_planes=8)
+    held = emb.where(F.col("vec_id") < 10)
+    S.lsh_append(held, path)
+    queries = held.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = S.lsh_search(queries, path, k=3).collect()
+    top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert top1 == {q: q for q in top1}
 
 
 def test_ivf_append_searchable_without_corpus_rescan(spark, emb, tmp_path):
