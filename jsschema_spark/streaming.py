@@ -147,6 +147,93 @@ def start_dedup_admission_sink(
     return writer.start()
 
 
+def start_near_dup_admission_sink(
+    stream_df: DataFrame,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-dup admission: per micro-batch, drop rows whose
+    true n-gram Jaccard against any previously admitted doc (via the
+    persisted minhash signature index) or any earlier-kept row of the same
+    batch reaches ``threshold``, keep-first within a tie chain; admitted
+    rows land in ``admitted_dir`` and their signatures join the index.
+
+    The corpus is NEVER re-signatured: each batch pays one signature pass
+    over its own rows plus a band equi-join against the stored signatures
+    (see ``incremental_minhash_pairs``). Verification needs candidate
+    TEXT, which the admitted output itself provides — so the sink is
+    self-contained: index = signatures, corpus text = ``admitted_dir``.
+
+    Same replay-idempotency contract as ``start_dedup_admission_sink``:
+    both outputs are ``batch_id=``-partitioned overwrites and reads
+    exclude the current batch's own partitions."""
+    from pyspark.errors import AnalysisException
+
+    from jsschema_spark.functions.dedup import (
+        incremental_near_duplicates_minhash,
+        minhash_signatures,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bid = int(batch_id)
+        try:
+            index = spark.read.parquet(index_dir).where(F.col("batch_id") != bid)
+            corpus = spark.read.parquet(admitted_dir).where(F.col("batch_id") != bid)
+            have = index.limit(1).count() > 0
+        except AnalysisException:
+            have = False
+        batch = batch_df.select(F.col(id_col), F.col(text_col))
+        if have:
+            dup_pairs = incremental_near_duplicates_minhash(
+                batch, corpus.select(id_col, text_col), index,
+                id_col, text_col, num_hashes, bands, threshold=threshold,
+            )
+            batch_ids = batch.select(F.col(id_col).alias("__bid_key"))
+            # a batch row is dropped if it near-dups ANY admitted doc, or a
+            # SMALLER-id row of its own batch (keep-first): losers are the
+            # larger pair side when both sides are in this batch, else the
+            # batch side of a batch-vs-corpus pair
+            in_batch_b = dup_pairs.join(
+                batch_ids, dup_pairs["id_b"] == batch_ids["__bid_key"], "left_semi"
+            ).select(F.col("id_b").alias("loser"))
+            in_corpus_b = dup_pairs.join(
+                batch_ids, dup_pairs["id_b"] == batch_ids["__bid_key"], "left_anti"
+            ).select(F.col("id_a").alias("loser"))
+            losers = in_batch_b.unionByName(in_corpus_b).distinct()
+            kept = batch_df.join(
+                losers, batch_df[id_col] == losers["loser"], "left_anti"
+            )
+        else:
+            from jsschema_spark.functions.dedup import near_duplicates_minhash
+
+            pairs = near_duplicates_minhash(
+                batch, id_col, text_col, num_hashes, bands, threshold=threshold
+            )
+            losers = pairs.select(F.col("id_b").alias("loser")).distinct()
+            kept = batch_df.join(
+                losers, batch_df[id_col] == losers["loser"], "left_anti"
+            )
+        kept.write.mode("overwrite").parquet(f"{admitted_dir}/batch_id={bid}")
+        minhash_signatures(kept, id_col, text_col, num_hashes).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/batch_id={bid}")
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def violation_streaks(
     stream_df: DataFrame,
     schema: SchemaNode,

@@ -294,3 +294,58 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_streaming_near_dup_admission(spark, tmp_path):
+    """Near-dup admission: batch 2 rows are dropped when they near-dup an
+    admitted batch-1 doc (via the persisted signature index) or an
+    earlier-kept row of their own batch; fresh rows are admitted and their
+    signatures extend the index."""
+    import pandas as pd
+    from jsschema_spark.streaming import start_near_dup_admission_sink
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    other = "one two three four five six seven eight nine ten " \
+            "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+    cols = ["doc_id", "text"]
+    pd.DataFrame([(1, base), (2, other)], columns=cols).to_parquet(
+        os.path.join(src, "f0.parquet")
+    )
+    pd.DataFrame(
+        [
+            (4, base + " extra"),       # near-dup of admitted doc 1 -> dropped
+            (5, "totally different words here make a fresh document for the corpus today ok"),
+            (6, other + " trailing"),   # near-dup of admitted doc 2 -> dropped
+            # doc 7: half of base's tokens + a fresh half -> Jaccard vs doc 1
+            # well under 0.8 (normalization lowercases, so a case-change
+            # alone would NOT make it fresh)
+            (7, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "red orange yellow green blue indigo violet cyan magenta white"),
+            (8, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "red orange yellow green blue indigo violet cyan magenta white tail"),  # near-dup of 7 -> dropped
+        ],
+        columns=cols,
+    ).to_parquet(os.path.join(src, "f1.parquet"))
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = str(tmp_path / "nd_idx")
+    out = str(tmp_path / "nd_out")
+    q = start_near_dup_admission_sink(
+        stream, idx, out, str(tmp_path / "nd_ckpt"), "doc_id", "text", threshold=0.8
+    )
+    q.awaitTermination(180)
+
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert {1, 2, 5, 7} <= ids
+    assert not ({4, 6, 8} & ids)
+    # the signature index covers exactly the admitted docs
+    sig_ids = {r.doc_id for r in spark.read.parquet(idx).collect()}
+    assert sig_ids == ids
