@@ -550,12 +550,12 @@ def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probed cell partitions and never recomputes the corpus assignment.
     Same injected-copies corpus, so the result provably equals brute force
     (same oracle as ivf_topk)."""
-    import tempfile
-
     from jsschema_spark.functions.similarity import ivf_build, ivf_search
 
     corpus, queries = _ann_corpus_and_queries(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="jsschema_ivf_") + "/index"
+    # fixed per-sf path + overwrite: repeated runs rebuild in place instead
+    # of leaking a fresh temp copy of the corpus per invocation
+    path = f"/tmp/jsschema_idx/{os.path.basename(os.path.normpath(sf_dir))}/ivf"
     ivf_build(corpus, path, n_centroids=16, seed=42, train=False)
     out = ivf_search(queries, path, k=5, nprobe=4)
     return out.select(
@@ -570,8 +570,6 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants) is deduped against the stored index — new-batch signaturing +
     band equi-join, no corpus recompute. Oracle: brute-force Jaccard pairs
     restricted to pairs touching a new id."""
-    import tempfile
-
     from jsschema_spark.functions.dedup import (
         incremental_near_duplicates_minhash,
         write_minhash_index,
@@ -582,7 +580,7 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
     )
-    path = tempfile.mkdtemp(prefix="jsschema_sig_") + "/index"
+    path = f"/tmp/jsschema_idx/{os.path.basename(os.path.normpath(sf_dir))}/sig"
     write_minhash_index(base, path, "doc_id", "text")
     index = spark.read.parquet(path)
     out = incremental_near_duplicates_minhash(
