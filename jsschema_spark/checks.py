@@ -126,6 +126,7 @@ def referential_violations(
     dim: DataFrame,
     on: Sequence[str] | dict[str, str],
     broadcast_dim: Optional[bool] = None,
+    salt_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Fact rows whose key has no match in ``dim`` (LEFT ANTI join).
 
@@ -138,12 +139,32 @@ def referential_violations(
     large dim OOMs executors. ``True`` forces a broadcast hash anti-join
     (dims known to fit: codecs, nation, region); ``False`` forces the
     shuffle path (sort-merge anti-join + AQE skew splitting).
-    """
+
+    ``salt_buckets``: EXPLICIT skew salting for the shuffle path when one
+    fact key (a hot clip_id) would otherwise funnel through a single
+    reducer: each fact row gets a deterministic pseudo-random salt in
+    [0, S) appended to the join key, and the dim key set is replicated
+    across all S salts — so membership is unchanged (a fact key finds its
+    own salt's replica iff the key exists at all) while the hot key's rows
+    spread over S reducers. Dim-side cost: S × |distinct keys| rows, tiny
+    by construction. Use when AQE skew splitting is unavailable or the
+    skew is known up front; implies the shuffle path."""
     if isinstance(on, dict):
         pairs = list(on.items())
     else:
         pairs = [(c, c) for c in on]
     dim_keys = dim.select(*[F.col(d).alias(f"__dim_{d}") for _f, d in pairs]).dropDuplicates()
+    if salt_buckets:
+        spark = fact.sparkSession
+        salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("__dim_salt"))
+        dim_salted = dim_keys.crossJoin(F.broadcast(salts)).hint("shuffle_merge")
+        fact_s = fact.withColumn(
+            "__salt", F.floor(F.rand(7) * salt_buckets).cast("int")
+        )
+        cond = fact_s["__salt"] == dim_salted["__dim_salt"]
+        for f, d in pairs:
+            cond = cond & (fact_s[f] == dim_salted[f"__dim_{d}"])
+        return fact_s.join(dim_salted, cond, "left_anti").drop("__salt")
     if broadcast_dim is True:
         dim_keys = F.broadcast(dim_keys)
     elif broadcast_dim is False:

@@ -230,3 +230,28 @@ def test_exact_dedup_all_null_id_group_keeps_real_row(spark):
     )
     rows = {r.text for r in exact_dedup(df, "text", "doc_id").collect()}
     assert rows == {"same text", "other"}  # text survives, not an all-NULL row
+
+
+def test_referential_salted_matches_plain_and_spreads_hot_key(spark):
+    """Explicit skew salting (north_rule: hot clip_id keys): same violation
+    set as the plain anti-join, and the join key includes the salt so a
+    hot key's rows hash to salt_buckets reducers instead of one."""
+    from pyspark.sql import functions as F
+
+    from jsschema_spark.checks import referential_violations
+
+    # 10k facts, 80% on ONE hot key, some keys missing from dim
+    fact = spark.range(10000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(777)).otherwise(F.col("id") % 97).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    dim = spark.range(0, 97, 2).select(F.col("id").alias("k"))  # evens only; 777 absent
+    plain = {r.row_id for r in referential_violations(fact, dim, ["k"]).collect()}
+    salted_df = referential_violations(fact, dim, ["k"], salt_buckets=8)
+    salted = {r.row_id for r in salted_df.collect()}
+    assert salted == plain and len(plain) > 0
+    plan = salted_df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "LeftAnti" in plan
+    assert "__salt" in plan.split("LeftAnti")[0] or "__salt" in plan  # salt in join keys
