@@ -837,3 +837,30 @@ def test_top_tokens_matches_python_counter(spark, docs):
     expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r.token, r.n) for r in X.top_tokens(sub, "text", k=20).collect()]
     assert got == expected
+
+
+def test_curate_documents_pipeline(spark, docs_with_dups):
+    """The composed curation pipeline drops nulls, exact dups, and near-dup
+    group members (keeping each group's minimum id) with a consistent
+    stage report."""
+    from jsschema_spark.functions.curate import curate_documents
+
+    extra = spark.createDataFrame([(9_999_999, None)], "doc_id long, text string")
+    df = docs_with_dups.unionByName(extra)
+    kept, report = curate_documents(df, "doc_id", "text", near_dup_threshold=0.7)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+
+    assert report["n_input"] == df.count()
+    assert report["n_input"] >= report["n_valid"] >= report["n_after_exact"] >= report["n_kept"]
+    assert report["n_kept"] == len(ids)
+    assert 9_999_999 not in ids  # null text dropped
+    # injected exact copies (+1M) and near variants (+2M) never survive —
+    # their base doc has the smaller id
+    assert not any(i >= 1_000_000 for i in ids)
+    # a large majority of the organic corpus survives
+    n_base = docs_with_dups.where(F.col("doc_id") < 1_000_000).count()
+    assert len(ids) > n_base * 0.9
+
+    # near-dup stage off: only exact dedup applies
+    kept2, rep2 = curate_documents(df, "doc_id", "text", near_dup_threshold=None)
+    assert rep2["n_kept"] == rep2["n_after_exact"] >= report["n_kept"]
