@@ -87,6 +87,74 @@ def start_violation_sink(
     return writer.start()
 
 
+def drift_stream(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    reference_hist: "list[tuple[int, int]]",
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Windowed distribution-drift monitoring on a stream: per event-time
+    window, bucketize ``value_col`` into the same fixed-width bins as the
+    (batch-computed) ``reference_hist`` — ``[(bucket, n), ...]`` from
+    ``stats.histogram`` — and emit one PSI value per window against it.
+
+    ONE stateful operator (watermark bounds its state): bucketize is
+    arithmetic (codegen), and the window agg computes all ``nbins``
+    per-bin counts as conditional sums in a single map-side-combined
+    aggregation — no second stateful agg (Spark's global-watermark
+    correctness check rejects chained stateful operators), no pivot, no
+    join, no per-row Python (the reference ships as literals; it is
+    nbins numbers, not data)."""
+    if hi <= lo or nbins <= 0:
+        raise ValueError("need hi > lo and nbins > 0")
+    ref_n = [0] * nbins
+    for b, n in reference_hist:
+        if not (0 <= int(b) < nbins):
+            raise ValueError(f"reference bucket {b} outside [0, {nbins})")
+        ref_n[int(b)] = int(n)
+    ref_total = sum(ref_n) or 1
+    ref_p = [max(n / ref_total, eps) for n in ref_n]
+
+    w = (hi - lo) / nbins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    per_win = (
+        stream_df.where(F.col(value_col).isNotNull())
+        .withColumn("__bucket", bucket)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum((F.col("__bucket") == b).cast("long")).alias(f"__n{b}")
+                for b in range(nbins)
+            ],
+        )
+    )
+    cur_p = [
+        F.greatest(F.col(f"__n{b}") / F.col("n_rows"), F.lit(eps))
+        for b in range(nbins)
+    ]
+    psi = None
+    for b in range(nbins):
+        term = (cur_p[b] - F.lit(ref_p[b])) * F.log(cur_p[b] / F.lit(ref_p[b]))
+        psi = term if psi is None else psi + term
+    return per_win.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        psi.alias("psi"),
+    )
+
+
 def start_dedup_admission_sink(
     stream_df: DataFrame,
     index_dir: str,

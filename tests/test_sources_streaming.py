@@ -349,3 +349,58 @@ def test_streaming_near_dup_admission(spark, tmp_path):
     # the signature index covers exactly the admitted docs
     sig_ids = {r.doc_id for r in spark.read.parquet(idx).collect()}
     assert sig_ids == ids
+
+
+def test_drift_stream_windowed_psi(spark, tmp_path):
+    """Streaming windowed PSI against a batch reference histogram: the
+    matching-distribution window scores ~0, the shifted window scores
+    high, and both agree with stats.psi computed on the same counts."""
+    import datetime as dt
+
+    from jsschema_spark.stats import histogram, psi as batch_psi
+    from jsschema_spark.streaming import drift_stream
+
+    # reference: uniform over [0, 10)
+    ref_df = spark.range(1000).select((F.col("id") % 10 + 0.5).alias("v"))
+    ref_hist = [(r.bucket, r.n) for r in histogram(ref_df, "v", 0.0, 10.0, nbins=10).collect()]
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # window 1: same uniform distribution
+    for i in range(500):
+        rows.append((t0 + dt.timedelta(seconds=i % 50), (i % 10) + 0.5))
+    # window 2 (2 min later): everything in one bucket — big drift
+    t1 = t0 + dt.timedelta(minutes=2)
+    for i in range(500):
+        rows.append((t1 + dt.timedelta(seconds=i % 50), 3.5))
+    src = str(tmp_path / "drift_src")
+    # write via Spark: pandas emits ns-precision INT64 timestamps the
+    # streaming parquet reader rejects
+    spark.createDataFrame(rows, "ts timestamp, v double").coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    out = drift_stream(stream, "v", "ts", ref_hist, 0.0, 10.0, nbins=10, window="1 minute")
+    # complete mode: append would only emit windows the watermark has
+    # closed, and a one-shot availableNow run never advances past its own
+    # max event time
+    q = (
+        out.writeStream.format("memory").queryName("drift")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.window_start: r for r in spark.sql("SELECT * FROM drift").collect()}
+    assert len(got) == 2
+    low = got[t0]
+    high = got[t1]
+    assert low.n_rows == 500 and high.n_rows == 500
+    assert low.psi < 0.01 < high.psi  # matching vs concentrated window
+    # parity with the batch PSI helper on identical dense counts
+    expected_high = batch_psi(
+        [{"bucket": b, "n": n} for b, n in ref_hist],
+        [{"bucket": 3, "n": 500}],
+        nbins=10,
+    )
+    assert abs(high.psi - expected_high) < 1e-9
