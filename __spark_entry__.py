@@ -477,6 +477,56 @@ def q_near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(df, groups, "doc_id").select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full composite quality heuristic (text.quality_score) — the
+    pre-training garbage filter — oracled component-for-component: token
+    count band, punctuation/alpha/stopword ratios and mean word length are
+    integer-over-integer double divisions, so both engines compute
+    bit-identical scores; round(4) guards the residue."""
+    from jsschema_spark.functions.text import quality_score
+
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return df.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality_r")
+    )
+
+
+def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (functions/curate.curate_documents):
+    validity -> quality gate -> exact dedup -> near-dup canonical, every
+    stage exercised by injected rows — blanks (%43) die at validity, junk
+    punctuation docs (%37) at the quality gate, exact copies (%50) at
+    fingerprint dedup, near-dup variants (%71) at LSH+Jaccard canonical
+    selection. min_quality=0.95 also splits the organic corpus (scores
+    cluster at 0.925 vs 1.0; nearest reachable scores, so the unrounded
+    comparison is FP-safe in both engines). Oracle composes the same four
+    stages in SQL with a recursive-CTE transitive closure."""
+    from jsschema_spark.functions.curate import curate_documents
+
+    base = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    exact = base.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = base.where(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+    )
+    junk = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.lit("#@! $%^ &*( !!!").alias("text"),
+    )
+    blank = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 43 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), F.lit("   ").alias("text")
+    )
+    df = base.unionByName(exact).unionByName(near).unionByName(junk).unionByName(blank)
+    kept, _report = curate_documents(
+        df, min_quality=0.95, near_dup_threshold=0.7, with_report=False
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin numeric drift (engine-side PSI terms): l_quantity histogram,
     full table vs the high-discount slice."""
@@ -669,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "near_dup_canonical": q_near_dup_canonical,
         "numeric_drift_quantity": q_numeric_drift,
+        "quality_score_documents": q_quality_score_documents,
+        "curated_documents": q_curated_documents,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_index_search": q_ivf_index_search,
@@ -957,6 +1009,112 @@ FROM all_docs d
 WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = d.doc_id AND g.grp <> d.doc_id)
 """
 
+# exact parity with jsschema_spark.functions.text.quality_score: every
+# component ratio is an integer-over-integer double division and every
+# branch constant matches, so both engines produce bit-identical scores
+# (verified; round(4) in the query guards any residue). The stopword
+# literal mirrors text.STOPWORDS_EN (asserted by a pytest).
+_STOPWORDS_SQL = (
+    "'the','a','an','and','or','of','to','in','is','are','was','it','that',"
+    "'this','for','on','with','as','at','by','be'"
+)
+
+
+def _quality_sql(src: str) -> str:
+    """(doc_id, text, score) for non-null-text rows of relation ``src`` —
+    the composite quality heuristic in DuckDB SQL."""
+    return f"""
+SELECT doc_id, text,
+  0.30*(CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 WHEN n_tok > 0 THEN 0.4 ELSE 0.0 END)
+ + 0.15*(CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.3 END)
+ + 0.25*(CASE WHEN alpha_r >= 0.6 THEN 1.0 WHEN alpha_r >= 0.3 THEN 0.5 ELSE 0.0 END)
+ + 0.15*(CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.5 END)
+ + 0.15*(CASE WHEN mwl >= 2.5 AND mwl <= 12 THEN 1.0 ELSE 0.4 END) AS score
+FROM (
+  SELECT doc_id, text, len(toks) AS n_tok,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_r,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^[:alpha:]]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS alpha_r,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(ltoks, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS stop_r,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl
+  FROM (
+    SELECT doc_id, text,
+      CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+      CASE WHEN trim(lower(text)) = '' THEN []
+           ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+    FROM {src} WHERE text IS NOT NULL
+  )
+)"""
+
+
+_QUALITY_SCORE_ORACLE = (
+    "SELECT doc_id, round(CAST(score AS DOUBLE), 4) AS quality_r "
+    f"FROM ({_quality_sql('documents')})"
+)
+
+_CURATED_ORACLE = f"""
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra trailing token'
+  FROM documents WHERE doc_id % 71 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 3000000, '#@! $%^ &*( !!!' FROM documents WHERE doc_id % 37 = 0
+  UNION ALL
+  SELECT doc_id + 5000000, '   ' FROM documents WHERE doc_id % 43 = 0
+),
+valid AS (
+  SELECT doc_id, text FROM all_docs
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+qpass AS (
+  SELECT doc_id, text FROM ({_quality_sql('valid')}) WHERE score >= 0.95
+),
+nrm AS (
+  SELECT doc_id, text, {_NORM_SQL.format(col='text')} AS norm FROM qpass
+),
+exkept AS (
+  SELECT doc_id, text, norm FROM (
+    SELECT doc_id, text, norm, min(doc_id) OVER (PARTITION BY norm) AS keeper FROM nrm
+  ) WHERE doc_id = keeper
+),
+t AS (
+  SELECT doc_id, CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+  FROM exkept
+),
+s AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+walk AS (
+  SELECT u, u AS reach FROM (SELECT DISTINCT u FROM edges) nodes
+  UNION
+  SELECT w.u, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
+),
+g AS (SELECT u, min(reach) AS grp FROM walk GROUP BY u)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM exkept d
+WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = d.doc_id AND g.grp <> d.doc_id)
+"""
+
 _NUMERIC_DRIFT_ORACLE = """
 WITH b AS (
   SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
@@ -1199,6 +1357,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups": _NEAR_DUP_GROUPS_ORACLE,
         "near_dup_canonical": _NEAR_DUP_CANONICAL_ORACLE,
         "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
+        "quality_score_documents": _QUALITY_SCORE_ORACLE,
+        "curated_documents": _CURATED_ORACLE,
         "lsh_topk": _ANN_TOPK_ORACLE,
         "ivf_topk": _ANN_TOPK_ORACLE,
         "ivf_index_search": _ANN_TOPK_ORACLE,

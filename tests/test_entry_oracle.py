@@ -90,3 +90,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert {"path", "keyword", "n_violations", "n_rows"} <= set(df.columns)
+
+
+def test_stopword_literal_matches_engine():
+    """The oracle's stopword literal must track text.STOPWORDS_EN — the
+    quality-score parity silently weakens if the lists drift apart."""
+    import re
+
+    from jsschema_spark.functions.text import STOPWORDS_EN
+
+    words = re.findall(r"'([^']+)'", entry_mod._STOPWORDS_SQL)
+    assert words == STOPWORDS_EN
