@@ -527,6 +527,44 @@ def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (curate.stratified_sample):
+    25 docs per lang_id stratum, ranked by the engine-portable md5(id)
+    order, with the hash-prefilter scale path on. Oracle = row_number over
+    the identical md5 ordering in DuckDB."""
+    from jsschema_spark.functions.curate import stratified_sample
+    from jsschema_spark.functions.text import lang_id
+
+    df = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", lang_id(F.col("text")).alias("lang"))
+    )
+    out = stratified_sample(df, ["lang"], 25, id_col="doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def q_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget cap (curate.token_budget_sample): admit
+    docs in stable md5(id) order while each language's running whitespace-
+    token total stays ≤ 1500 — the training-mix budgeting primitive.
+    Oracle = SQL cumulative-sum window over the identical ordering."""
+    from jsschema_spark.functions.curate import token_budget_sample
+    from jsschema_spark.functions.text import lang_id, token_count
+
+    df = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", lang_id(F.col("text")).alias("lang"))
+    )
+    out = token_budget_sample(df, ["lang"], 1500, id_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
 def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin numeric drift (engine-side PSI terms): l_quantity histogram,
     full table vs the high-discount slice."""
@@ -721,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_drift_quantity": q_numeric_drift,
         "quality_score_documents": q_quality_score_documents,
         "curated_documents": q_curated_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "token_budget_documents": q_token_budget_documents,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_index_search": q_ivf_index_search,
@@ -1115,6 +1155,37 @@ FROM exkept d
 WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = d.doc_id AND g.grp <> d.doc_id)
 """
 
+_STRATIFIED_SAMPLE_ORACLE = f"""
+WITH lang AS ({_LANG_ORACLE}),
+r AS (
+  SELECT d.doc_id, l.lang,
+         row_number() OVER (PARTITION BY l.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+  FROM documents d JOIN lang l ON l.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM r WHERE rk <= 25
+"""
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH lang AS ({_LANG_ORACLE}),
+base AS (
+  SELECT d.doc_id, l.lang,
+    CAST(CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents d JOIN lang l ON l.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_tokens FROM c WHERE cum <= 1500
+"""
+
 _NUMERIC_DRIFT_ORACLE = """
 WITH b AS (
   SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
@@ -1359,6 +1430,8 @@ def oracle_sql() -> dict[str, str]:
         "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
         "quality_score_documents": _QUALITY_SCORE_ORACLE,
         "curated_documents": _CURATED_ORACLE,
+        "stratified_sample_documents": _STRATIFIED_SAMPLE_ORACLE,
+        "token_budget_documents": _TOKEN_BUDGET_ORACLE,
         "lsh_topk": _ANN_TOPK_ORACLE,
         "ivf_topk": _ANN_TOPK_ORACLE,
         "ivf_index_search": _ANN_TOPK_ORACLE,

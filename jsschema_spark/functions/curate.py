@@ -20,9 +20,9 @@ acceptable for a batch curation job whose stages each scan anyway; pass
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jsschema_spark.functions.dedup import (
@@ -76,3 +76,126 @@ def curate_documents(
         report["n_kept"] = kept.count()
         report["n_dropped"] = report["n_input"] - report["n_kept"]
     return kept, report
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling — training-data mixes under per-stratum quotas
+
+
+def _stable_order(id_col: str):
+    """Content-independent, engine-portable ordering key: md5 of the id's
+    string form (DuckDB's md5 of the same string is identical, so external
+    SQL oracles can reproduce the exact sample)."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: "Sequence[str]",
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    prefilter: bool = True,
+    over_factor: float = 4.0,
+) -> DataFrame:
+    """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum,
+    deterministically: rows rank by md5(id) within their stratum and the
+    first n survive. Same input ⇒ same sample, on any cluster size.
+
+    Scale shape: a bare ``row_number`` window ships EVERY row to its
+    stratum's reducer and sorts there — a hot stratum (half the corpus in
+    one language) becomes one giant task. ``prefilter=True`` (default)
+    first computes per-stratum counts (map-side-combined agg, output rows
+    = #strata), joins them back (AQE picks broadcast when small — not
+    forced, so a million-stratum key table cannot OOM the driver), and
+    keeps only rows whose hash-fraction ≤ ``over_factor·n/count`` before
+    the exact window — the sort input is ~``over_factor·n`` rows per
+    stratum regardless of corpus size. The md5-order top-n is a uniform
+    sample, so the n-th hash fraction concentrates at n/count and the
+    prefilter keeps every window survivor except with exponentially small
+    probability; a per-stratum shortfall check (aggregate-sized) re-runs
+    the rare failing strata without the prefilter, making the result
+    EXACT, not approximate."""
+    n = int(n_per_stratum)
+    if n <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    strata = list(strata_cols)
+    base = df.withColumn("__ord", _stable_order(id_col))
+    w = Window.partitionBy(*strata).orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+
+    if not prefilter:
+        return (
+            base.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n)
+            .drop("__ord", "__rk")
+        )
+
+    counts = base.groupBy(*strata).agg(F.count(F.lit(1)).alias("__cnt"))
+    joined = base.join(counts, strata, "inner")
+    frac = F.conv(F.substring("__ord", 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(over_factor)) * F.lit(float(n)) / F.col("__cnt")
+    )
+    sampled = (
+        joined.where(frac <= rate)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+    )
+    sampled = sampled.localCheckpoint(eager=False)
+
+    # exactness check: every stratum must yield min(n, count) rows. Join
+    # the per-stratum yield back onto the COUNTS table — a stratum whose
+    # every row the prefilter dropped is absent from the yield aggregate
+    # entirely, and only the counts side still knows it exists.
+    got = sampled.groupBy(*strata).agg(F.count(F.lit(1)).alias("__got"))
+    short = (
+        counts.join(got, strata, "left")
+        .where(
+            F.coalesce(F.col("__got"), F.lit(0)) < F.least(F.lit(n), F.col("__cnt"))
+        )
+        .select(*strata)
+    )
+    if short.limit(1).count() > 0:  # stratum-level rows: tiny action
+        redo = base.join(short, strata, "left_semi")
+        fixed = (
+            redo.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n)
+            .drop("__rk")
+        )
+        kept_ok = sampled.join(short, strata, "left_anti").drop("__rk", "__cnt")
+        return kept_ok.unionByName(fixed).drop("__ord")
+    return sampled.drop("__ord", "__rk", "__cnt")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_cols: "Sequence[str]",
+    token_budget: int,
+    id_col: str = "doc_id",
+    token_col: "Optional[str]" = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum token-budget cap for building training mixes: take docs
+    in the same stable md5(id) order and keep each doc iff the running
+    token total INCLUDING it stays ≤ ``token_budget``. Deterministic and
+    engine-portable (a SQL cumulative-sum window reproduces it exactly).
+
+    One shuffle: the cumulative sum runs in a single per-stratum ordered
+    window pass. Docs after the budget point still flow through the scan
+    but carry no state — window state is O(1) per stratum."""
+    from jsschema_spark.functions.text import token_count
+
+    tok = F.col(token_col) if token_col else token_count(F.col(text_col))
+    strata = list(strata_cols)
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__ord", _stable_order(id_col))
+        .withColumn("__cum", F.sum(tok).over(w))
+        .where(F.col("__cum") <= int(token_budget))
+        .drop("__ord", "__cum")
+    )

@@ -864,3 +864,73 @@ def test_curate_documents_pipeline(spark, docs_with_dups):
     # near-dup stage off: only exact dedup applies
     kept2, rep2 = curate_documents(df, "doc_id", "text", near_dup_threshold=None)
     assert rep2["n_kept"] == rep2["n_after_exact"] >= report["n_kept"]
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    """stratified_sample keeps exactly min(n, |stratum|) rows per stratum,
+    the SAME rows with and without the scale prefilter, and the md5-order
+    rule is reproducible in plain Python."""
+    import hashlib
+
+    from jsschema_spark.functions.curate import stratified_sample
+
+    rows = []
+    for i in range(5):
+        rows.append((i, "a"))
+    for i in range(100, 150):
+        rows.append((i, "b"))
+    for i in range(1000, 1300):
+        rows.append((i, "c"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    full = stratified_sample(df, ["lang"], 10, prefilter=False)
+    fast = stratified_sample(df, ["lang"], 10, prefilter=True)
+    f_ids = sorted((r.lang, r.doc_id) for r in full.collect())
+    s_ids = sorted((r.lang, r.doc_id) for r in fast.collect())
+    assert f_ids == s_ids
+    from collections import Counter
+
+    per = Counter(l for l, _ in f_ids)
+    assert per == {"a": 5, "b": 10, "c": 10}
+
+    # the rule itself: first-10 by md5(str(id)) within each stratum
+    expected = []
+    for lang, ids in [("a", range(5)), ("b", range(100, 150)), ("c", range(1000, 1300))]:
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expected += [(lang, i) for i in ranked[:10]]
+    assert sorted(expected) == f_ids
+
+    # pathological over_factor forces the shortfall fallback path — result
+    # must STILL be exact
+    tight = stratified_sample(df, ["lang"], 10, prefilter=True, over_factor=0.01)
+    assert sorted((r.lang, r.doc_id) for r in tight.collect()) == f_ids
+
+
+def test_token_budget_sample(spark):
+    """token_budget_sample keeps docs in md5(id) order while the running
+    token total stays within the budget — verified against a Python
+    reimplementation."""
+    import hashlib
+
+    from jsschema_spark.functions.curate import token_budget_sample
+
+    rows = [(i, "x " * (i % 7 + 1), "g" + str(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), g) for i, t, g in rows], "doc_id long, text string, grp string"
+    )
+    out = token_budget_sample(df, ["grp"], 30, id_col="doc_id")
+    got = sorted((r.grp, r.doc_id) for r in out.collect())
+
+    expected = []
+    for g in ("g0", "g1"):
+        members = [(i, i % 7 + 1) for i in range(40) if "g" + str(i % 2) == g]
+        members.sort(key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(), p[0]))
+        cum = 0
+        for i, ntok in members:
+            cum += ntok
+            if cum <= 30:
+                expected.append((g, i))
+    assert got == sorted(expected)
+
+    # budget smaller than the first doc ⇒ empty, never negative/overshoot
+    assert token_budget_sample(df, ["grp"], 0).count() == 0
