@@ -583,6 +583,26 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Kolmogorov–Smirnov drift as per-bin ECDF rows (stats.ks_drift):
+    l_quantity, full table vs the high-discount slice — max(cdf_gap_r) is
+    the KS D statistic. Both engines divide exact integer cumsums, so the
+    doubles are bit-identical; round(6) aligns the surfaces."""
+    from jsschema_spark.stats import ks_drift
+
+    base = _t(spark, sf_dir, "lineitem")
+    cur = base.where(F.col("l_discount") > 0.02)
+    out = ks_drift(base, cur, "l_quantity", 1.0, 51.0, nbins=10)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("cdf_base", 6).alias("cdf_base_r"),
+        F.round("cdf_cur", 6).alias("cdf_cur_r"),
+        F.round("cdf_gap", 6).alias("cdf_gap_r"),
+    )
+
+
 def _ann_corpus_and_queries(spark: SparkSession, sf_dir: str, n_copies: int = 8):
     """ANN oracle construction: 5 query vectors + ``n_copies`` exact copies
     of each injected into the corpus. Copies land in the query's own LSH
@@ -757,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "near_dup_canonical": q_near_dup_canonical,
         "numeric_drift_quantity": q_numeric_drift,
+        "ks_drift_quantity": q_ks_drift_quantity,
         "quality_score_documents": q_quality_score_documents,
         "curated_documents": q_curated_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
@@ -1155,6 +1176,34 @@ FROM exkept d
 WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = d.doc_id AND g.grp <> d.doc_id)
 """
 
+_KS_DRIFT_ORACLE = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
+         count(*) AS n_base
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+), c AS (
+  SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
+         count(*) AS n_cur
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount > 0.02 GROUP BY 1
+), j AS (
+  SELECT coalesce(b.bucket, c.bucket) AS bucket,
+         coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket
+), k AS (
+  SELECT bucket, n_base, n_cur,
+    CAST(sum(n_base) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / CAST(sum(n_base) OVER () AS DOUBLE) AS cdf_base,
+    CAST(sum(n_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / CAST(sum(n_cur) OVER () AS DOUBLE) AS cdf_cur
+  FROM j
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       round(cdf_base, 6) AS cdf_base_r, round(cdf_cur, 6) AS cdf_cur_r,
+       round(abs(cdf_base - cdf_cur), 6) AS cdf_gap_r
+FROM k
+"""
+
 _STRATIFIED_SAMPLE_ORACLE = f"""
 WITH lang AS ({_LANG_ORACLE}),
 r AS (
@@ -1428,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups": _NEAR_DUP_GROUPS_ORACLE,
         "near_dup_canonical": _NEAR_DUP_CANONICAL_ORACLE,
         "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
+        "ks_drift_quantity": _KS_DRIFT_ORACLE,
         "quality_score_documents": _QUALITY_SCORE_ORACLE,
         "curated_documents": _CURATED_ORACLE,
         "stratified_sample_documents": _STRATIFIED_SAMPLE_ORACLE,

@@ -364,6 +364,65 @@ def categorical_drift_report(
     }
 
 
+def _joined_histograms(
+    df_baseline: DataFrame,
+    df_current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Full-outer join of both tables' fixed-width histograms on bucket
+    with zero-filled counts — the shared input of the per-bin drift
+    DataFrames. Two map-side-combined aggregations (≤nbins rows per
+    executor cross each shuffle) + an nbins-row join."""
+    hb = histogram(df_baseline, col, lo, hi, nbins).select(
+        "bucket", F.col("n").alias("n_base")
+    )
+    hc = histogram(df_current, col, lo, hi, nbins).select(
+        "bucket", F.col("n").alias("n_cur")
+    )
+    return hb.join(hc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+    )
+
+
+def ks_drift(
+    df_baseline: DataFrame,
+    df_current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov drift as a DataFrame: per-bin
+    ECDFs of both tables and their absolute gap — ``max(cdf_gap)`` is the
+    binned KS D statistic (the engine-side sibling of the driver-side
+    ``ks_statistic`` scalar; it divides exact integer cumsums where the
+    scalar accumulates float ratios, so they agree to ~1e-15, not
+    necessarily bit-for-bit).
+
+    Scale shape: identical to ``numeric_drift`` — the inputs are scanned
+    once each by map-side-combined histogram aggs; the cumulative window
+    orders ≤``nbins`` result rows, never data rows."""
+    j = _joined_histograms(df_baseline, df_current, col, lo, hi, nbins)
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    cdf_b = F.sum("n_base").over(cum) / F.sum("n_base").over(tot)
+    cdf_c = F.sum("n_cur").over(cum) / F.sum("n_cur").over(tot)
+    return j.select(
+        "bucket", "n_base", "n_cur",
+        cdf_b.alias("cdf_base"), cdf_c.alias("cdf_cur"),
+        F.abs(cdf_b - cdf_c).alias("cdf_gap"),
+    )
+
+
 def numeric_drift(
     df_baseline: DataFrame,
     df_current: DataFrame,
@@ -382,20 +441,7 @@ def numeric_drift(
     Scale shape: two histogram aggregations (map-side combined, ≤nbins rows
     per executor cross the shuffle) + an nbins-row join. Each input is
     scanned once."""
-    hb = histogram(df_baseline, col, lo, hi, nbins).select(
-        "bucket", F.col("n").alias("n_base")
-    )
-    hc = histogram(df_current, col, lo, hi, nbins).select(
-        "bucket", F.col("n").alias("n_cur")
-    )
-    j = (
-        hb.join(hc, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
-            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
-        )
-    )
+    j = _joined_histograms(df_baseline, df_current, col, lo, hi, nbins)
     from pyspark.sql import Window
 
     tot = Window.partitionBy()

@@ -215,6 +215,30 @@ def test_numeric_drift_dataframe(spark, clips):
     assert psi_total == pytest.approx(rep["psi"], rel=1e-9)
 
 
+def test_ks_drift_dataframe(spark, clips):
+    """ks_drift's per-bin ECDF gap: zero on identical inputs, max(cdf_gap)
+    equals the driver-side ks_statistic on the same histograms, and the
+    final-bin CDFs both reach 1."""
+    from jsschema_spark.stats import histogram, ks_drift, ks_statistic
+
+    same = ks_drift(clips, clips, "dur_ms", 0, 15000, nbins=10).collect()
+    assert max(r.cdf_gap for r in same) == 0.0
+
+    shifted = clips.withColumn("dur_ms", F.col("dur_ms") + F.lit(6000))
+    rows = sorted(
+        ks_drift(clips, shifted, "dur_ms", 0, 15000, nbins=10).collect(),
+        key=lambda r: r.bucket,
+    )
+    d = max(r.cdf_gap for r in rows)
+    assert d > 0.25
+    hb = [r.asDict() for r in histogram(clips, "dur_ms", 0, 15000, 10).collect()]
+    hc = [r.asDict() for r in histogram(shifted, "dur_ms", 0, 15000, 10).collect()]
+    # (approx, not ==: the scalar path accumulates floats incrementally,
+    # the DataFrame path divides exact integer cumsums)
+    assert d == pytest.approx(ks_statistic(hb, hc, 10), rel=1e-12)
+    assert rows[-1].cdf_base == pytest.approx(1.0) and rows[-1].cdf_cur == pytest.approx(1.0)
+
+
 def test_dedup_keep_first_rejects_sort_order_columns(spark):
     df = spark.createDataFrame([("a", 1, "x")], "k string, ord int, v string")
     with pytest.raises(ValueError, match="ascending"):
