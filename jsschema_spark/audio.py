@@ -342,3 +342,112 @@ def audio_invariant_scan(
                 )
 
     return files_df.mapInPandas(gen, INVARIANT_ROW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# per-clip audio profiling: decoded-PCM features for corpus curation
+# (level/clipping/silence screens before a clip enters a training mix)
+
+PROFILE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms_dbfs", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("clip_frac", T.DoubleType()),
+        T.StructField("dc_offset", T.DoubleType()),
+    ]
+)
+
+
+def pcm_profile(samples: np.ndarray) -> tuple[float, int, float, float]:
+    """(rms_dbfs, peak, clip_frac, dc_offset) of an int16 PCM signal —
+    one vectorized pass, float32 accumulation (same memory-bus argument as
+    synth_pcm). Empty signal profiles as silence (-inf dBFS)."""
+    n = len(samples)
+    if n == 0:
+        return float("-inf"), 0, 0.0, 0.0
+    f = samples.astype(np.float32)
+    rms = float(np.sqrt(np.mean(np.square(f, out=f))))  # square in-place
+    rms_dbfs = 20.0 * float(np.log10(rms / 32768.0)) if rms > 0 else float("-inf")
+    peak = int(np.max(np.abs(samples.astype(np.int32))))
+    clip_frac = float(np.count_nonzero(np.abs(samples.astype(np.int32)) >= 32767) / n)
+    dc_offset = float(np.mean(samples, dtype=np.float64))
+    return rms_dbfs, peak, clip_frac, dc_offset
+
+
+def _profile_rows(cids, payloads) -> pd.DataFrame:
+    oks, srs, lens, rmss, peaks, clips, dcs = [], [], [], [], [], [], []
+    for payload in payloads:
+        try:
+            sr, samples = wav_decode(payload)
+            rms_dbfs, peak, clip_frac, dc = pcm_profile(samples)
+            oks.append(True); srs.append(sr); lens.append(len(samples))
+            rmss.append(rms_dbfs); peaks.append(peak)
+            clips.append(clip_frac); dcs.append(dc)
+        except (ValueError, TypeError):
+            oks.append(False); srs.append(0); lens.append(0)
+            rmss.append(float("-inf")); peaks.append(0); clips.append(0.0); dcs.append(0.0)
+    return pd.DataFrame(
+        {
+            "clip_id": list(cids), "decode_ok": oks, "sr_hz": srs,
+            "n_samples": lens, "rms_dbfs": rmss, "peak": peaks,
+            "clip_frac": clips, "dc_offset": dcs,
+        }
+    )
+
+
+def audio_profile_scan(
+    spark,
+    parquet_dir: str,
+    clip_id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+):
+    """Per-clip audio profile over a parquet directory, file-granular
+    (the same no-payload-over-IPC shape as ``audio_invariant_scan``):
+    DataFrame(clip_id, decode_ok, sr_hz, n_samples, rms_dbfs, peak,
+    clip_frac, dc_offset). Join ``sr_hz``/``n_samples`` against the
+    table's metadata columns for duration/rate consistency checks —
+    that comparison is then a plain Catalyst filter."""
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_dir!r}")
+    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                table = pq.read_table(path, columns=[clip_id_col, bytes_col])
+                cids = table.column(clip_id_col).to_pylist()
+                payloads = (
+                    memoryview(s.as_buffer()) if s.is_valid else None
+                    for chunk in table.column(bytes_col).chunks
+                    for s in chunk
+                )
+                yield _profile_rows(cids, payloads)
+
+    return files_df.mapInPandas(gen, PROFILE_ROW_SCHEMA)
+
+
+def make_audio_profile_udf():
+    """Column form of the profile (payload bytes already in the table):
+    (clip_id, bytes) → profile struct. Prefer ``audio_profile_scan`` on a
+    single box — this form ships every payload byte through Arrow IPC."""
+    schema = T.StructType([f for f in PROFILE_ROW_SCHEMA.fields if f.name != "clip_id"])
+
+    @F.pandas_udf(schema)
+    def _udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        for clip_ids, payloads in it:
+            out = _profile_rows(clip_ids, payloads)
+            yield out.drop(columns=["clip_id"])
+
+    return _udf

@@ -40,3 +40,66 @@ def test_file_granular_write_is_deterministic(spark, tmp_path):
     da = spark.read.parquet(a).select("clip_id", F.md5(F.col("bytes")).alias("h"))
     db = spark.read.parquet(b).select("clip_id", F.md5(F.col("bytes")).alias("h"))
     assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
+
+
+def test_audio_profile_scan(spark, tmp_path):
+    """audio_profile_scan: decoded-PCM level/clipping/duration features,
+    numpy-verified per clip, with the column-UDF form in agreement."""
+    import numpy as np
+
+    from jsschema_spark.audio import (
+        audio_profile_scan,
+        make_audio_profile_udf,
+        pcm_profile,
+        wav_decode,
+    )
+
+    out = str(tmp_path / "audio_prof")
+    clips_audio_to_parquet(spark, 120, out, n_files=4)
+
+    prof = audio_profile_scan(spark, out).cache()
+    rows = {r.clip_id: r for r in prof.collect()}
+    assert len(rows) == 120
+    assert all(r.decode_ok for r in rows.values())
+
+    # spot-check three clips against a direct numpy profile of the stored bytes
+    stored = spark.read.parquet(out).limit(3).collect()
+    for s in stored:
+        sr, samples = wav_decode(s.bytes)
+        rms_dbfs, peak, clip_frac, dc = pcm_profile(samples)
+        r = rows[s.clip_id]
+        assert r.sr_hz == sr and r.n_samples == len(samples)
+        assert abs(r.rms_dbfs - rms_dbfs) < 1e-9 and r.peak == peak
+        assert abs(r.clip_frac - clip_frac) < 1e-12 and abs(r.dc_offset - dc) < 1e-9
+
+    # signals are a 0.75-headroom sine mix: audible but unclipped
+    ok = prof.where(F.col("n_samples") > 0)
+    assert ok.where((F.col("rms_dbfs") > -40) & (F.col("rms_dbfs") < 0)).count() == ok.count()
+    assert ok.where(F.col("clip_frac") > 0.01).count() == 0
+
+    # duration consistency joins back to the metadata as a Catalyst filter
+    meta = spark.read.parquet(out).select("clip_id", "sr_hz", "dur_ms")
+    j = prof.select("clip_id", F.col("sr_hz").alias("dec_sr"), "n_samples").join(meta, "clip_id")
+    mismatch = j.where(
+        F.abs(F.col("n_samples") - F.col("dur_ms") * F.col("dec_sr") / 1000) > F.col("dec_sr") / 100
+    )
+    assert mismatch.count() == 0
+
+    # column-UDF form agrees on the same stored bytes
+    udf = make_audio_profile_udf()
+    ipc = (
+        spark.read.parquet(out)
+        .withColumn("p", udf(F.col("clip_id"), F.col("bytes")))
+        .select("clip_id", F.col("p.rms_dbfs").alias("rms2"), F.col("p.peak").alias("peak2"))
+    )
+    diff = prof.join(ipc, "clip_id").where(
+        (F.abs(F.col("rms_dbfs") - F.col("rms2")) > 1e-9) | (F.col("peak") != F.col("peak2"))
+    )
+    assert diff.count() == 0
+    prof.unpersist()
+
+    # corrupted payload: decode_ok False, silence profile
+    from jsschema_spark.audio import _profile_rows
+
+    pdf = _profile_rows(["x"], [b"not a wav"])
+    assert not pdf.decode_ok[0] and pdf.rms_dbfs[0] == float("-inf")
