@@ -102,6 +102,16 @@ def main() -> None:
         audio_invariant_scan(spark, asrc).where(F.col("snr_db") >= 30.0).count()
         extras["audio_clips_per_sec_warm"] = round(audio_n / (time.time() - t0), 1)
 
+        # q3b: per-clip audio profile (level/clipping features) on the same
+        # stored WAVs — workers and page cache warm from q3, so this times
+        # the profile kernel itself
+        from jsschema_spark.audio import audio_profile_scan
+
+        timed(
+            "clips_audio_profile",
+            lambda: audio_profile_scan(spark, asrc).where(F.col("decode_ok")).count(),
+        )
+
         # q4+: engine queries over the driver tables
         qs = entry_mod.queries()
         for name in (
@@ -115,6 +125,8 @@ def main() -> None:
             "numeric_drift_quantity",
             "ivf_index_search", "incremental_minhash", "embedding_multiseed_near_dups",
             "simhash_near_dup_pairs", "vocab_top_tokens", "ngram_doc_freq",
+            "ks_drift_quantity", "quality_score_documents", "curated_documents",
+            "stratified_sample_documents", "token_budget_documents",
         ):
             q = qs[name]
             timed(name, lambda q=q: q(spark, sf_dir).count())

@@ -237,7 +237,12 @@ def ivf_build(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
         F.coalesce(nearest_cell(F.col(vec_col), cents), F.lit(-1)).alias("cell"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # hash-repartition on the partition column BEFORE the dynamic-partition
+    # write: without it every write task emits a file per cell it sees
+    # (#tasks × #cells small files — at 10^12 rows, millions); with it each
+    # cell lands in exactly one task, so file count = #cells (an oversized
+    # cell splits via spark.sql.files.maxRecordsPerFile, not task fan-out)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cid int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
@@ -257,6 +262,7 @@ def ivf_append(new_vectors: DataFrame, path: str,
             F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
             F.coalesce(nearest_cell(F.col(vec_col), cents), F.lit(-1)).alias("cell"),
         )
+        .repartition("cell")  # one file per touched cell, not per task×cell
         .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
@@ -309,10 +315,11 @@ def lsh_build(
     three ints need storing."""
     spark = corpus.sparkSession
     planes = hyperplanes(dim, n_planes, seed)
+    # same small-files guard as ivf_build: one task per bucket
     corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
         F.coalesce(hyperplane_bucket_v(F.col(vec_col), planes), F.lit(-1).cast("long")).alias("bucket"),
-    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    ).repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
     spark.createDataFrame(
         [(dim, n_planes, seed)], "dim int, n_planes int, seed int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
@@ -331,6 +338,7 @@ def lsh_append(new_vectors: DataFrame, path: str,
             F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
             F.coalesce(hyperplane_bucket_v(F.col(vec_col), planes), F.lit(-1).cast("long")).alias("bucket"),
         )
+        .repartition("bucket")  # one file per touched bucket, not per task×bucket
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(path)
