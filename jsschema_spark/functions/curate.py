@@ -43,12 +43,15 @@ def curate_documents(
     num_hashes: int = 64,
     bands: int = 16,
     with_report: bool = True,
+    metadata_schema: "Optional[dict]" = None,
 ) -> "tuple[DataFrame, dict]":
     """Run the full curation pipeline; see module docstring.
 
     ``min_quality``: 0 disables the quality gate (validity still applies).
     ``near_dup_threshold``: ``None`` skips the near-dup stage (exact dedup
-    only)."""
+    only). ``metadata_schema``: a JSON-Schema dict compiled once into the
+    validity stage's Catalyst predicate (rows failing it are dropped with
+    the blanks — no Python in the plan)."""
     report: dict = {}
     if with_report:
         report["n_input"] = df.count()
@@ -56,6 +59,12 @@ def curate_documents(
     valid = df.where(
         F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
     )
+    if metadata_schema is not None:
+        from jsschema_spark import parse_schema
+        from jsschema_spark.compiler import TableValidator
+
+        tv = TableValidator(parse_schema(metadata_schema), df.schema)
+        valid = valid.where(tv.valid_column())
     if min_quality > 0.0:
         valid = valid.where(quality_score(F.col(text_col)) >= min_quality)
     if with_report:

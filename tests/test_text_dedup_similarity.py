@@ -934,3 +934,21 @@ def test_token_budget_sample(spark):
 
     # budget smaller than the first doc ⇒ empty, never negative/overshoot
     assert token_budget_sample(df, ["grp"], 0).count() == 0
+
+
+def test_curate_documents_metadata_schema_gate(spark, docs_with_dups):
+    """curate_documents' metadata_schema compiles into the validity stage:
+    rows violating the schema are dropped exactly like blanks."""
+    from jsschema_spark.functions.curate import curate_documents
+
+    df = docs_with_dups.withColumn("source", F.when(F.col("doc_id") % 3 == 0, "web")
+                                   .otherwise("bad source"))
+    schema = {"type": "object", "properties": {"source": {"pattern": "^[a-z]+$"}}}
+    kept, report = curate_documents(
+        df, "doc_id", "text", near_dup_threshold=None, metadata_schema=schema
+    )
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert ids and all(i % 3 == 0 for i in ids)
+    base = curate_documents(df.where(F.col("doc_id") % 3 == 0), "doc_id", "text",
+                            near_dup_threshold=None)[0]
+    assert ids == {r.doc_id for r in base.select("doc_id").collect()}
