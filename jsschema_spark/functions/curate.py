@@ -76,6 +76,11 @@ def curate_documents(
 
     kept = exact
     if near_dup_threshold is not None:
+        # the exact-dedup output feeds BOTH the signature pipeline and the
+        # canonical anti-join (and the report count): checkpoint the
+        # deduped table once instead of re-running the min_by aggregation
+        # per consumer (lazy — materializes on first action)
+        exact = exact.localCheckpoint(eager=False)
         pairs = near_duplicates_minhash(
             exact, id_col, text_col, num_hashes, bands, threshold=near_dup_threshold
         )
