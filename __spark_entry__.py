@@ -583,6 +583,50 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _EPOCH_US(c):
+    """Micros since epoch for a TIMESTAMP_NTZ column, timezone-free
+    (unix_micros rejects NTZ; a cast would re-interpret in session tz)."""
+    return F.timestamp_diff("MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c).cast("long")
+
+
+def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (functions/events.sessionize + session_stats):
+    6-hour inactivity gap over the events table, per-session aggregates.
+    Timestamps surface as unix micros so both engines hash identically."""
+    from jsschema_spark.functions.events import session_stats
+
+    df = _t(spark, sf_dir, "events")
+    out = session_stats(df, "user_id", "ts", gap="6 hours", order_cols=["event_id"])
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _EPOCH_US(F.col("session_start")).alias("start_us"),
+        _EPOCH_US(F.col("session_end")).alias("end_us"),
+        F.col("duration_us").cast("long").alias("duration_us"),
+    )
+
+
+def q_asof_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed backward as-of join (functions/events.asof_join): each
+    click event attached to the user's latest error at-or-before it — the
+    point-in-time lookup, implemented as ONE per-key ordered window over
+    the tagged union (no range-join explosion). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from jsschema_spark.functions.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join(clicks, errors, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        _EPOCH_US(F.col("ts")).alias("ts_us"),
+        _EPOCH_US(F.col("asof_ts")).alias("err_ts_us"),
+        F.col("asof_value").alias("err_value"),
+    )
+
+
 def q_ks_drift_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned Kolmogorov–Smirnov drift as per-bin ECDF rows (stats.ks_drift):
     l_quantity, full table vs the high-discount slice — max(cdf_gap_r) is
@@ -778,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_canonical": q_near_dup_canonical,
         "numeric_drift_quantity": q_numeric_drift,
         "ks_drift_quantity": q_ks_drift_quantity,
+        "session_stats_events": q_session_stats_events,
+        "asof_clicks_errors": q_asof_clicks_errors,
         "quality_score_documents": q_quality_score_documents,
         "curated_documents": q_curated_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
@@ -1176,6 +1222,38 @@ FROM exkept d
 WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = d.doc_id AND g.grp <> d.doc_id)
 """
 
+_SESSION_STATS_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 6 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  SELECT user_id, ts,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM s
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM c GROUP BY 1, 2
+"""
+
+_ASOF_ORACLE = """
+SELECT c.event_id, c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+       CAST(epoch_us(e.rts) AS BIGINT) AS err_ts_us,
+       e.value AS err_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN
+     (SELECT user_id AS uid, ts AS rts, value FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.uid AND c.ts >= e.rts
+"""
+
 _KS_DRIFT_ORACLE = """
 WITH b AS (
   SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
@@ -1478,6 +1556,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_canonical": _NEAR_DUP_CANONICAL_ORACLE,
         "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
         "ks_drift_quantity": _KS_DRIFT_ORACLE,
+        "session_stats_events": _SESSION_STATS_ORACLE,
+        "asof_clicks_errors": _ASOF_ORACLE,
         "quality_score_documents": _QUALITY_SCORE_ORACLE,
         "curated_documents": _CURATED_ORACLE,
         "stratified_sample_documents": _STRATIFIED_SAMPLE_ORACLE,

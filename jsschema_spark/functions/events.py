@@ -1,0 +1,136 @@
+"""Event-stream operators: gap sessionization and a distributed as-of
+join — the time-ordered companions to the validation/curation operators.
+
+Both are single-shuffle designs: every computation is a per-key ordered
+window, so the only movement is one hash partition on the key. No
+cross joins, no per-row Python, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    order_cols: Optional[Sequence[str]] = None,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Assign gap-based session indices per user: a new session starts at
+    the first event and whenever the time since the previous event exceeds
+    ``gap`` (an interval literal). Adds ``session_col`` (0-based, per
+    user) — ``(user_col, session_col)`` is the session key.
+
+    Deterministic: events order by ``(ts, *order_cols)`` within the user —
+    pass an id column in ``order_cols`` when timestamps can tie.
+
+    Scale shape: one shuffle (hash on ``user_col``), one sort per
+    partition; the lag and cumsum windows share partitioning and
+    ordering, so the second Window operator reuses the first's exchange
+    and sort. Skew is bounded by the busiest single user, not by corpus
+    size."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap}"))
+    ).cast("long")
+    cum = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("__new_session", new_session)
+        .withColumn(session_col, F.sum("__new_session").over(cum) - 1)
+        .drop("__new_session")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    order_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Per-session aggregates after ``sessionize``: event count, start/end
+    timestamps and duration in seconds. One additional map-side-combined
+    aggregation on the session key (already co-partitioned by the
+    sessionize shuffle, so AQE can plan it exchange-free)."""
+    s = sessionize(df, user_col, ts_col, gap, order_cols)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        # timestamp_diff works on both TIMESTAMP and TIMESTAMP_NTZ
+        # (unix_micros rejects NTZ, the type parquet event-time usually is)
+        F.timestamp_diff("MICROSECOND", F.min(ts_col), F.max(ts_col)).alias(
+            "duration_us"
+        ),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Optional[Sequence[str]] = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the LATEST right row
+    with ``right_ts <= left_ts`` for the same ``on`` key (inclusive at
+    equality); left rows with no prior right row get nulls. The classic
+    point-in-time lookup (event → latest snapshot/state before it).
+
+    NOT implemented as a join: a range-join explodes (every left row
+    matches every earlier right row before the aggregate). Instead both
+    streams are tagged and unioned, and ONE per-key ordered window carries
+    the last-seen right payload forward (``last(ignorenulls)``) — right
+    rows sort before left rows at equal timestamps, which is what makes
+    the match inclusive. One shuffle on the key; window state is O(1).
+
+    Output: every left column plus ``{prefix}{right_ts}`` and
+    ``{prefix}{c}`` for each of ``value_cols`` (default: all right columns
+    except the key and timestamp)."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *left.columns,
+    )
+    # __payload as the final ordering key makes duplicate-(key, ts) right
+    # rows resolve deterministically (largest payload tuple wins) instead
+    # of by partition-internal arrival order
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col("__payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out_cols: list[Column] = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"__match.__ts").alias(f"{prefix}{right_ts}"))
+    out_cols += [F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in value_cols]
+    return carried.where(F.col("__tag") == 1).select(*out_cols)

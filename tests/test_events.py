@@ -1,0 +1,152 @@
+"""Event-stream operators: gap sessionization and the distributed as-of
+join, pinned against plain-Python reimplementations."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _ev(uid, minutes, eid):
+    return (eid, uid, T0 + dt.timedelta(minutes=minutes))
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        # user 1: two sessions split by a 90-minute gap
+        _ev(1, 0, 0), _ev(1, 10, 1), _ev(1, 25, 2),
+        _ev(1, 115, 3), _ev(1, 120, 4),
+        # user 2: one event
+        _ev(2, 5, 5),
+        # user 3: every event exactly 30 minutes apart — gap is EXCLUSIVE
+        # (> gap starts a session), so this stays ONE session
+        _ev(3, 0, 6), _ev(3, 30, 7), _ev(3, 60, 8),
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+def test_sessionize_gap_semantics(spark, events):
+    from jsschema_spark.functions.events import sessionize
+
+    out = sessionize(events, "user_id", "ts", gap="30 minutes", order_cols=["event_id"])
+    got = {r.event_id: r.session_idx for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 0, 7: 0, 8: 0}
+
+
+def test_session_stats(spark, events):
+    from jsschema_spark.functions.events import session_stats
+
+    out = session_stats(events, "user_id", "ts", gap="30 minutes", order_cols=["event_id"])
+    rows = {(r.user_id, r.session_idx): r for r in out.collect()}
+    assert len(rows) == 4
+    s = rows[(1, 0)]
+    assert s.n_events == 3 and s.duration_us == 25 * 60 * 1_000_000
+    assert rows[(1, 1)].n_events == 2
+    assert rows[(2, 0)].n_events == 1 and rows[(2, 0)].duration_us == 0
+    assert rows[(3, 0)].n_events == 3
+
+
+def test_asof_join_backward_inclusive(spark):
+    from jsschema_spark.functions.events import asof_join
+
+    clicks = spark.createDataFrame(
+        [
+            (100, 1, T0 + dt.timedelta(minutes=10)),
+            (101, 1, T0 + dt.timedelta(minutes=20)),
+            (102, 1, T0 + dt.timedelta(minutes=5)),   # before any error -> null
+            (103, 2, T0 + dt.timedelta(minutes=15)),  # equal-ts match (inclusive)
+            (104, 3, T0 + dt.timedelta(minutes=9)),   # user with no errors at all
+        ],
+        "click_id long, user_id long, ts timestamp",
+    )
+    errors = spark.createDataFrame(
+        [
+            (1, T0 + dt.timedelta(minutes=8), 1.5),
+            (1, T0 + dt.timedelta(minutes=18), 2.5),
+            (1, T0 + dt.timedelta(minutes=30), 9.9),  # after every click
+            (2, T0 + dt.timedelta(minutes=15), 7.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join(clicks, errors, on="user_id", left_ts="ts", right_ts="ts")
+    got = {r.click_id: (r.asof_ts, r.asof_value) for r in out.collect()}
+    assert len(got) == 5
+    assert got[100] == (T0 + dt.timedelta(minutes=8), 1.5)
+    assert got[101] == (T0 + dt.timedelta(minutes=18), 2.5)
+    assert got[102] == (None, None)
+    assert got[103] == (T0 + dt.timedelta(minutes=15), 7.0)  # ts tie matches
+    assert got[104] == (None, None)
+
+
+def test_asof_join_matches_python_reference(spark):
+    """Randomized (deterministic-seed) corpus vs a brute-force Python
+    as-of: every left row, every key, both match and no-match cases."""
+    import random
+
+    from jsschema_spark.functions.events import asof_join
+
+    rng = random.Random(7)
+    lrows = [
+        (i, rng.randrange(6), T0 + dt.timedelta(seconds=rng.randrange(10_000)))
+        for i in range(300)
+    ]
+    rrows = [
+        (rng.randrange(6), T0 + dt.timedelta(seconds=rng.randrange(10_000)), float(i))
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, v double")
+
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    got = {r.lid: (r.asof_ts, r.asof_v) for r in out.collect()}
+
+    by_key = {}
+    for k, ts, v in rrows:
+        by_key.setdefault(k, []).append((ts, v))
+    for k in by_key:
+        by_key[k].sort()
+    for lid, k, ts in lrows:
+        best = None
+        for rts, v in by_key.get(k, []):
+            if rts <= ts:
+                best = (rts, v)
+        assert got[lid] == (best or (None, None)), lid
+
+def test_asof_join_duplicate_ts_deterministic(spark):
+    """Two right rows at the same (key, ts): the largest payload tuple
+    wins, on every run."""
+    from jsschema_spark.functions.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, T0 + dt.timedelta(minutes=10))], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(minutes=5), 3.0),
+         (1, T0 + dt.timedelta(minutes=5), 8.0)],
+        "k long, ts timestamp, v double",
+    )
+    for _ in range(3):
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+        assert out[0].asof_v == 8.0
+
+
+def test_asof_join_plan_single_exchange(spark):
+    """The as-of join must stay a tagged-union + ONE per-key window — a
+    range join or a second shuffle here is a scale regression."""
+    from jsschema_spark.functions.events import asof_join
+
+    left = spark.createDataFrame([(1, 1, T0)], "lid long, k long, ts timestamp")
+    right = spark.createDataFrame([(1, T0, 1.0)], "k long, ts timestamp, v double")
+    plan = (
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # no join operator of any kind
+    assert plan.count("Window") == 1
