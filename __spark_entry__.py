@@ -477,6 +477,38 @@ def q_near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(df, groups, "doc_id").select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def q_fd_customer_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (checks.functional_dependency_
+    violations): which nation keys map to more than one market segment —
+    the FD-integrity primitive (shuffle width = #distinct pairs via
+    collect_set map-side combine, never #rows)."""
+    from jsschema_spark.checks import functional_dependency_violations
+
+    df = _t(spark, sf_dir, "customer")
+    out = functional_dependency_violations(df, ["c_nationkey"], "c_mktsegment")
+    return out.select(
+        "c_nationkey",
+        "n_dependent_values",
+        "n_rows",
+        F.array_join("sample_values", ",").alias("samples"),
+    )
+
+
+def q_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-contract check (checks.cardinality_violations): orders
+    whose lineitem count falls outside [2, 7] — the bound referential
+    anti-joins can't express. Child counts map-side combine; the parent
+    join is AQE-sized."""
+    from jsschema_spark.checks import cardinality_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    out = cardinality_violations(
+        orders, lineitem, "o_orderkey", "l_orderkey", min_children=2, max_children=7
+    )
+    return out.select("o_orderkey", "n_children", "bound")
+
+
 def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full composite quality heuristic (text.quality_score) — the
     pre-training garbage filter — oracled component-for-component: token
@@ -824,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_quantity": q_ks_drift_quantity,
         "session_stats_events": q_session_stats_events,
         "asof_clicks_errors": q_asof_clicks_errors,
+        "fd_customer_nation_segment": q_fd_customer_nation_segment,
+        "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
         "quality_score_documents": q_quality_score_documents,
         "curated_documents": q_curated_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
@@ -1222,6 +1256,30 @@ FROM exkept d
 WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = d.doc_id AND g.grp <> d.doc_id)
 """
 
+_FD_ORACLE = """
+WITH v AS (
+  SELECT c_nationkey,
+         coalesce(CAST(c_mktsegment AS VARCHAR), '__NULL__') AS dep
+  FROM customer
+)
+SELECT c_nationkey,
+       CAST(count(DISTINCT dep) AS BIGINT) AS n_dependent_values,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       array_to_string(list_sort(list_distinct(list(dep)))[1:3], ',') AS samples
+FROM v GROUP BY 1 HAVING count(DISTINCT dep) > 1
+"""
+
+_CARDINALITY_ORACLE = """
+WITH c AS (
+  SELECT l_orderkey AS o_orderkey, count(*) AS n FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_children,
+       CASE WHEN coalesce(c.n, 0) < 2 THEN 'under' ELSE 'over' END AS bound
+FROM orders o LEFT JOIN c USING (o_orderkey)
+WHERE coalesce(c.n, 0) < 2 OR coalesce(c.n, 0) > 7
+"""
+
 _SESSION_STATS_ORACLE = """
 WITH s AS (
   SELECT user_id, ts, event_id,
@@ -1558,6 +1616,8 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift_quantity": _KS_DRIFT_ORACLE,
         "session_stats_events": _SESSION_STATS_ORACLE,
         "asof_clicks_errors": _ASOF_ORACLE,
+        "fd_customer_nation_segment": _FD_ORACLE,
+        "cardinality_orders_lineitem": _CARDINALITY_ORACLE,
         "quality_score_documents": _QUALITY_SCORE_ORACLE,
         "curated_documents": _CURATED_ORACLE,
         "stratified_sample_documents": _STRATIFIED_SAMPLE_ORACLE,

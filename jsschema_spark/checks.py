@@ -204,3 +204,80 @@ def key_set_diff(
     missing = exp_keys.exceptAll(act_keys).withColumn("status", F.lit("missing"))
     unexpected = act_keys.exceptAll(exp_keys).withColumn("status", F.lit("unexpected"))
     return missing.unionByName(unexpected)
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    determinant_cols: Sequence[str],
+    dependent_col: str,
+    max_samples: int = 3,
+) -> DataFrame:
+    """Determinant groups that map to MORE than one dependent value —
+    candidate functional-dependency discovery / FD-integrity checking
+    (e.g. "every clip_id maps to exactly one codec").
+
+    One map-side-combined aggregation on the determinant: each task
+    pre-reduces its rows to distinct (determinant, dependent) pairs via
+    ``collect_set``, so shuffle width is bounded by #distinct pairs, not
+    #rows. ``sample_values`` carries ``max_samples`` offending dependents
+    (deterministic: sorted set, first k). Nulls count as a value (a
+    determinant mapping to both NULL and 'x' IS a violation).
+
+    Output: ``*determinant_cols, n_dependent_values, n_rows,
+    sample_values``."""
+    dep = F.coalesce(F.col(dependent_col).cast("string"), F.lit("__NULL__"))
+    agg = (
+        df.groupBy(*determinant_cols)
+        .agg(
+            F.collect_set(dep).alias("__vals"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .where(F.size("__vals") > 1)
+    )
+    return agg.select(
+        *determinant_cols,
+        F.size("__vals").cast("long").alias("n_dependent_values"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.slice(F.array_sort("__vals"), 1, max_samples).alias("sample_values"),
+    )
+
+
+def cardinality_violations(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    min_children: int = 1,
+    max_children: Optional[int] = None,
+) -> DataFrame:
+    """Parents whose child-row count falls outside
+    ``[min_children, max_children]`` — the cardinality contract referential
+    anti-joins can't express (they only see 0-vs-nonzero).
+
+    Child counts are one map-side-combined aggregation (shuffle width =
+    #distinct child keys); the parent join is a plain equi-join AQE sizes
+    (broadcast when the violating-count side is small). ``min_children=0``
+    checks only the upper bound; parents with no children surface with
+    ``n_children = 0`` via the left join.
+
+    Output: ``parent_key, n_children, bound`` ('under' | 'over')."""
+    counts = child.groupBy(F.col(child_key).alias(parent_key)).agg(
+        F.count(F.lit(1)).alias("n_children")
+    )
+    joined = (
+        parent.select(parent_key)
+        .join(counts, parent_key, "left")
+        .select(
+            parent_key,
+            F.coalesce(F.col("n_children"), F.lit(0)).cast("long").alias("n_children"),
+        )
+    )
+    under = F.col("n_children") < min_children
+    over = (
+        F.col("n_children") > max_children if max_children is not None else F.lit(False)
+    )
+    return joined.where(under | over).select(
+        parent_key,
+        "n_children",
+        F.when(under, F.lit("under")).otherwise(F.lit("over")).alias("bound"),
+    )

@@ -279,3 +279,44 @@ def test_referential_salted_matches_plain_and_spreads_hot_key(spark):
     )[0]
     assert "LeftAnti" in plan
     assert "__salt" in plan.split("LeftAnti")[0] or "__salt" in plan  # salt in join keys
+
+
+def test_functional_dependency_violations(spark):
+    from jsschema_spark.checks import functional_dependency_violations
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "z"),
+         ("c", None), ("c", "x"), ("d", None), ("d", None)],
+        "k string, v string",
+    )
+    out = {r.k: r for r in functional_dependency_violations(df, ["k"], "v").collect()}
+    # a: single value — ok; d: only NULLs — ok; b: three values; c: NULL+x
+    assert set(out) == {"b", "c"}
+    assert out["b"].n_dependent_values == 3 and out["b"].n_rows == 3
+    assert out["b"].sample_values == ["x", "y", "z"]
+    assert out["c"].n_dependent_values == 2
+    assert out["c"].sample_values == ["__NULL__", "x"]
+
+    # max_samples truncates deterministically (sorted, first k)
+    out2 = functional_dependency_violations(df, ["k"], "v", max_samples=2).collect()
+    b = [r for r in out2 if r.k == "b"][0]
+    assert b.sample_values == ["x", "y"]
+
+
+def test_cardinality_violations(spark):
+    from jsschema_spark.checks import cardinality_violations
+
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (2,), (2,)], "fk long"
+    )
+    out = {r.pk: r for r in cardinality_violations(
+        parent, child, "pk", "fk", min_children=1, max_children=3).collect()}
+    # 1 has 1 child (ok), 2 has 4 (over), 3 and 4 have 0 (under)
+    assert set(out) == {2, 3, 4}
+    assert out[2].bound == "over" and out[2].n_children == 4
+    assert out[3].bound == "under" and out[3].n_children == 0
+
+    # min_children=0: only the upper bound applies
+    out0 = cardinality_violations(parent, child, "pk", "fk", 0, 3).collect()
+    assert {r.pk for r in out0} == {2}
