@@ -127,6 +127,8 @@ def main() -> None:
             "simhash_near_dup_pairs", "vocab_top_tokens", "ngram_doc_freq",
             "ks_drift_quantity", "quality_score_documents", "curated_documents",
             "stratified_sample_documents", "token_budget_documents",
+            "session_stats_events", "asof_clicks_errors",
+            "fd_customer_nation_segment", "cardinality_orders_lineitem",
         ):
             q = qs[name]
             timed(name, lambda q=q: q(spark, sf_dir).count())
