@@ -109,6 +109,139 @@ def frame_sample_plan(df: DataFrame, id_col: str, n_frames_col: str, every_n: in
     )
 
 
+# ---------------------------------------------------------------------------
+# image header probing — REAL, no codec library: container headers carry
+# format + pixel dimensions at fixed (PNG/GIF/BMP) or scannable (JPEG)
+# offsets. Pixel DECODE stays stubbed; dimension/format metadata does not.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _be(col, pos: int, n: int):
+    """Big-endian unsigned int from ``n`` bytes at 1-based ``pos`` of a
+    binary column — pure Catalyst (hex → conv base 16)."""
+    return F.conv(F.hex(F.substring(col, pos, n)), 16, 10).cast("long")
+
+
+def _le(col, pos: int, n: int):
+    """Little-endian unsigned int: byte-reverse via per-byte shifts."""
+    out = None
+    for i in range(n):
+        term = _be(col, pos + i, 1) * F.lit(1 << (8 * i))
+        out = term if out is None else out + term
+    return out
+
+
+def sniff_image_format(col) -> "F.Column":
+    """Container format from magic bytes — pure Catalyst, codegen."""
+    return (
+        F.when(F.substring(col, 1, 8) == F.lit(_PNG_MAGIC), F.lit("png"))
+        .when(F.substring(col, 1, 3) == F.lit(b"\xff\xd8\xff"), F.lit("jpeg"))
+        .when(
+            (F.substring(col, 1, 6) == F.lit(b"GIF87a"))
+            | (F.substring(col, 1, 6) == F.lit(b"GIF89a")),
+            F.lit("gif"),
+        )
+        .when(F.substring(col, 1, 2) == F.lit(b"BM"), F.lit("bmp"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def jpeg_dims(payload: bytes) -> "tuple[int, int] | None":
+    """(width, height) from the first JPEG SOF segment — a marker scan,
+    no decoder. Returns None on malformed/truncated streams."""
+    try:
+        if not payload or payload[:3] != b"\xff\xd8\xff":
+            return None
+        i, n = 2, len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no length
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (w, h)
+            i += 2 + seg_len
+        return None
+    except (IndexError, ValueError):
+        return None
+
+
+def _make_jpeg_dims_udf():
+    # built lazily: the pandas_udf decorator needs an active SparkSession,
+    # which must not be an import-time requirement of this module
+    @F.pandas_udf("struct<width:int,height:int>")
+    def _jpeg_dims_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for payloads in it:
+            ws, hs = [], []
+            for p in payloads:
+                dims = jpeg_dims(bytes(p)) if p is not None else None
+                ws.append(dims[0] if dims else None)
+                hs.append(dims[1] if dims else None)
+            yield pd.DataFrame({"width": ws, "height": hs})
+
+    return _jpeg_dims_udf
+
+
+def image_dims(col) -> "F.Column":
+    """``struct<width,height>`` for PNG/GIF/BMP/JPEG payloads. PNG/GIF/BMP
+    parse ENTIRELY in Catalyst (fixed header offsets, big/little-endian
+    byte folds — whole-stage codegen, no Python); only JPEG's variable
+    marker scan runs as an Arrow pandas UDF. NOTE: Spark extracts Python
+    UDFs out of ``when`` branches and evaluates them for EVERY row — the
+    branch only selects the result — so the UDF's first check is the
+    3-byte JPEG magic, making the non-JPEG per-row cost one slice
+    compare, not a marker scan."""
+    fmt = sniff_image_format(col)
+    png = F.struct(
+        _be(col, 17, 4).cast("int").alias("width"),
+        _be(col, 21, 4).cast("int").alias("height"),
+    )
+    gif = F.struct(
+        _le(col, 7, 2).cast("int").alias("width"),
+        _le(col, 9, 2).cast("int").alias("height"),
+    )
+    bmp = F.struct(
+        _le(col, 19, 4).cast("int").alias("width"),
+        _le(col, 23, 4).cast("int").alias("height"),
+    )
+    null_dims = F.struct(
+        F.lit(None).cast("int").alias("width"), F.lit(None).cast("int").alias("height")
+    )
+    return (
+        F.when(fmt == "png", png)
+        .when(fmt == "gif", gif)
+        .when(fmt == "bmp", bmp)
+        .when(fmt == "jpeg", _make_jpeg_dims_udf()(col))
+        .otherwise(null_dims)
+    )
+
+
+def image_metadata(df: DataFrame, payload_col: str) -> DataFrame:
+    """Attach real format + pixel-dimension metadata probed from payload
+    headers (see ``image_dims``): ``media_meta`` struct matching
+    MEDIA_META_SCHEMA with width/height populated for PNG/GIF/BMP/JPEG."""
+    dims = image_dims(F.col(payload_col))
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            sniff_image_format(F.col(payload_col)).alias("format"),
+            dims["width"].alias("width"),
+            dims["height"].alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.length(F.col(payload_col)).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
 def media_metadata(df: DataFrame, payload_col: str, media_type: str, fmt: str) -> DataFrame:
     """Attach a typed metadata struct derived from the payload envelope
     (sizes are real; pixel dims need the stubbed decoder ⇒ null)."""

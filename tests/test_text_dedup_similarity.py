@@ -952,3 +952,58 @@ def test_curate_documents_metadata_schema_gate(spark, docs_with_dups):
     base = curate_documents(df.where(F.col("doc_id") % 3 == 0), "doc_id", "text",
                             near_dup_threshold=None)[0]
     assert ids == {r.doc_id for r in base.select("doc_id").collect()}
+
+
+def _png_bytes(w, h):
+    import struct as st
+    return (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR"
+            + st.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 8)
+
+
+def _gif_bytes(w, h):
+    import struct as st
+    return b"GIF89a" + st.pack("<HH", w, h) + b"\x00" * 10
+
+
+def _bmp_bytes(w, h):
+    import struct as st
+    return (b"BM" + st.pack("<IHHI", 70, 0, 0, 54) + st.pack("<I", 40)
+            + st.pack("<ii", w, h) + b"\x00" * 28)
+
+
+def _jpeg_bytes(w, h):
+    import struct as st
+    app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = b"\xff\xc0" + st.pack(">H", 17) + b"\x08" + st.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_header_probe(spark):
+    """Format + pixel dimensions from container headers — real parsing, no
+    codec library: PNG/GIF/BMP in pure Catalyst, JPEG via the marker-scan
+    UDF; garbage and truncated payloads yield nulls, not errors."""
+    from jsschema_spark.functions.multimodal import image_metadata, jpeg_dims
+
+    rows = [
+        (1, _png_bytes(640, 480)),
+        (2, _gif_bytes(320, 200)),
+        (3, _bmp_bytes(800, 600)),
+        (4, _jpeg_bytes(1024, 768)),
+        (5, b"not an image at all"),
+        (6, b"\x89PN"),  # truncated magic
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r.media_meta for r in image_metadata(df, "payload").collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 640, 480)
+    assert (out[2].format, out[2].width, out[2].height) == ("gif", 320, 200)
+    assert (out[3].format, out[3].width, out[3].height) == ("bmp", 800, 600)
+    assert (out[4].format, out[4].width, out[4].height) == ("jpeg", 1024, 768)
+    assert out[5].format is None and out[5].width is None
+    assert out[6].format is None
+    assert out[7].format is None and out[7].size_bytes is None
+
+    # the pure-Python JPEG scanner agrees and rejects truncation
+    assert jpeg_dims(_jpeg_bytes(12, 34)) == (12, 34)
+    assert jpeg_dims(_jpeg_bytes(12, 34)[:10]) is None
+    assert jpeg_dims(b"") is None
