@@ -155,6 +155,42 @@ def drift_stream(
     )
 
 
+def session_stream(
+    stream_df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming gap sessionization via Spark's NATIVE session windows
+    (``F.session_window`` — dynamic-gap merging state, closed by the
+    watermark): per (user, session) event counts, bounds and duration.
+    The streaming sibling of ``functions/events.session_stats`` — same
+    gap semantics (a quiet period strictly longer than ``gap`` splits),
+    but sessions emit incrementally as the watermark passes them instead
+    of after a full-corpus sort.
+
+    ONE stateful operator; state is per OPEN session (merged eagerly),
+    bounded by the watermark — not by history length."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            F.timestamp_diff(
+                "MICROSECOND", F.col("w.start"), F.col("w.end")
+            ).alias("window_us"),
+        )
+    )
+
+
 def start_dedup_admission_sink(
     stream_df: DataFrame,
     index_dir: str,

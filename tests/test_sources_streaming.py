@@ -404,3 +404,51 @@ def test_drift_stream_windowed_psi(spark, tmp_path):
         nbins=10,
     )
     assert abs(high.psi - expected_high) < 1e-9
+
+
+def test_session_stream_native_session_window(spark, tmp_path):
+    """Streaming sessionization via native session windows: gap semantics
+    agree with the batch sessionize operator on the same events."""
+    import datetime as dt
+
+    from jsschema_spark.functions.events import session_stats
+    from jsschema_spark.streaming import session_stream
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: burst of 3 events, 40-minute quiet, burst of 2
+    for m in (0, 5, 10, 50, 55):
+        rows.append((1, t0 + dt.timedelta(minutes=m)))
+    # user 2: single event
+    rows.append((2, t0 + dt.timedelta(minutes=3)))
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = session_stream(stream, "user_id", "ts", gap="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): r
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert len(got) == 3
+    s1a = got[(1, t0)]
+    assert s1a.n_events == 3
+    s1b = got[(1, t0 + dt.timedelta(minutes=50))]
+    assert s1b.n_events == 2
+    assert got[(2, t0 + dt.timedelta(minutes=3))].n_events == 1
+
+    # batch operator groups the same events into the same sessions
+    batch = session_stats(
+        spark.createDataFrame(rows, "user_id long, ts timestamp"),
+        "user_id", "ts", gap="30 minutes",
+    ).collect()
+    batch_sessions = {(r.user_id, r.session_start): r.n_events for r in batch}
+    assert batch_sessions == {k: v.n_events for k, v in got.items()}
