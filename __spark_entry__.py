@@ -1054,7 +1054,7 @@ SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS B
 FROM b GROUP BY doc_id
 """
 
-_VOCAB_TOP_TOKENS_ORACLE = """
+_VOCAB_TOP_TOKENS_ORACLE = r"""
 WITH t AS (
   SELECT CASE WHEN trim(text) = '' THEN []
               ELSE string_split_regex(trim(text), '\s+') END AS toks
