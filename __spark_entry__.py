@@ -509,6 +509,27 @@ def q_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("o_orderkey", "n_children", "bound")
 
 
+def q_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k by score (curate.top_per_stratum): the 5 highest-
+    quality docs per language, two-phase local-top-n + candidate re-agg —
+    no full-stratum window sort. Ties break on doc_id ascending, so the
+    result is deterministic and SQL-reproducible."""
+    from jsschema_spark.functions.curate import top_per_stratum
+    from jsschema_spark.functions.text import lang_id, quality_score
+
+    df = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            lang_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("score"),
+        )
+    )
+    out = top_per_stratum(df, ["lang"], "score", 5, id_col="doc_id")
+    return out.select("doc_id", "lang", F.round("score", 4).alias("quality_r"))
+
+
 def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full composite quality heuristic (text.quality_score) — the
     pre-training garbage filter — oracled component-for-component: token
@@ -859,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_customer_nation_segment": q_fd_customer_nation_segment,
         "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
         "quality_score_documents": q_quality_score_documents,
+        "top_quality_per_lang": q_top_quality_per_lang,
         "curated_documents": q_curated_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "token_budget_documents": q_token_budget_documents,
@@ -1199,6 +1221,18 @@ _QUALITY_SCORE_ORACLE = (
     "SELECT doc_id, round(CAST(score AS DOUBLE), 4) AS quality_r "
     f"FROM ({_quality_sql('documents')})"
 )
+
+_TOP_QUALITY_ORACLE = f"""
+WITH lang AS ({_LANG_ORACLE}),
+q AS ({_quality_sql('documents')}),
+r AS (
+  SELECT q.doc_id, l.lang, CAST(q.score AS DOUBLE) AS score,
+         row_number() OVER (PARTITION BY l.lang
+                            ORDER BY q.score DESC, q.doc_id ASC) AS rk
+  FROM q JOIN lang l ON l.doc_id = q.doc_id
+)
+SELECT doc_id, lang, round(score, 4) AS quality_r FROM r WHERE rk <= 5
+"""
 
 _CURATED_ORACLE = f"""
 WITH RECURSIVE all_docs AS (
@@ -1619,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_customer_nation_segment": _FD_ORACLE,
         "cardinality_orders_lineitem": _CARDINALITY_ORACLE,
         "quality_score_documents": _QUALITY_SCORE_ORACLE,
+        "top_quality_per_lang": _TOP_QUALITY_ORACLE,
         "curated_documents": _CURATED_ORACLE,
         "stratified_sample_documents": _STRATIFIED_SAMPLE_ORACLE,
         "token_budget_documents": _TOKEN_BUDGET_ORACLE,

@@ -182,6 +182,58 @@ def stratified_sample(
     return sampled.drop("__ord", "__rk", "__cnt")
 
 
+def top_per_stratum(
+    df: DataFrame,
+    strata_cols: "Sequence[str]",
+    order_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Top-``n`` rows per stratum by ``order_col`` (default: highest
+    first) — e.g. the n highest-quality documents per language.
+    Deterministic: ties break on ``id_col`` ascending.
+
+    Scale shape — two-phase, NOT a bare window: a ``row_number`` window
+    ships every row of a stratum to one reducer and sorts there. Phase 1
+    aggregates a local top-n per (input partition, stratum) —
+    ``collect_list`` is bounded by the partition's own rows, and only
+    ``n`` survivors per partition-stratum cross the shuffle (≤ n·P rows
+    per stratum, P = #partitions). Phase 2 re-aggregates those candidates
+    to the global top-n. Every row that belongs in the global top-n is in
+    some partition's local top-n, so the result is exact.
+
+    Rows with a null ``order_col`` are dropped (a null score cannot rank)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    strata = list(strata_cols)
+    df = df.where(F.col(order_col).isNotNull())
+    sign = F.col(order_col) if ascending else -F.col(order_col)
+    item = F.struct(
+        sign.alias("__o"),
+        F.col(id_col).alias("__id"),
+        F.struct(*df.columns).alias("__row"),
+    )
+
+    def local_topn(frame: DataFrame, keys: list) -> DataFrame:
+        return frame.groupBy(*keys).agg(
+            F.slice(F.array_sort(F.collect_list(F.col("__item"))), 1, n).alias("__top")
+        )
+
+    with_item = df.withColumn("__item", item)
+    phase1 = local_topn(
+        with_item.withColumn("__pid", F.spark_partition_id()), ["__pid", *strata]
+    )
+    candidates = phase1.select(
+        *strata, F.explode("__top").alias("__item")
+    )
+    phase2 = local_topn(candidates, strata)
+    return (
+        phase2.select(F.explode("__top").alias("__item"))
+        .select("__item.__row.*")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     strata_cols: "Sequence[str]",

@@ -1007,3 +1007,53 @@ def test_image_header_probe(spark):
     assert jpeg_dims(_jpeg_bytes(12, 34)) == (12, 34)
     assert jpeg_dims(_jpeg_bytes(12, 34)[:10]) is None
     assert jpeg_dims(b"") is None
+
+
+def test_top_per_stratum_exact_vs_window(spark):
+    """Two-phase per-group top-k equals the brute-force window result —
+    including cross-partition strata, ties (id-asc break), ascending mode,
+    and null scores dropped."""
+    import random
+
+    from pyspark.sql import Window
+
+    from jsschema_spark.functions.curate import top_per_stratum
+
+    rng = random.Random(11)
+    rows = [
+        (i, "g" + str(i % 4), float(rng.randrange(20)) if i % 17 else None)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double").repartition(8)
+
+    got = sorted(
+        (r.grp, r.doc_id) for r in top_per_stratum(df, ["grp"], "score", 5).collect()
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+    expect = sorted(
+        (r.grp, r.doc_id)
+        for r in df.where(F.col("score").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .collect()
+    )
+    assert got == expect and len(got) == 20
+
+    # ascending mode: the k LOWEST scores
+    got_asc = sorted(
+        (r.grp, r.doc_id)
+        for r in top_per_stratum(df, ["grp"], "score", 3, ascending=True).collect()
+    )
+    w2 = Window.partitionBy("grp").orderBy(F.asc("score"), F.asc("doc_id"))
+    expect_asc = sorted(
+        (r.grp, r.doc_id)
+        for r in df.where(F.col("score").isNotNull())
+        .withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= 3)
+        .collect()
+    )
+    assert got_asc == expect_asc
+
+    # stratum smaller than n: every (non-null-score) member survives
+    tiny = spark.createDataFrame([(1, "z", 1.0), (2, "z", None)], "doc_id long, grp string, score double")
+    assert [r.doc_id for r in top_per_stratum(tiny, ["grp"], "score", 10).collect()] == [1]
