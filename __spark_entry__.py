@@ -530,6 +530,27 @@ def q_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.round("score", 4).alias("quality_r"))
 
 
+def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.ngram_contamination): docs sharing
+    an 8-word shingle with the held-out set (%97 docs), over a corpus with
+    injected contaminated variants (+7M: benchmark text behind a novel
+    preamble). The corpus side never shuffles — exploded shingles hash-join
+    the small benchmark set; hits are map-side-combined per doc."""
+    from jsschema_spark.functions.dedup import ngram_contamination
+
+    base = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    bench = base.where(F.col("doc_id") % 97 == 0)
+    injected = bench.select(
+        (F.col("doc_id") + 7000000).alias("doc_id"),
+        F.concat(F.lit("totally novel preamble "), F.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(injected)
+    out = ngram_contamination(corpus, bench, n=8)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "n_hits")
+
+
 def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full composite quality heuristic (text.quality_score) — the
     pre-training garbage filter — oracled component-for-component: token
@@ -880,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_customer_nation_segment": q_fd_customer_nation_segment,
         "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
         "quality_score_documents": q_quality_score_documents,
+        "contamination_documents": q_contamination_documents,
         "top_quality_per_lang": q_top_quality_per_lang,
         "curated_documents": q_curated_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
@@ -1221,6 +1243,40 @@ _QUALITY_SCORE_ORACLE = (
     "SELECT doc_id, round(CAST(score AS DOUBLE), 4) AS quality_r "
     f"FROM ({_quality_sql('documents')})"
 )
+
+# 8-gram shingles of the normalized text (same normalization as _NORM_SQL /
+# word_shingles): indices 1..len-7, so docs under 8 tokens emit none
+_SHINGLE8_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)), i -> "
+    "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || "
+    "toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))"
+)
+
+_CONTAMINATION_ORACLE = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 7000000, 'totally novel preamble ' || text
+  FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL
+),
+corp_t AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(col='text')}, ' ') AS toks
+  FROM all_docs WHERE {_NORM_SQL.format(col='text')} <> ''
+),
+corp AS (
+  SELECT doc_id, unnest({_SHINGLE8_SQL}) AS sh FROM corp_t WHERE len(toks) >= 8
+),
+bench_t AS (
+  SELECT string_split({_NORM_SQL.format(col='text')}, ' ') AS toks
+  FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL
+        AND {_NORM_SQL.format(col='text')} <> ''
+),
+bench AS (
+  SELECT DISTINCT unnest({_SHINGLE8_SQL}) AS sh FROM bench_t WHERE len(toks) >= 8
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM corp JOIN bench USING (sh) GROUP BY 1
+"""
 
 _TOP_QUALITY_ORACLE = f"""
 WITH lang AS ({_LANG_ORACLE}),
@@ -1653,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_customer_nation_segment": _FD_ORACLE,
         "cardinality_orders_lineitem": _CARDINALITY_ORACLE,
         "quality_score_documents": _QUALITY_SCORE_ORACLE,
+        "contamination_documents": _CONTAMINATION_ORACLE,
         "top_quality_per_lang": _TOP_QUALITY_ORACLE,
         "curated_documents": _CURATED_ORACLE,
         "stratified_sample_documents": _STRATIFIED_SAMPLE_ORACLE,

@@ -984,3 +984,62 @@ def keep_canonical(
     far smaller than the corpus."""
     losers = groups.where(F.col("doc_id") != F.col("group_id")).select("doc_id")
     return df.join(losers, df[id_col] == losers["doc_id"], "left_anti")
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination — n-gram containment against a held-out set
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training docs that CONTAIN benchmark n-grams — the standard
+    eval-decontamination screen (drop any training document sharing an
+    ``n``-word shingle with the held-out set). Returns
+    ``(doc_id, n_hits)`` for docs with ≥ ``min_hits`` distinct matching
+    shingles; anti-join the corpus against it to decontaminate.
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (evals are thousands of docs, the corpus is billions), so the corpus
+    side never shuffles — explode corpus shingles, hash-join against the
+    benchmark set (AQE broadcasts the small side), map-side-combined
+    count per doc. Both sides shingle with the SAME normalization as the
+    minhash path (``word_shingles``), so contamination and near-dup
+    passes see one tokenization."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+        ).distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    hits = (
+        corpus_sh.join(bench_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+    return hits.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The corpus minus contaminated docs (left anti-join on the
+    ``ngram_contamination`` hit list — the hit list is violations-sized,
+    so AQE broadcasts it)."""
+    hits = ngram_contamination(corpus, benchmark, id_col, text_col, n, min_hits)
+    return corpus.join(
+        hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

@@ -1057,3 +1057,31 @@ def test_top_per_stratum_exact_vs_window(spark):
     # stratum smaller than n: every (non-null-score) member survives
     tiny = spark.createDataFrame([(1, "z", 1.0), (2, "z", None)], "doc_id long, grp string, score double")
     assert [r.doc_id for r in top_per_stratum(tiny, ["grp"], "score", 10).collect()] == [1]
+
+
+def test_ngram_contamination_and_decontaminate(spark):
+    """Docs sharing an 8-word shingle with the benchmark are flagged;
+    decontaminate drops exactly those and keeps everything else."""
+    from jsschema_spark.functions.dedup import decontaminate, ngram_contamination
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "completely unrelated text about spark partitions and shuffles here"),
+        (2, "prefix words then " + bench_text + " and a suffix"),   # contains it
+        (3, bench_text),                                            # is it
+        (4, "the quick brown fox jumps over seven lazy dogs today entirely"),  # no 8-gram overlap
+        (5, None),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    hits = {r.doc_id: r.n_hits for r in ngram_contamination(corpus, bench, n=8).collect()}
+    assert set(hits) == {2, 3}
+    assert hits[3] == 3  # a 10-token doc has 3 distinct 8-gram shingles
+    assert hits[2] >= 3
+
+    kept = {r.doc_id for r in decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {1, 4, 5}
+
+    # min_hits raises the bar
+    assert ngram_contamination(corpus, bench, n=8, min_hits=4).count() <= 1
