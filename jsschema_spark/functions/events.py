@@ -105,6 +105,10 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in value_cols]
     )
+    # SQL equality never matches NULL keys, but a window PARTITION BY
+    # groups nulls together — drop null-key/null-ts right rows so a
+    # null-key left row gets a null match, exactly like an ASOF LEFT JOIN
+    right = right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__t"),

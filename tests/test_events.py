@@ -150,3 +150,20 @@ def test_asof_join_plan_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan  # no join operator of any kind
     assert plan.count("Window") == 1
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL equality semantics: a NULL-key left row matches nothing, and
+    NULL-key or NULL-ts right rows match no one (a window partition would
+    otherwise group the nulls together)."""
+    from jsschema_spark.functions.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, T0), (2, 7, T0)], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, T0, 1.0), (7, None, 2.0), (7, T0, 3.0)],
+        "k long, ts timestamp, v double",
+    )
+    got = {r.lid: r.asof_v for r in asof_join(left, right, "k", "ts", "ts").collect()}
+    assert got == {1: None, 2: 3.0}
