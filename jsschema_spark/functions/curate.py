@@ -234,6 +234,38 @@ def top_per_stratum(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    strata_cols: "Sequence[str]",
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, n per stratum
+    (Efraimidis–Spirakis): each row gets key ``ln(u)/w`` with ``u`` a
+    uniform hash-fraction of its id, and the n LARGEST keys win — row
+    inclusion probability is proportional to weight, yet the same input
+    always yields the same sample (no RNG state, cluster-size invariant).
+
+    Rows with null or non-positive weight are dropped. Built on
+    ``top_per_stratum``, so it inherits the two-phase no-window scale
+    shape (≤ n·P candidate rows per stratum cross the shuffle)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = F.col(weight_col)
+    df = df.where(w.isNotNull() & (w > 0))
+    # u strictly inside (0,1): 60-bit md5 fraction, shifted off both ends
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 60) + 2))
+    scored = df.withColumn("__es_key", F.log(frac) / w)
+    return top_per_stratum(
+        scored, strata_cols, "__es_key", n, id_col=id_col
+    ).drop("__es_key")
+
+
 def token_budget_sample(
     df: DataFrame,
     strata_cols: "Sequence[str]",

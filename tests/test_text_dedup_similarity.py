@@ -1085,3 +1085,37 @@ def test_ngram_contamination_and_decontaminate(spark):
 
     # min_hits raises the bar
     assert ngram_contamination(corpus, bench, n=8, min_hits=4).count() <= 1
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """Efraimidis-Spirakis sampling: matches a plain-Python
+    reimplementation of the same keys, repeats identically, favors heavy
+    rows, and drops null/non-positive weights."""
+    import hashlib
+    import math
+
+    from jsschema_spark.functions.curate import weighted_sample
+
+    rows = []
+    for i in range(100):
+        w = 50.0 if i < 10 else 1.0
+        rows.append((i, "g", w))
+    rows += [(200, "g", None), (201, "g", 0.0), (202, "g", -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+
+    got = sorted(r.doc_id for r in weighted_sample(df, ["grp"], 10, "w").collect())
+    again = sorted(r.doc_id for r in weighted_sample(df, ["grp"], 10, "w").collect())
+    assert got == again and len(got) == 10
+    assert not {200, 201, 202} & set(got)
+
+    def key(i, w):
+        frac = (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) + 1.0) / (
+            (1 << 60) + 2
+        )
+        return math.log(frac) / w
+    expect = sorted(
+        sorted(((i, w) for i, _, w in rows[:100]), key=lambda p: (-key(*p), p[0]))[:10]
+    )
+    assert got == sorted(i for i, _ in expect)
+    # heavy rows dominate the sample
+    assert sum(1 for i in got if i < 10) >= 7
