@@ -477,6 +477,20 @@ def q_near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(df, groups, "doc_id").select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic freshness check (checks.freshness_report): latest
+    event time vs a fixed as_of anchor — one map-side-combined max."""
+    from jsschema_spark.checks import freshness_report
+
+    df = _t(spark, sf_dir, "events")
+    out = freshness_report(df, "ts", "2024-02-01 00:00:00", max_age_seconds=86400)
+    return out.select(
+        _EPOCH_US(F.col("latest_ts")).alias("latest_us"),
+        "lag_seconds",
+        "fresh",
+    )
+
+
 def q_fd_customer_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency discovery (checks.functional_dependency_
     violations): which nation keys map to more than one market segment —
@@ -898,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_quantity": q_ks_drift_quantity,
         "session_stats_events": q_session_stats_events,
         "asof_clicks_errors": q_asof_clicks_errors,
+        "freshness_events": q_freshness_events,
         "fd_customer_nation_segment": q_fd_customer_nation_segment,
         "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
         "quality_score_documents": q_quality_score_documents,
@@ -1346,6 +1361,20 @@ FROM exkept d
 WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = d.doc_id AND g.grp <> d.doc_id)
 """
 
+_FRESHNESS_ORACLE = """
+WITH m AS (
+  SELECT max(ts) AS latest_ts,
+         CAST(floor(date_diff('microsecond', max(ts),
+                              TIMESTAMP '2024-02-01 00:00:00') / 1000000.0) AS BIGINT)
+           AS lag_seconds
+  FROM events
+)
+SELECT CAST(epoch_us(latest_ts) AS BIGINT) AS latest_us,
+       lag_seconds,
+       coalesce(lag_seconds <= 86400, false) AS fresh
+FROM m
+"""
+
 _FD_ORACLE = """
 WITH v AS (
   SELECT c_nationkey,
@@ -1706,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift_quantity": _KS_DRIFT_ORACLE,
         "session_stats_events": _SESSION_STATS_ORACLE,
         "asof_clicks_errors": _ASOF_ORACLE,
+        "freshness_events": _FRESHNESS_ORACLE,
         "fd_customer_nation_segment": _FD_ORACLE,
         "cardinality_orders_lineitem": _CARDINALITY_ORACLE,
         "quality_score_documents": _QUALITY_SCORE_ORACLE,

@@ -129,7 +129,7 @@ def main() -> None:
             "stratified_sample_documents", "token_budget_documents",
             "session_stats_events", "asof_clicks_errors",
             "fd_customer_nation_segment", "cardinality_orders_lineitem",
-            "top_quality_per_lang", "contamination_documents",
+            "top_quality_per_lang", "contamination_documents", "freshness_events",
         ):
             q = qs[name]
             timed(name, lambda q=q: q(spark, sf_dir).count())

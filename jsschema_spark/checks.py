@@ -281,3 +281,44 @@ def cardinality_violations(
         "n_children",
         F.when(under, F.lit("under")).otherwise(F.lit("over")).alias("bound"),
     )
+
+
+def freshness_report(
+    df: DataFrame,
+    ts_col: str,
+    as_of,
+    max_age_seconds: int,
+) -> DataFrame:
+    """Data-freshness check: latest event time vs an explicit ``as_of``
+    anchor (a datetime or ISO string — passed in, never ``now()``, so the
+    check is deterministic and replayable). One map-side-combined
+    ``max``; output is a single row: ``latest_ts, lag_seconds, fresh``.
+    An empty/all-null table reports ``fresh = false`` with null lag."""
+    anchor = F.lit(as_of).cast("timestamp_ntz")
+    agg = df.agg(F.max(F.col(ts_col)).alias("latest_ts"))
+    # floor of the microsecond difference: engines disagree on whether a
+    # coarse date_diff truncates or counts boundary crossings, so pin the
+    # semantics (floor is also sign-consistent for future-dated data)
+    lag = F.floor(
+        F.timestamp_diff("MICROSECOND", F.col("latest_ts"), anchor) / 1_000_000
+    )
+    return agg.select(
+        "latest_ts",
+        lag.cast("long").alias("lag_seconds"),
+        F.coalesce(lag <= max_age_seconds, F.lit(False)).alias("fresh"),
+    )
+
+
+def schema_diff(df_a: DataFrame, df_b: DataFrame) -> dict:
+    """Schema drift between two tables (driver-side metadata only — no
+    job runs): columns added / removed / type-changed from A to B."""
+    a = {f.name: f.dataType.simpleString() for f in df_a.schema.fields}
+    b = {f.name: f.dataType.simpleString() for f in df_b.schema.fields}
+    return {
+        "added": sorted(set(b) - set(a)),
+        "removed": sorted(set(a) - set(b)),
+        "type_changed": sorted(
+            (c, a[c], b[c]) for c in set(a) & set(b) if a[c] != b[c]
+        ),
+        "identical": a == b,
+    }

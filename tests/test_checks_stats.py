@@ -320,3 +320,36 @@ def test_cardinality_violations(spark):
     # min_children=0: only the upper bound applies
     out0 = cardinality_violations(parent, child, "pk", "fk", 0, 3).collect()
     assert {r.pk for r in out0} == {2}
+
+
+def test_freshness_report(spark):
+    import datetime as dt
+
+    from jsschema_spark.checks import freshness_report
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(t0 - dt.timedelta(minutes=m),) for m in (90, 10, 45)], "ts timestamp_ntz"
+    )
+    r = freshness_report(df, "ts", "2026-01-01 12:00:00", max_age_seconds=900).collect()[0]
+    assert r.lag_seconds == 600 and r.fresh
+
+    stale = freshness_report(df, "ts", "2026-01-01 13:00:00", 900).collect()[0]
+    assert stale.lag_seconds == 4200 and not stale.fresh
+
+    empty = spark.createDataFrame([], "ts timestamp_ntz")
+    e = freshness_report(empty, "ts", "2026-01-01 12:00:00", 900).collect()[0]
+    assert e.latest_ts is None and e.lag_seconds is None and e.fresh is False
+
+
+def test_schema_diff(spark):
+    from jsschema_spark.checks import schema_diff
+
+    a = spark.createDataFrame([], "x long, y string, z double")
+    b = spark.createDataFrame([], "x long, y long, w string")
+    d = schema_diff(a, b)
+    assert d == {
+        "added": ["w"], "removed": ["z"],
+        "type_changed": [("y", "string", "bigint")], "identical": False,
+    }
+    assert schema_diff(a, a)["identical"]
