@@ -110,6 +110,7 @@ def stratified_sample(
     id_col: str = "doc_id",
     prefilter: bool = True,
     over_factor: float = 4.0,
+    fallback: str = "lazy",
 ) -> DataFrame:
     """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum,
     deterministically: rows rank by md5(id) within their stratum and the
@@ -128,7 +129,20 @@ def stratified_sample(
     prefilter keeps every window survivor except with exponentially small
     probability; a per-stratum shortfall check (aggregate-sized) re-runs
     the rare failing strata without the prefilter, making the result
-    EXACT, not approximate."""
+    EXACT, not approximate.
+
+    ``fallback`` picks how that guard composes:
+
+    * ``"lazy"`` (default) — pure-plan: the redo branch is part of the
+      returned DataFrame and evaluates over zero rows when nothing fell
+      short. Side-effect-free, but its semi-join probe side scans the
+      input once more EVERY run.
+    * ``"driver"`` — a stratum-level count action checks for shortfall at
+      call time and only builds the redo branch when one exists. One
+      tiny action in the common case instead of an extra full scan — the
+      right trade at 100 TB; prefer it for very large inputs."""
+    if fallback not in ("lazy", "driver"):
+        raise ValueError("fallback must be 'lazy' or 'driver'")
     n = int(n_per_stratum)
     if n <= 0:
         raise ValueError("n_per_stratum must be positive")
@@ -156,12 +170,17 @@ def stratified_sample(
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= n)
     )
+    # materialized once for its two consumers (yield check + output)
     sampled = sampled.localCheckpoint(eager=False)
 
-    # exactness check: every stratum must yield min(n, count) rows. Join
-    # the per-stratum yield back onto the COUNTS table — a stratum whose
-    # every row the prefilter dropped is absent from the yield aggregate
-    # entirely, and only the counts side still knows it exists.
+    # exactness guard, composed LAZILY — no driver-side action, no API
+    # side effect: every stratum must yield min(n, count) rows. The
+    # shortfall set joins the per-stratum yield back onto the COUNTS
+    # table — a stratum whose every row the prefilter dropped is absent
+    # from the yield aggregate entirely, and only the counts side still
+    # knows it exists. When nothing fell short (the overwhelmingly common
+    # case) `short` is empty, the redo branch evaluates over zero rows,
+    # and the anti-join passes `sampled` through unchanged.
     got = sampled.groupBy(*strata).agg(F.count(F.lit(1)).alias("__got"))
     short = (
         counts.join(got, strata, "left")
@@ -170,16 +189,20 @@ def stratified_sample(
         )
         .select(*strata)
     )
-    if short.limit(1).count() > 0:  # stratum-level rows: tiny action
-        redo = base.join(short, strata, "left_semi")
-        fixed = (
-            redo.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= n)
-            .drop("__rk")
-        )
-        kept_ok = sampled.join(short, strata, "left_anti").drop("__rk", "__cnt")
-        return kept_ok.unionByName(fixed).drop("__ord")
-    return sampled.drop("__ord", "__rk", "__cnt")
+    if fallback == "driver":
+        if short.limit(1).count() == 0:  # stratum-level rows: tiny action
+            return sampled.drop("__rk", "__cnt", "__ord")
+        short = short.localCheckpoint(eager=False)
+    redo = base.join(short, strata, "left_semi")
+    fixed = (
+        redo.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk", "__ord")
+    )
+    kept_ok = sampled.join(short, strata, "left_anti").drop(
+        "__rk", "__cnt", "__ord"
+    )
+    return kept_ok.unionByName(fixed)
 
 
 def top_per_stratum(

@@ -901,9 +901,15 @@ def test_stratified_sample_exact_and_deterministic(spark):
     assert sorted(expected) == f_ids
 
     # pathological over_factor forces the shortfall fallback path — result
-    # must STILL be exact
-    tight = stratified_sample(df, ["lang"], 10, prefilter=True, over_factor=0.01)
-    assert sorted((r.lang, r.doc_id) for r in tight.collect()) == f_ids
+    # must STILL be exact, in BOTH fallback modes
+    for mode in ("lazy", "driver"):
+        tight = stratified_sample(
+            df, ["lang"], 10, prefilter=True, over_factor=0.01, fallback=mode
+        )
+        assert sorted((r.lang, r.doc_id) for r in tight.collect()) == f_ids, mode
+    # and the driver mode agrees on the happy path too
+    happy = stratified_sample(df, ["lang"], 10, fallback="driver")
+    assert sorted((r.lang, r.doc_id) for r in happy.collect()) == f_ids
 
 
 def test_token_budget_sample(spark):
