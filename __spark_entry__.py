@@ -653,6 +653,18 @@ def q_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split (curate.leakage_free_split): the
+    near-dup corpus splits 80/20 by md5 of the GROUP id, so no near-dup
+    group spans the boundary. Oracle recomputes the groups with the
+    recursive-CTE closure and applies the identical hash rule."""
+    from jsschema_spark.functions.curate import leakage_free_split
+
+    df, groups = _near_dup_corpus_and_groups(spark, sf_dir)
+    out = leakage_free_split(df, groups, train_frac=0.8)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
 def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin numeric drift (engine-side PSI terms): l_quantity histogram,
     full table vs the high-discount slice."""
@@ -908,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_set_customers_orders": q_key_set_customers_orders,
         "near_dup_groups": q_near_dup_groups,
         "near_dup_canonical": q_near_dup_canonical,
+        "leakage_split_documents": q_leakage_split_documents,
         "numeric_drift_quantity": q_numeric_drift,
         "ks_drift_quantity": q_ks_drift_quantity,
         "session_stats_events": q_session_stats_events,
@@ -1490,6 +1503,15 @@ c AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_tokens FROM c WHERE cum <= 1500
 """
 
+_LEAKAGE_SPLIT_ORACLE = _NEAR_DUP_CTE + """
+, g AS (SELECT u AS doc_id, min(reach) AS grp FROM walk GROUP BY u)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN ('0x' || substring(md5(CAST(coalesce(g.grp, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 < 0.8
+            THEN 'train' ELSE 'eval' END AS split
+FROM all_docs d LEFT JOIN g ON g.doc_id = d.doc_id
+"""
+
 _NUMERIC_DRIFT_ORACLE = """
 WITH b AS (
   SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
@@ -1731,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
         "near_dup_groups": _NEAR_DUP_GROUPS_ORACLE,
         "near_dup_canonical": _NEAR_DUP_CANONICAL_ORACLE,
+        "leakage_split_documents": _LEAKAGE_SPLIT_ORACLE,
         "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
         "ks_drift_quantity": _KS_DRIFT_ORACLE,
         "session_stats_events": _SESSION_STATS_ORACLE,

@@ -257,6 +257,37 @@ def top_per_stratum(
     )
 
 
+def leakage_free_split(
+    df: DataFrame,
+    groups: DataFrame,
+    train_frac: float = 0.8,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/eval split with NO near-dup leakage: every member of a
+    near-dup group (``connected_components`` output: ``doc_id,
+    group_id``) lands on the same side, because the split decision hashes
+    the GROUP id — ungrouped docs hash their own id. Deterministic
+    (md5-fraction < ``train_frac`` ⇒ 'train'), cluster-size invariant,
+    and engine-portable for SQL oracles.
+
+    One left join against the group table (violations-sized relative to
+    the corpus — AQE broadcasts it) plus a codegen projection."""
+    if not (0.0 <= train_frac <= 1.0):
+        raise ValueError("train_frac must be in [0, 1]")
+    g = groups.select(
+        F.col("doc_id").alias(id_col), F.col("group_id").alias("__grp")
+    )
+    joined = df.join(g, id_col, "left")
+    key = F.coalesce(F.col("__grp"), F.col(id_col))
+    frac = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(1 << 32))
+    return joined.withColumn(
+        split_col, F.when(frac < train_frac, F.lit("train")).otherwise(F.lit("eval"))
+    ).drop("__grp")
+
+
 def weighted_sample(
     df: DataFrame,
     strata_cols: "Sequence[str]",

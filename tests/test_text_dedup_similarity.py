@@ -1125,3 +1125,46 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     assert got == sorted(i for i, _ in expect)
     # heavy rows dominate the sample
     assert sum(1 for i in got if i < 10) >= 7
+
+
+def test_leakage_free_split(spark, docs_with_dups):
+    """No near-dup group spans the train/eval boundary; ungrouped docs
+    split by their own id hash; the split reproduces exactly."""
+    import hashlib
+
+    from jsschema_spark.functions.curate import leakage_free_split
+    from jsschema_spark.functions.dedup import (
+        connected_components,
+        near_duplicates_minhash,
+    )
+
+    df = docs_with_dups.where(F.col("text").isNotNull())
+    pairs = near_duplicates_minhash(df, "doc_id", "text", 64, 16, threshold=0.7)
+    groups = connected_components(pairs)
+
+    out = leakage_free_split(df, groups, train_frac=0.8)
+    rows = out.select("doc_id", "split").collect()
+    split = {r.doc_id: r.split for r in rows}
+    assert set(split.values()) == {"train", "eval"}
+
+    # every group is entirely on one side
+    gmap = {r.doc_id: r.group_id for r in groups.collect()}
+    by_group = {}
+    for d, g in gmap.items():
+        by_group.setdefault(g, set()).add(split[d])
+    assert all(len(sides) == 1 for sides in by_group.values())
+
+    # the rule is the md5 fraction of the group (or own) id
+    for d in list(split)[:50]:
+        key = str(gmap.get(d, d))
+        frac = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / (1 << 32)
+        assert split[d] == ("train" if frac < 0.8 else "eval"), d
+
+    # deterministic on re-run
+    again = {r.doc_id: r.split for r in
+             leakage_free_split(df, groups, 0.8).select("doc_id", "split").collect()}
+    assert again == split
+
+    # rough proportion sanity (group-level hashing, so wide tolerance)
+    n_train = sum(1 for s in split.values() if s == "train")
+    assert 0.6 < n_train / len(split) < 0.95
