@@ -167,3 +167,57 @@ def test_asof_join_null_keys_never_match(spark):
     )
     got = {r.lid: r.asof_v for r in asof_join(left, right, "k", "ts", "ts").collect()}
     assert got == {1: None, 2: 3.0}
+
+
+def test_asof_and_sessionize_property_based(spark):
+    """Property-based check over many random event layouts: asof_join and
+    sessionize agree with brute-force Python models. One Spark job per
+    example is too slow for hypothesis' engine, so examples are drawn
+    up-front from seeded RNGs and run as a batch."""
+    import random
+
+    from jsschema_spark.functions.events import asof_join, sessionize
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        n_keys = rng.randrange(1, 5)
+        lrows = [
+            (i, rng.randrange(n_keys), T0 + dt.timedelta(seconds=rng.randrange(300)))
+            for i in range(rng.randrange(1, 60))
+        ]
+        rrows = [
+            (rng.randrange(n_keys + 1), T0 + dt.timedelta(seconds=rng.randrange(300)),
+             float(i))
+            for i in range(rng.randrange(0, 40))
+        ]
+        left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+        right = spark.createDataFrame(rrows, "k long, ts timestamp, v double")
+
+        got = {
+            r.lid: r.asof_v
+            for r in asof_join(left, right, "k", "ts", "ts").collect()
+        }
+        by_key: dict = {}
+        for k, ts, v in rrows:
+            by_key.setdefault(k, []).append((ts, v))
+        for lid, k, ts in lrows:
+            cands = [(rts, v) for rts, v in by_key.get(k, []) if rts <= ts]
+            # operator tiebreak: max (ts, payload) among candidates
+            want = max(cands)[1] if cands else None
+            assert got[lid] == want, (seed, lid)
+
+        # sessionize against a Python gap model (1-minute gap)
+        sess = sessionize(left, "k", "ts", gap="1 minute", order_cols=["lid"])
+        got_s = {r.lid: r.session_idx for r in sess.collect()}
+        for k in {k for _, k, _ in lrows}:
+            evs = sorted(
+                ((ts, lid) for lid, kk, ts in lrows if kk == k)
+            )
+            idx = -1
+            prev = None
+            for ts, lid in evs:
+                if prev is None or (ts - prev).total_seconds() > 60:
+                    idx += 1
+                assert got_s[lid] == idx, (seed, lid)
+                prev = ts
+        assert max(got_s.values()) >= 0
