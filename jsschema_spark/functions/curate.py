@@ -257,6 +257,79 @@ def top_per_stratum(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    token_col: "Optional[str]" = None,
+    text_col: str = "text",
+    docs_per_partition: int = 200_000,
+) -> DataFrame:
+    """Greedy sequence packing for pretraining: assign docs to fixed-
+    capacity packs of ``seq_len`` tokens (first-fit-decreasing inside
+    each partition). Docs longer than ``seq_len`` are dropped (they get
+    chunked upstream, not packed). Output: input rows + ``n_tokens``,
+    ``pack_id`` (globally unique string ``<partition>-<local id>``).
+
+    Exact bin packing is NP-hard and inherently sequential, so the
+    distributed shape is partition-local packing: docs spread over
+    partitions by md5(id) (deterministic, so re-runs pack identically),
+    each partition FFD-packs its own docs in an Arrow-batched pandas
+    loop, and pack ids are namespaced by partition. FFD waste is ≤ ~22%
+    worst-case and a few % in practice at partition sizes of ~10^5 docs;
+    cross-partition packing could only merge the ≤1 open bin per
+    partition, so the lost utilization is O(P/N) — negligible at scale."""
+    import pandas as pd
+
+    from jsschema_spark.functions.text import token_count
+
+    tok = F.col(token_col) if token_col else token_count(F.col(text_col))
+    base = (
+        df.withColumn("__n_tok", tok.cast("long"))
+        .where(F.col("__n_tok").isNotNull() & (F.col("__n_tok") > 0)
+               & (F.col("__n_tok") <= seq_len))
+    )
+    n_parts = max(1, int(base.count() // docs_per_partition) or 1)
+    spread = base.repartition(
+        n_parts, F.md5(F.col(id_col).cast("string"))
+    )
+
+    out_fields = [f"{f.name}" for f in spread.schema.fields]
+
+    def pack(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(pack_id=pd.Series(dtype="string"))
+                continue
+            part = int(pdf["__part_id"].iloc[0]) if "__part_id" in pdf else 0
+            pdf = pdf.sort_values("__n_tok", ascending=False, kind="mergesort")
+            bins: list[int] = []  # remaining capacity per open bin
+            assign = []
+            for n in pdf["__n_tok"]:
+                placed = None
+                for b, rem in enumerate(bins):
+                    if rem >= n:
+                        placed = b
+                        bins[b] = rem - n
+                        break
+                if placed is None:
+                    bins.append(seq_len - n)
+                    placed = len(bins) - 1
+                assign.append(f"{part}-{placed}")
+            yield pdf.assign(pack_id=assign)
+
+    with_part = spread.withColumn("__part_id", F.spark_partition_id())
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in with_part.schema.fields
+    ) + ", pack_id string"
+    packed = with_part.mapInPandas(pack, schema)
+    return packed.select(
+        *[c for c in out_fields if c != "__n_tok"],
+        F.col("__n_tok").alias("n_tokens"),
+        "pack_id",
+    )
+
+
 def leakage_free_split(
     df: DataFrame,
     groups: DataFrame,

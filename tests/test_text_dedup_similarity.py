@@ -1168,3 +1168,30 @@ def test_leakage_free_split(spark, docs_with_dups):
     # rough proportion sanity (group-level hashing, so wide tolerance)
     n_train = sum(1 for s in split.values() if s == "train")
     assert 0.6 < n_train / len(split) < 0.95
+
+
+def test_pack_sequences(spark):
+    """Greedy FFD packing: every doc assigned once, no pack over capacity,
+    over-long docs dropped, utilization sane, and re-runs identical."""
+    from jsschema_spark.functions.curate import pack_sequences
+
+    rows = [(i, "tok " * (i % 900 + 50)) for i in range(300)]
+    rows.append((9999, "tok " * 3000))  # longer than seq_len -> dropped
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                               "doc_id long, text string")
+    out = pack_sequences(df, seq_len=1024).cache()
+    rows_out = out.collect()
+    assert {r.doc_id for r in rows_out} == {i for i, _ in rows} - {9999}
+
+    per_pack = {}
+    for r in rows_out:
+        per_pack.setdefault(r.pack_id, 0)
+        per_pack[r.pack_id] += r.n_tokens
+    assert all(v <= 1024 for v in per_pack.values())
+    # FFD on this size mix should fill packs reasonably well
+    total = sum(r.n_tokens for r in rows_out)
+    assert total / (len(per_pack) * 1024) > 0.8
+
+    again = {(r.doc_id, r.pack_id) for r in pack_sequences(df, 1024).collect()}
+    assert again == {(r.doc_id, r.pack_id) for r in rows_out}
+    out.unpersist()
