@@ -565,6 +565,22 @@ def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "n_hits")
 
 
+def q_chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (curate.chunk_documents): 64-token chunks
+    with 8 tokens of overlap — pure Catalyst sequence/posexplode/slice,
+    no shuffle. Chunk text surfaces as md5 so the hash row stays small."""
+    from jsschema_spark.functions.curate import chunk_documents
+
+    df = _t(spark, sf_dir, "documents")
+    out = chunk_documents(df, max_tokens=64, overlap=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
 def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full composite quality heuristic (text.quality_score) — the
     pre-training garbage filter — oracled component-for-component: token
@@ -921,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "near_dup_canonical": q_near_dup_canonical,
         "leakage_split_documents": q_leakage_split_documents,
+        "chunked_documents": q_chunked_documents,
         "numeric_drift_quantity": q_numeric_drift,
         "ks_drift_quantity": q_ks_drift_quantity,
         "session_stats_events": q_session_stats_events,
@@ -1503,6 +1520,22 @@ c AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_tokens FROM c WHERE cum <= 1500
 """
 
+_CHUNKED_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT doc_id, toks, len(toks) AS L FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT doc_id, toks, L,
+         unnest(range(1, greatest(L - 8, 1) + 1, 56)) AS st
+  FROM nz
+)
+SELECT doc_id, CAST((st - 1) / 56 AS BIGINT) AS chunk_idx,
+       md5(array_to_string(toks[st:least(st + 63, L)], ' ')) AS chunk_md5,
+       CAST(least(64, L - st + 1) AS BIGINT) AS n_tokens
+FROM s
+"""
+
 _LEAKAGE_SPLIT_ORACLE = _NEAR_DUP_CTE + """
 , g AS (SELECT u AS doc_id, min(reach) AS grp FROM walk GROUP BY u)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
@@ -1754,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups": _NEAR_DUP_GROUPS_ORACLE,
         "near_dup_canonical": _NEAR_DUP_CANONICAL_ORACLE,
         "leakage_split_documents": _LEAKAGE_SPLIT_ORACLE,
+        "chunked_documents": _CHUNKED_ORACLE,
         "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
         "ks_drift_quantity": _KS_DRIFT_ORACLE,
         "session_stats_events": _SESSION_STATS_ORACLE,

@@ -130,7 +130,7 @@ def main() -> None:
             "session_stats_events", "asof_clicks_errors",
             "fd_customer_nation_segment", "cardinality_orders_lineitem",
             "top_quality_per_lang", "contamination_documents", "freshness_events",
-            "leakage_split_documents",
+            "leakage_split_documents", "chunked_documents",
         ):
             q = qs[name]
             timed(name, lambda q=q: q(spark, sf_dir).count())

@@ -257,6 +257,60 @@ def top_per_stratum(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into token-window chunks of ≤ ``max_tokens``
+    whitespace tokens with ``overlap`` tokens of context carried between
+    consecutive chunks — the upstream companion of ``pack_sequences``
+    (which drops over-long docs). Short docs come through as their own
+    single chunk (chunk 0); null/empty text yields no rows.
+
+    Pure Catalyst: tokenize once, ``sequence`` over chunk starts,
+    ``posexplode``, ``slice`` + ``array_join`` per chunk — whole-stage
+    codegen, no shuffle, no Python. Output: ``id_col, chunk_idx,
+    chunk_text, n_tokens``."""
+    from jsschema_spark.functions.text import tokens
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") > 0)
+    )
+    # chunk starts: 1, 1+stride, ... — up to the last index that begins a
+    # NEW chunk (any start past len - overlap would only repeat context)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__toks") - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = base.select(
+        id_col,
+        F.size("__toks").alias("__len"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+        F.col("__toks"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start"), max_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.least(
+            F.lit(max_tokens), F.col("__len") - F.col("__start") + 1
+        ).cast("long").alias("n_tokens"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

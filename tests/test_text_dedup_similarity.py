@@ -1195,3 +1195,40 @@ def test_pack_sequences(spark):
     again = {(r.doc_id, r.pack_id) for r in pack_sequences(df, 1024).collect()}
     assert again == {(r.doc_id, r.pack_id) for r in rows_out}
     out.unpersist()
+
+
+def test_chunk_documents(spark):
+    """Token-window chunking: coverage, overlap stitching, bounds, and a
+    Python reimplementation agree."""
+    from jsschema_spark.functions.curate import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=2)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens) for r in out.collect())
+    )
+    # doc 3 (null) and 4 (blank) vanish; doc 2 is one whole chunk
+    assert {d for d, *_ in rows} == {1, 2}
+    assert [(c, t) for d, c, t, n in rows if d == 2] == [(0, "short doc")]
+
+    # python model: starts 0, 8, 16, 24 (stride 8) over 25 tokens
+    words = text.split()
+    expect = []
+    starts = list(range(0, 25 - 2, 8))
+    for ci, s in enumerate(starts):
+        piece = words[s : s + 10]
+        expect.append((1, ci, " ".join(piece), len(piece)))
+    assert [r for r in rows if r[0] == 1] == expect
+    # every chunk respects the cap; consecutive chunks share `overlap` tokens
+    assert all(n <= 10 for _, _, _, n in rows)
+    c0 = rows[0][2].split(); c1 = rows[1][2].split()
+    assert c0[-2:] == c1[:2]
+    # full coverage: stitching chunks (dropping overlap) rebuilds the doc
+    stitched = rows[0][2].split() + [
+        w for _, ci, t, _ in rows[1:4] for w in t.split()[2:] if ci > 0
+    ]
+    assert stitched == words
