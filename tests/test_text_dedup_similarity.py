@@ -1232,3 +1232,25 @@ def test_chunk_documents(spark):
         w for _, ci, t, _ in rows[1:4] for w in t.split()[2:] if ci > 0
     ]
     assert stitched == words
+
+
+def test_chunk_then_pack_composes(spark):
+    """The chunk -> pack pipeline: over-long docs chunked to <= seq_len
+    then packed — every chunk lands in a pack, no pack over capacity."""
+    from jsschema_spark.functions.curate import chunk_documents, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (400 + i * 150)) for i in range(8)], "doc_id long, text string"
+    ).select("doc_id", F.trim(F.col("text")).alias("text"))
+    chunks = chunk_documents(docs, max_tokens=256, overlap=0).select(
+        F.concat_ws("-", "doc_id", "chunk_idx").alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    n_chunks = chunks.count()
+    packed = pack_sequences(chunks, seq_len=256, id_col="doc_id")
+    rows = packed.collect()
+    assert len(rows) == n_chunks  # nothing dropped: chunking bounded sizes
+    fills = {}
+    for r in rows:
+        fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+    assert all(v <= 256 for v in fills.values())
