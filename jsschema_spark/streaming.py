@@ -199,6 +199,7 @@ def start_dedup_admission_sink(
     id_col: str,
     text_col: str,
     trigger_once: bool = True,
+    min_quality: float = 0.0,
 ) -> StreamingQuery:
     """Streaming corpus admission with exact dedup against a persisted
     fingerprint index: per micro-batch, drop rows whose content fingerprint
@@ -218,7 +219,10 @@ def start_dedup_admission_sink(
     anti-join against the index (AQE broadcast/shuffle by size), one
     ``min_by`` keep-first aggregate — shuffle width = #distinct new
     fingerprints. The index holds one ~16-byte row per distinct corpus
-    document."""
+    document. ``min_quality > 0`` applies the composite quality gate
+    (``text.quality_score``, a stateless codegen predicate) before
+    dedup — rejected rows are never admitted and never enter the
+    index."""
     from pyspark.errors import AnalysisException
 
     from jsschema_spark.functions.dedup import incremental_exact_dedup
@@ -226,6 +230,13 @@ def start_dedup_admission_sink(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if min_quality > 0.0:
+            from jsschema_spark.functions.text import quality_score
+
+            batch_df = batch_df.where(
+                F.col(text_col).isNotNull()
+                & (quality_score(F.col(text_col)) >= min_quality)
+            )
         try:
             index = spark.read.parquet(index_dir).where(
                 F.col("batch_id") != int(batch_id)

@@ -452,3 +452,29 @@ def test_session_stream_native_session_window(spark, tmp_path):
     ).collect()
     batch_sessions = {(r.user_id, r.session_start): r.n_events for r in batch}
     assert batch_sessions == {k: v.n_events for k, v in got.items()}
+
+
+def test_streaming_admission_quality_gate(spark, tmp_path):
+    """min_quality on the admission sink: junk documents are rejected
+    before dedup and never enter the admitted output or the index."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then keeps on running home"),
+        (2, "#@! $%^ &*( !!!"),  # junk: fails the quality gate
+        (3, "a perfectly ordinary sentence with enough words to pass the quality gate today"),
+    ]
+    src = str(tmp_path / "qa_src")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(src)
+
+    from jsschema_spark.streaming import start_dedup_admission_sink
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    idx = str(tmp_path / "qa_idx")
+    adm = str(tmp_path / "qa_adm")
+    q = start_dedup_admission_sink(
+        stream, idx, adm, str(tmp_path / "qa_ckpt"), "doc_id", "text",
+        min_quality=0.5,
+    )
+    q.awaitTermination(120)
+    admitted = {r.doc_id for r in spark.read.parquet(adm).collect()}
+    assert admitted == {1, 3}
+    assert spark.read.parquet(idx).count() == 2
