@@ -1254,3 +1254,24 @@ def test_chunk_then_pack_composes(spark):
     for r in rows:
         fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
     assert all(v <= 256 for v in fills.values())
+
+
+def test_index_write_file_count_bounded(spark, emb, tmp_path):
+    """The partitioned index write must land each cell in ONE task: data
+    file count stays ~#cells, not #tasks x #cells (the dynamic-partition
+    small-files trap)."""
+    import glob
+    import os
+
+    from jsschema_spark.functions.similarity import ivf_build
+
+    corpus = emb.repartition(8)  # many write tasks to provoke the trap
+    path = str(tmp_path / "fc_idx")
+    ivf_build(corpus, path, n_centroids=8, seed=42, train=False)
+    data_files = [
+        f for f in glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+    ]
+    cells = {os.path.basename(os.path.dirname(f)) for f in data_files}
+    # exactly one data file per non-empty cell
+    assert len(data_files) == len(cells)
+    assert len(cells) <= 9  # 8 cells + the -1 null cell
