@@ -760,6 +760,21 @@ def q_asof_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment numeric profile (stats.grouped_column_stats): l_quantity
+    stats per return flag in one map-side-combined aggregation."""
+    from jsschema_spark.stats import grouped_column_stats
+
+    df = _t(spark, sf_dir, "lineitem")
+    out = grouped_column_stats(df, ["l_returnflag"], "l_quantity")
+    return out.select(
+        "l_returnflag", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("stddev", 6).alias("stddev_r"),
+    )
+
+
 def q_ks_drift_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned Kolmogorov–Smirnov drift as per-bin ECDF rows (stats.ks_drift):
     l_quantity, full table vs the high-discount slice — max(cdf_gap_r) is
@@ -957,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_documents": q_chunked_documents,
         "numeric_drift_quantity": q_numeric_drift,
         "ks_drift_quantity": q_ks_drift_quantity,
+        "grouped_stats_lineitem": q_grouped_stats_lineitem,
         "session_stats_events": q_session_stats_events,
         "asof_clicks_errors": q_asof_clicks_errors,
         "freshness_events": q_freshness_events,
@@ -1478,6 +1494,18 @@ ASOF LEFT JOIN
   ON c.user_id = e.uid AND c.ts >= e.rts
 """
 
+_GROUPED_STATS_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(min(l_quantity) AS DOUBLE) AS min_num,
+       CAST(max(l_quantity) AS DOUBLE) AS max_num,
+       round(avg(CAST(l_quantity AS DOUBLE)), 6) AS mean_r,
+       round(stddev_samp(CAST(l_quantity AS DOUBLE)), 6) AS stddev_r
+FROM lineitem GROUP BY 1
+"""
+
 _KS_DRIFT_ORACLE = """
 WITH b AS (
   SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
@@ -1807,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "chunked_documents": _CHUNKED_ORACLE,
         "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
         "ks_drift_quantity": _KS_DRIFT_ORACLE,
+        "grouped_stats_lineitem": _GROUPED_STATS_ORACLE,
         "session_stats_events": _SESSION_STATS_ORACLE,
         "asof_clicks_errors": _ASOF_ORACLE,
         "freshness_events": _FRESHNESS_ORACLE,

@@ -452,3 +452,27 @@ def numeric_drift(
         pe.alias("p_base"), pa.alias("p_cur"),
         ((pa - pe) * F.log(pa / pe)).alias("psi_term"),
     )
+
+
+def grouped_column_stats(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    col: str,
+) -> DataFrame:
+    """Per-group numeric profile of one column in a single map-side-
+    combined aggregation: ``*group_cols, n_rows, n_null, n_distinct,
+    min_num, max_num, mean, stddev`` — the time-bucketed / per-segment
+    sibling of ``column_stats`` (pass an event-date or segment column as
+    the group). Distinct is exact ``count_distinct`` here: per-group
+    cardinalities are the point of the query, and the group already
+    bounds the shuffle; swap in a sketch upstream if groups are huge."""
+    c = F.col(col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(c.isNull().cast("long")).cast("long").alias("n_null"),
+        F.count_distinct(c).cast("long").alias("n_distinct"),
+        F.min(c.cast("double")).alias("min_num"),
+        F.max(c.cast("double")).alias("max_num"),
+        F.avg(c.cast("double")).alias("mean"),
+        F.stddev_samp(c.cast("double")).alias("stddev"),
+    )

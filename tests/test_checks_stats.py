@@ -353,3 +353,22 @@ def test_schema_diff(spark):
         "type_changed": [("y", "string", "bigint")], "identical": False,
     }
     assert schema_diff(a, a)["identical"]
+
+
+def test_grouped_column_stats(spark, clips):
+    from jsschema_spark.stats import grouped_column_stats
+
+    out = {r.codec: r for r in grouped_column_stats(clips, ["codec"], "dur_ms").collect()}
+    assert sum(r.n_rows for r in out.values()) == 4000
+    for r in out.values():
+        assert r.n_distinct <= r.n_rows - r.n_null
+        if r.min_num is not None:
+            assert r.min_num <= r.max_num
+    # spot check one group against direct aggregation
+    codec = next(k for k in out if k)  # first non-null codec present
+    sub = clips.where(F.col("codec") == codec)
+    direct = sub.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.col("dur_ms").cast("double")).alias("m")
+    ).collect()[0]
+    assert out[codec].n_rows == direct.n
+    assert abs(out[codec].mean - direct.m) < 1e-9
