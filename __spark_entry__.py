@@ -760,6 +760,27 @@ def q_asof_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomalous_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level anomaly screen (stats.anomalous_groups): users whose
+    mean event value z-scores ≥ 3 against the corpus of per-user means —
+    injected spiked users (%37, value×20+1000) guarantee hits with wide
+    margins (z≈5.5 vs ≈0.2 organic, so the threshold is FP-safe)."""
+    from jsschema_spark.stats import anomalous_groups
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    spiked = ev.where(F.col("user_id") % 37 == 0).select(
+        (F.col("user_id") + 100000).alias("user_id"),
+        (F.col("value") * 20 + 1000).alias("value"),
+    )
+    df = ev.unionByName(spiked)
+    out = anomalous_groups(df, ["user_id"], "value", z_threshold=3.0, min_group_rows=20)
+    return out.select(
+        "user_id", "n_rows",
+        F.round("group_mean", 4).alias("mean_r"),
+        F.round("z", 2).alias("z_r"),
+    )
+
+
 def q_grouped_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment numeric profile (stats.grouped_column_stats): l_quantity
     stats per return flag in one map-side-combined aggregation."""
@@ -973,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_drift_quantity": q_numeric_drift,
         "ks_drift_quantity": q_ks_drift_quantity,
         "grouped_stats_lineitem": q_grouped_stats_lineitem,
+        "anomalous_users_events": q_anomalous_users_events,
         "session_stats_events": q_session_stats_events,
         "asof_clicks_errors": q_asof_clicks_errors,
         "freshness_events": q_freshness_events,
@@ -1494,6 +1516,27 @@ ASOF LEFT JOIN
   ON c.user_id = e.uid AND c.ts >= e.rts
 """
 
+_ANOMALOUS_USERS_ORACLE = """
+WITH all_ev AS (
+  SELECT user_id, value FROM events
+  UNION ALL
+  SELECT user_id + 100000, value * 20 + 1000 FROM events WHERE user_id % 37 = 0
+), g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+         avg(CAST(value AS DOUBLE)) AS gm
+  FROM all_ev GROUP BY 1
+  HAVING count(*) >= 20 AND avg(CAST(value AS DOUBLE)) IS NOT NULL
+), zed AS (
+  SELECT user_id, n_rows, gm,
+    CASE WHEN stddev_samp(gm) OVER () > 0
+         THEN (gm - avg(gm) OVER ()) / stddev_samp(gm) OVER ()
+         ELSE 0.0 END AS z
+  FROM g
+)
+SELECT user_id, n_rows, round(gm, 4) AS mean_r, round(z, 2) AS z_r
+FROM zed WHERE abs(z) >= 3.0
+"""
+
 _GROUPED_STATS_ORACLE = """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -1836,6 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         "numeric_drift_quantity": _NUMERIC_DRIFT_ORACLE,
         "ks_drift_quantity": _KS_DRIFT_ORACLE,
         "grouped_stats_lineitem": _GROUPED_STATS_ORACLE,
+        "anomalous_users_events": _ANOMALOUS_USERS_ORACLE,
         "session_stats_events": _SESSION_STATS_ORACLE,
         "asof_clicks_errors": _ASOF_ORACLE,
         "freshness_events": _FRESHNESS_ORACLE,

@@ -476,3 +476,45 @@ def grouped_column_stats(
         F.avg(c.cast("double")).alias("mean"),
         F.stddev_samp(c.cast("double")).alias("stddev"),
     )
+
+
+def anomalous_groups(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    col: str,
+    z_threshold: float = 3.0,
+    min_group_rows: int = 30,
+) -> DataFrame:
+    """Groups whose mean of ``col`` deviates anomalously from the corpus
+    of group means: z-score each group against the across-group mean/std
+    and keep |z| ≥ ``z_threshold`` (classic segment-level anomaly screen
+    — a partition, day, or source whose metric went sideways). Groups
+    under ``min_group_rows`` are excluded (their means are noise).
+
+    Scale shape: the heavy step is one map-side-combined grouped agg
+    (shuffle width = #groups); the z-scoring runs over the group-level
+    rows with window aggregates — #groups rows, never data rows.
+
+    Output: ``*group_cols, n_rows, group_mean, z`` for anomalous groups."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    g = (
+        df.groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.avg(F.col(col).cast("double")).alias("group_mean"),
+        )
+        .where(
+            (F.col("n_rows") >= min_group_rows) & F.col("group_mean").isNotNull()
+        )
+    )
+    tot = Window.partitionBy()
+    mu = F.avg("group_mean").over(tot)
+    sd = F.stddev_samp("group_mean").over(tot)
+    z = F.when(sd > 0, (F.col("group_mean") - mu) / sd).otherwise(F.lit(0.0))
+    return (
+        g.withColumn("z", z)
+        .where(F.abs(F.col("z")) >= z_threshold)
+        .select(*groups, "n_rows", "group_mean", "z")
+    )

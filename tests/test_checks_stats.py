@@ -372,3 +372,21 @@ def test_grouped_column_stats(spark, clips):
     ).collect()[0]
     assert out[codec].n_rows == direct.n
     assert abs(out[codec].mean - direct.m) < 1e-9
+
+
+def test_anomalous_groups(spark):
+    from jsschema_spark.stats import anomalous_groups
+
+    rows = []
+    for g in range(20):
+        base = 100.0 if g != 7 else 500.0  # group 7 is the anomaly
+        rows += [(f"g{g}", base + (i % 5)) for i in range(40)]
+    rows += [("tiny", 9999.0)] * 5  # under min_group_rows: ignored
+    df = spark.createDataFrame(rows, "grp string, v double")
+
+    out = anomalous_groups(df, ["grp"], "v", z_threshold=3.0, min_group_rows=30)
+    hits = [r.grp for r in out.collect()]
+    assert hits == ["g7"]
+    # nothing anomalous in a homogeneous corpus
+    clean = df.where(~F.col("grp").isin("g7", "tiny"))
+    assert anomalous_groups(clean, ["grp"], "v", 3.0).count() == 0
