@@ -540,6 +540,29 @@ def q_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("o_orderkey", "n_children", "bound")
 
 
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (curate.weighted_sample): 20 docs
+    per language with inclusion probability proportional to token count —
+    Efraimidis–Spirakis keys ln(u)/w from md5(id) fractions, reproduced
+    exactly by the SQL oracle (ln agrees across engines; ordering could
+    only flip for keys within libm error of each other, which distinct
+    60-bit hash fractions never are)."""
+    from jsschema_spark.functions.curate import weighted_sample
+    from jsschema_spark.functions.text import lang_id, token_count
+
+    df = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            lang_id(F.col("text")).alias("lang"),
+            token_count(F.col("text")).cast("double").alias("w"),
+        )
+    )
+    out = weighted_sample(df, ["lang"], 20, "w", id_col="doc_id")
+    return out.select("lang", F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def q_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k by score (curate.top_per_stratum): the 5 highest-
     quality docs per language, two-phase local-top-n + candidate re-agg —
@@ -1003,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": q_quality_score_documents,
         "contamination_documents": q_contamination_documents,
         "top_quality_per_lang": q_top_quality_per_lang,
+        "weighted_sample_documents": q_weighted_sample_documents,
         "curated_documents": q_curated_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "token_budget_documents": q_token_budget_documents,
@@ -1376,6 +1400,27 @@ bench AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM corp JOIN bench USING (sh) GROUP BY 1
+"""
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH lang AS ({_LANG_ORACLE}),
+t AS (
+  SELECT d.doc_id, l.lang,
+    CAST(CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS DOUBLE) AS w
+  FROM documents d JOIN lang l ON l.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+), keyed AS (
+  SELECT doc_id, lang,
+    ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+       / 1152921504606846978.0) / w AS k
+  FROM t WHERE w > 0
+), r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rk
+  FROM keyed
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rk <= 20
 """
 
 _TOP_QUALITY_ORACLE = f"""
@@ -1888,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_documents": _QUALITY_SCORE_ORACLE,
         "contamination_documents": _CONTAMINATION_ORACLE,
         "top_quality_per_lang": _TOP_QUALITY_ORACLE,
+        "weighted_sample_documents": _WEIGHTED_SAMPLE_ORACLE,
         "curated_documents": _CURATED_ORACLE,
         "stratified_sample_documents": _STRATIFIED_SAMPLE_ORACLE,
         "token_budget_documents": _TOKEN_BUDGET_ORACLE,

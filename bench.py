@@ -129,7 +129,7 @@ def main() -> None:
             "stratified_sample_documents", "token_budget_documents",
             "session_stats_events", "asof_clicks_errors",
             "fd_customer_nation_segment", "cardinality_orders_lineitem",
-            "top_quality_per_lang", "contamination_documents", "freshness_events",
+            "top_quality_per_lang", "weighted_sample_documents", "contamination_documents", "freshness_events",
             "leakage_split_documents", "chunked_documents",
         ):
             q = qs[name]
