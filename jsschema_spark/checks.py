@@ -294,7 +294,10 @@ def freshness_report(
     check is deterministic and replayable). One map-side-combined
     ``max``; output is a single row: ``latest_ts, lag_seconds, fresh``.
     An empty/all-null table reports ``fresh = false`` with null lag."""
-    anchor = F.lit(as_of).cast("timestamp_ntz")
+    # Anchor must match ts_col's flavor: timestamp_diff rejects (or
+    # tz-shifts) mixed TIMESTAMP / TIMESTAMP_NTZ operands, so cast the
+    # literal to the column's own type instead of hardcoding NTZ.
+    anchor = F.lit(as_of).cast(df.schema[ts_col].dataType)
     agg = df.agg(F.max(F.col(ts_col)).alias("latest_ts"))
     # floor of the microsecond difference: engines disagree on whether a
     # coarse date_diff truncates or counts boundary crossings, so pin the

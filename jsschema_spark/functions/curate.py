@@ -44,6 +44,7 @@ def curate_documents(
     bands: int = 16,
     with_report: bool = True,
     metadata_schema: "Optional[dict]" = None,
+    groups: "Optional[DataFrame]" = None,
 ) -> "tuple[DataFrame, dict]":
     """Run the full curation pipeline; see module docstring.
 
@@ -51,7 +52,15 @@ def curate_documents(
     ``near_dup_threshold``: ``None`` skips the near-dup stage (exact dedup
     only). ``metadata_schema``: a JSON-Schema dict compiled once into the
     validity stage's Catalyst predicate (rows failing it are dropped with
-    the blanks — no Python in the plan)."""
+    the blanks — no Python in the plan). ``groups``: a precomputed
+    near-dup group table (``doc_id, group_id`` — e.g. from
+    ``connected_components`` over pairs produced against a persisted
+    ``write_minhash_index``); when given, the pipeline skips the full
+    MinHash-LSH pass and goes straight to the canonical anti-join, so a
+    production run that already maintains a signature index doesn't pay
+    the signature+band join again. Groups covering docs the earlier
+    stages dropped are harmless — ``keep_canonical`` joins on the
+    surviving ids only."""
     report: dict = {}
     if with_report:
         report["n_input"] = df.count()
@@ -75,7 +84,9 @@ def curate_documents(
         report["n_after_exact"] = exact.count()
 
     kept = exact
-    if near_dup_threshold is not None:
+    if groups is not None:
+        kept = keep_canonical(exact, groups, id_col)
+    elif near_dup_threshold is not None:
         # the exact-dedup output feeds BOTH the signature pipeline and the
         # canonical anti-join (and the report count): checkpoint the
         # deduped table once instead of re-running the min_by aggregation
@@ -328,11 +339,30 @@ def pack_sequences(
     Exact bin packing is NP-hard and inherently sequential, so the
     distributed shape is partition-local packing: docs spread over
     partitions by md5(id) (deterministic, so re-runs pack identically),
-    each partition FFD-packs its own docs in an Arrow-batched pandas
-    loop, and pack ids are namespaced by partition. FFD waste is ≤ ~22%
-    worst-case and a few % in practice at partition sizes of ~10^5 docs;
-    cross-partition packing could only merge the ≤1 open bin per
-    partition, so the lost utilization is O(P/N) — negligible at scale."""
+    each partition best-fit-packs its own docs in an Arrow-batched pandas
+    loop, and pack ids are namespaced by partition. Packing waste is
+    ≤ ~22% worst-case and a few % in practice at partition sizes of
+    ~10^5 docs; cross-partition packing could only merge the few open
+    bins per partition, so the lost utilization is O(P/N) — negligible
+    at scale.
+
+    Two shape guarantees inside the UDF:
+
+    * **Bin state persists across Arrow batches.** A partition larger
+      than ``spark.sql.execution.arrow.maxRecordsPerBatch`` arrives as
+      multiple pandas batches; open-bin capacities and the pack-id
+      counter are hoisted OUTSIDE the per-batch loop, so pack ids never
+      collide across batches and no pack exceeds ``seq_len`` (docs are
+      size-sorted within each batch — best-fit keeps later batches
+      correct even though the global descending order is per-batch).
+    * **Best-fit via a capacity-bucketed index, not a linear bin scan.**
+      Each doc placement is O(log #distinct-capacities): a sorted list
+      of distinct remaining capacities (≤ ``seq_len`` entries) plus a
+      min-heap of bin ids per capacity — smallest fitting capacity,
+      ties to the lowest bin id, so assignment is a pure deterministic
+      function of the sorted doc stream. The round-4 first-fit list
+      scan was O(docs × open-bins) Python — quadratic-ish at real
+      partition sizes."""
     import pandas as pd
 
     from jsschema_spark.functions.text import token_count
@@ -351,25 +381,45 @@ def pack_sequences(
     out_fields = [f"{f.name}" for f in spread.schema.fields]
 
     def pack(batches):
+        import bisect
+        import heapq
+
+        # per-PARTITION state, shared by every Arrow batch of the stream
+        caps: list = []   # sorted distinct remaining capacities of open bins
+        bins_at: dict = {}  # capacity -> min-heap of bin ids at that capacity
+        next_bin = 0
+
         for pdf in batches:
             if pdf.empty:
                 yield pdf.assign(pack_id=pd.Series(dtype="string"))
                 continue
             part = int(pdf["__part_id"].iloc[0]) if "__part_id" in pdf else 0
-            pdf = pdf.sort_values("__n_tok", ascending=False, kind="mergesort")
-            bins: list[int] = []  # remaining capacity per open bin
+            pdf = pdf.sort_values(
+                ["__n_tok", id_col], ascending=[False, True], kind="mergesort"
+            )
             assign = []
-            for n in pdf["__n_tok"]:
-                placed = None
-                for b, rem in enumerate(bins):
-                    if rem >= n:
-                        placed = b
-                        bins[b] = rem - n
-                        break
-                if placed is None:
-                    bins.append(seq_len - n)
-                    placed = len(bins) - 1
-                assign.append(f"{part}-{placed}")
+            for n in pdf["__n_tok"].to_numpy():
+                n = int(n)
+                i = bisect.bisect_left(caps, n)
+                if i < len(caps):  # smallest capacity that fits
+                    c = caps[i]
+                    heap = bins_at[c]
+                    b = heapq.heappop(heap)
+                    if not heap:
+                        del bins_at[c]
+                        caps.pop(i)
+                    rem = c - n
+                else:  # no open bin fits: open a new one
+                    b = next_bin
+                    next_bin += 1
+                    rem = seq_len - n
+                if rem > 0:
+                    if rem in bins_at:
+                        heapq.heappush(bins_at[rem], b)
+                    else:
+                        bins_at[rem] = [b]
+                        bisect.insort(caps, rem)
+                assign.append(f"{part}-{b}")
             yield pdf.assign(pack_id=assign)
 
     with_part = spread.withColumn("__part_id", F.spark_partition_id())
@@ -460,21 +510,65 @@ def token_budget_sample(
     token total INCLUDING it stays ≤ ``token_budget``. Deterministic and
     engine-portable (a SQL cumulative-sum window reproduces it exactly).
 
-    One shuffle: the cumulative sum runs in a single per-stratum ordered
-    window pass. Docs after the budget point still flow through the scan
-    but carry no state — window state is O(1) per stratum."""
+    Scale shape — two-phase prefix scan, NOT a bare per-stratum window.
+    ``Window.partitionBy(stratum)`` over the raw stream ships EVERY row
+    of a stratum to one reducer and sorts there — a hot stratum (half the
+    corpus in one language) becomes one giant single-task sort. Instead:
+
+    1. **Range-partition** by ``(strata…, __ord, id)`` — a stratum's
+       rows land in contiguous, ordered segments across many partitions
+       (a hot stratum simply spans more of them).
+    2. **Segment-local cumsum**: one window partitioned by
+       ``(strata…, __pid)`` — every group is bounded by the range-
+       partition size, so no reducer sorts more than one partition's
+       worth of rows regardless of stratum skew.
+    3. **Prefix offsets**: per-(stratum, pid) token totals aggregate to
+       ``#strata × #partitions`` rows; a window over THAT tiny table
+       (ordered by pid within each stratum) yields each segment's
+       exclusive prefix, joined back (AQE broadcasts it).
+
+    The global cumulative sum per row is ``local_cum + segment_offset``
+    — exact long arithmetic, identical to the single-window formulation
+    for ANY placement of range boundaries, so results are bit-stable
+    across cluster sizes and the SQL oracle still reproduces them."""
     from jsschema_spark.functions.text import token_count
 
     tok = F.col(token_col) if token_col else token_count(F.col(text_col))
     strata = list(strata_cols)
-    w = (
-        Window.partitionBy(*strata)
+    ranged = (
+        df.withColumn("__ord", _stable_order(id_col))
+        .withColumn("__tok", tok.cast("long"))
+        .repartitionByRange(
+            *strata, F.col("__ord"), F.col(id_col)
+        )
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # Both the local-cumsum branch and the totals branch key on __pid.
+    # Range boundaries are SAMPLED per exchange execution, so the two
+    # branches must observe the SAME physical partitioning — checkpoint
+    # the ranged table once (lazy) instead of trusting exchange reuse.
+    ranged = ranged.localCheckpoint(eager=False)
+    w_local = (
+        Window.partitionBy(*strata, "__pid")
         .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = ranged.withColumn("__cum_local", F.sum("__tok").over(w_local))
+    totals = ranged.groupBy(*strata, "__pid").agg(
+        F.sum("__tok").alias("__seg_tok")
+    )
+    w_prefix = (
+        Window.partitionBy(*strata)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        *strata,
+        "__pid",
+        (F.sum("__seg_tok").over(w_prefix) - F.col("__seg_tok")).alias("__offset"),
+    )
     return (
-        df.withColumn("__ord", _stable_order(id_col))
-        .withColumn("__cum", F.sum(tok).over(w))
-        .where(F.col("__cum") <= int(token_budget))
-        .drop("__ord", "__cum")
+        local.join(offsets, [*strata, "__pid"], "inner")
+        .where(F.col("__cum_local") + F.col("__offset") <= int(token_budget))
+        .drop("__ord", "__tok", "__pid", "__cum_local", "__offset")
     )

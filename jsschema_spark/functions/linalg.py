@@ -87,10 +87,14 @@ def hyperplane_bucket_v(vec: Column, planes: np.ndarray) -> Column:
     def _bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
             mask, M = _stack(s)
-            out = np.full(len(s), np.nan, dtype=np.float64)
+            # Nullable Int64 built straight from the int64 matmul result —
+            # never routed through a float64 buffer, which holds only 53
+            # significant bits and silently corrupts wider packed
+            # signatures (e.g. multi-seed 60-bit packs).
+            vals = np.zeros(len(s), dtype=np.int64)
             if M.size:
-                out[mask] = ((M @ P.T) > 0).astype(np.int64) @ weights
-            yield pd.Series(out).astype("Int64")
+                vals[mask] = ((M @ P.T) > 0).astype(np.int64) @ weights
+            yield pd.Series(pd.arrays.IntegerArray(vals, ~mask))
 
     return _bucket(vec)
 

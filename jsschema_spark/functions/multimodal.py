@@ -207,9 +207,17 @@ def image_dims(col) -> "F.Column":
         _le(col, 7, 2).cast("int").alias("width"),
         _le(col, 9, 2).cast("int").alias("height"),
     )
+    # biHeight is a SIGNED int32: top-down BMPs store a negative height.
+    # Sign-extend the little-endian read and report abs() — the row count.
+    bmp_h_raw = _le(col, 23, 4)
+    bmp_h = F.abs(
+        F.when(bmp_h_raw >= F.lit(1 << 31), bmp_h_raw - F.lit(1 << 32)).otherwise(
+            bmp_h_raw
+        )
+    )
     bmp = F.struct(
         _le(col, 19, 4).cast("int").alias("width"),
-        _le(col, 23, 4).cast("int").alias("height"),
+        bmp_h.cast("int").alias("height"),
     )
     null_dims = F.struct(
         F.lit(None).cast("int").alias("width"), F.lit(None).cast("int").alias("height")

@@ -342,6 +342,32 @@ def test_freshness_report(spark):
     assert e.latest_ts is None and e.lag_seconds is None and e.fresh is False
 
 
+def test_freshness_report_tz_aware_timestamp(spark):
+    """Round-5 regression: the as_of anchor must be cast to the COLUMN's
+    timestamp flavor — a tz-aware TIMESTAMP column with a hardcoded
+    timestamp_ntz anchor either fails analysis or shifts by the session
+    timezone."""
+    from jsschema_spark.checks import freshness_report
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # SQL literals, not createDataFrame: naive-datetime conversion in
+        # createDataFrame uses the PYTHON process zone, which would shift
+        # the data independently of the session zone under test
+        df = spark.sql(
+            "SELECT * FROM VALUES (timestamp'2026-01-01 10:30:00'),"
+            " (timestamp'2026-01-01 11:50:00'), (timestamp'2026-01-01 11:15:00')"
+            " AS t(ts)"
+        )
+        r = freshness_report(df, "ts", "2026-01-01 12:00:00", 900).collect()[0]
+        # both sides interpret naive wall-clock in the SAME session zone,
+        # so the lag must be exactly 10 minutes regardless of that zone
+        assert r.lag_seconds == 600 and r.fresh
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_schema_diff(spark):
     from jsschema_spark.checks import schema_diff
 

@@ -1275,3 +1275,167 @@ def test_index_write_file_count_bounded(spark, emb, tmp_path):
     # exactly one data file per non-empty cell
     assert len(data_files) == len(cells)
     assert len(cells) <= 9  # 8 cells + the -1 null cell
+
+# ------------------------------------------------- round-5 regression guards
+
+def test_hyperplane_bucket_wide_signature_exact(spark):
+    """Signatures wider than 53 bits must survive bit-exact (the round-4
+    defect routed the int64 pack through a float64 buffer, silently
+    zeroing low-order bits above 2^53)."""
+    import numpy as np
+
+    from jsschema_spark.functions.linalg import hyperplane_bucket_v, hyperplanes
+
+    dim, n_planes, seed = 16, 60, 7
+    P = hyperplanes(dim, n_planes, seed)
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((64, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(64)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.sig
+        for r in df.select(
+            "vec_id", hyperplane_bucket_v(F.col("embedding"), P).alias("sig")
+        ).collect()
+    }
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+    hit_high = 0
+    for i in range(64):
+        bits = ((vecs[i] @ P.T) > 0).astype(np.int64)
+        expect = int(bits @ weights)
+        assert got[i] == expect, (i, got[i], expect)
+        if expect >= (1 << 53):
+            hit_high += 1
+    # the corpus must actually exercise the >53-bit range or the guard is vacuous
+    assert hit_high > 0
+    assert got[999] is None
+
+
+def test_pack_sequences_state_survives_arrow_batches(spark):
+    """A partition larger than arrow.maxRecordsPerBatch arrives as several
+    pandas batches; bin state + pack numbering must persist across them
+    (the round-4 defect reset FFD state per batch, colliding pack_ids and
+    silently overfilling packs)."""
+    from jsschema_spark.functions.curate import pack_sequences
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "32")
+    try:
+        # one partition (docs_per_partition >> n), many small docs so the
+        # old per-batch '0-0' collision would overfill pack 0 immediately
+        rows = [(i, "tok " * (i % 9 + 1)) for i in range(400)]
+        df = spark.createDataFrame(
+            [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+        )
+        out = pack_sequences(df, seq_len=64).cache()
+        got = out.collect()
+        assert {r.doc_id for r in got} == {i for i, _ in rows}
+        fills = {}
+        for r in got:
+            fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+        assert all(v <= 64 for v in fills.values()), sorted(fills.items())[:5]
+        # utilization must still be FFD-grade even with per-batch sorting
+        total = sum(r.n_tokens for r in got)
+        assert total / (len(fills) * 64) > 0.8
+        # deterministic across re-runs
+        again = {(r.doc_id, r.pack_id) for r in pack_sequences(df, 64).collect()}
+        assert again == {(r.doc_id, r.pack_id) for r in got}
+        out.unpersist()
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+
+
+def test_token_budget_sample_two_phase_skew(spark):
+    """The two-phase prefix scan must (a) reproduce the single-window
+    semantics exactly on a skewed stratum mix and (b) never sort a whole
+    stratum on one reducer: every window over the raw row stream is
+    sub-partitioned by the physical partition id."""
+    import hashlib
+
+    from jsschema_spark.functions.curate import token_budget_sample
+
+    # hot stratum: 2000 rows; cold: 25 — mirrors one-language-dominant mixes
+    rows = [(i, "w " * (i % 13 + 1), "hot") for i in range(2000)]
+    rows += [(10_000 + i, "w " * (i % 5 + 1), "cold") for i in range(25)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), g) for i, t, g in rows], "doc_id long, text string, grp string"
+    )
+    out = token_budget_sample(df, ["grp"], 700, id_col="doc_id")
+    got = sorted((r.grp, r.doc_id) for r in out.collect())
+
+    expected = []
+    for g in ("hot", "cold"):
+        members = [
+            (i, n)
+            for i, t, gg in rows
+            if gg == g
+            for n in [len(t.strip().split())]
+        ]
+        members.sort(key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(), p[0]))
+        cum = 0
+        for i, ntok in members:
+            cum += ntok
+            if cum <= 700:
+                expected.append((g, i))
+    assert got == sorted(expected)
+
+    # plan shape: the cumulative-sum window over raw rows must include the
+    # partition id in its partitioning spec (bounded-size window groups);
+    # only the tiny per-segment totals table may window on the stratum alone
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    raw_specs = [s for s in specs if "__pid" in s]
+    assert raw_specs, plan  # the big window is pid-bounded
+    # schema unchanged: helper columns dropped
+    assert set(out.columns) == {"doc_id", "text", "grp"}
+
+
+def test_curate_documents_precomputed_groups_parity(spark, docs_with_dups):
+    """curate_documents(groups=...) must produce exactly the inline
+    pipeline's output while skipping the MinHash pass (production runs
+    reuse a persisted signature index instead of re-signaturing)."""
+    from jsschema_spark.functions.curate import curate_documents
+    from jsschema_spark.functions.dedup import (
+        connected_components,
+        exact_dedup,
+        near_duplicates_minhash,
+    )
+
+    df = docs_with_dups
+    inline, _ = curate_documents(df, "doc_id", "text", near_dup_threshold=0.7)
+    inline_ids = {r.doc_id for r in inline.select("doc_id").collect()}
+
+    # precompute groups the way a production index pipeline would
+    exact = exact_dedup(
+        df.where(F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)),
+        "text",
+        "doc_id",
+    ).localCheckpoint(eager=False)
+    pairs = near_duplicates_minhash(exact, "doc_id", "text", 64, 16, threshold=0.7)
+    groups = connected_components(pairs).localCheckpoint(eager=False)
+
+    reused, rep = curate_documents(df, "doc_id", "text", groups=groups)
+    assert {r.doc_id for r in reused.select("doc_id").collect()} == inline_ids
+    assert rep["n_kept"] == len(inline_ids)
+
+
+def test_bmp_topdown_negative_height(spark):
+    """biHeight is SIGNED: top-down BMPs store a negative height and must
+    report abs(height), not a wrapped negative int."""
+    from jsschema_spark.functions.multimodal import image_metadata
+
+    df = spark.createDataFrame(
+        [(1, _bmp_bytes(800, -600)), (2, _bmp_bytes(320, 240))],
+        "id long, payload binary",
+    )
+    out = {r.id: r.media_meta for r in image_metadata(df, "payload").collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("bmp", 800, 600)
+    assert (out[2].format, out[2].width, out[2].height) == ("bmp", 320, 240)
