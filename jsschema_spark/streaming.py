@@ -349,6 +349,142 @@ def start_near_dup_admission_sink(
     return writer.start()
 
 
+def _admit_embedding_batch(
+    batch_df: DataFrame, bid: int, index_dir: str, admitted_dir: str,
+    id_col: str, vec_col: str, threshold: float,
+    dim: int, n_planes: int, seed: int,
+) -> None:
+    """One micro-batch of the embedding admission sink (module-level so a
+    replayed batch can be reproduced outside the stream — the same reason
+    the text sinks' logic lives in dedup.incremental_* helpers)."""
+    from pyspark.errors import AnalysisException
+
+    from jsschema_spark.functions.dedup import cosine
+    from jsschema_spark.functions.linalg import hyperplane_bucket_v, hyperplanes
+    from jsschema_spark.functions.similarity import _multi_probe
+
+    spark = batch_df.sparkSession
+    try:
+        meta = spark.read.parquet(f"{index_dir}/_meta").collect()[0]
+        p_dim, p_planes, p_seed = meta["dim"], meta["n_planes"], meta["seed"]
+    except AnalysisException:
+        p_dim, p_planes, p_seed = dim, n_planes, seed
+        spark.createDataFrame(
+            [(p_dim, p_planes, p_seed)], "dim int, n_planes int, seed int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_meta")
+    planes = hyperplanes(p_dim, p_planes, p_seed)
+
+    bucket = F.coalesce(
+        hyperplane_bucket_v(F.col(vec_col), planes), F.lit(-1).cast("long")
+    )
+    bb = batch_df.select(
+        F.col(id_col), F.col(vec_col), bucket.alias("bucket")
+    ).localCheckpoint(eager=False)
+    probed = bb.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"),
+        F.explode(_multi_probe(F.col("bucket"), p_planes)).alias("bucket"),
+    )
+
+    try:
+        corpus = (
+            spark.read.parquet(index_dir)
+            .where(F.col("batch_id") != bid)
+            .select("vec_id", F.col("embedding").alias("__cv"), "bucket")
+        )
+        have = corpus.limit(1).count() > 0
+    except AnalysisException:
+        have = False
+
+    losers = None
+    if have:
+        # static partition pruning: read only the probed bucket dirs
+        probe = sorted(
+            {r["bucket"] for r in probed.select("bucket").distinct().collect()}
+        )
+        cand = corpus.where(F.col("bucket").isin(probe)).join(probed, "bucket")
+        losers = (
+            cand.where(cosine(F.col("__cv"), F.col("__qv")) >= threshold)
+            .select(F.col("__qid").alias("loser"))
+        )
+    # within-batch keep-first: the multi-probed side vs the base-bucket
+    # side, smaller id wins its pair
+    b = bb.select(
+        F.col(id_col).alias("__bid2"), F.col(vec_col).alias("__bv"), "bucket"
+    )
+    in_batch = (
+        probed.join(b, "bucket")
+        .where(F.col("__qid") < F.col("__bid2"))
+        .where(cosine(F.col("__qv"), F.col("__bv")) >= threshold)
+        .select(F.col("__bid2").alias("loser"))
+    )
+    losers = in_batch if losers is None else losers.unionByName(in_batch)
+    losers = losers.distinct()
+
+    kept = batch_df.join(losers, batch_df[id_col] == losers["loser"], "left_anti")
+    kept.write.mode("overwrite").parquet(f"{admitted_dir}/batch_id={bid}")
+    (
+        kept.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            bucket.alias("bucket"),
+        )
+        .repartition("bucket")  # one file per touched bucket, not task×bucket
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/batch_id={bid}")
+    )
+
+
+def start_embedding_admission_sink(
+    stream_df: DataFrame,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming VECTOR admission: per micro-batch, drop rows whose cosine
+    against any previously admitted embedding (probed via the persisted
+    hyperplane-LSH index) or any earlier-kept row of the same batch
+    reaches ``threshold``; admitted rows land in ``admitted_dir`` and
+    their ``(vec_id, embedding, bucket)`` rows extend the index. The
+    vector sibling of ``start_near_dup_admission_sink``.
+
+    Index layout: ``batch_id=<n>/bucket=<b>`` partition directories plus a
+    ``_meta`` sidecar pinning ``(dim, n_planes, seed)`` — restarts reuse
+    the STORED plane parameters, so a caller changing the args mid-stream
+    cannot silently split the index across incompatible plane sets.
+    Replay-idempotency contract as the text sinks: both outputs are
+    ``batch_id=``-partitioned overwrites and all reads exclude the current
+    batch's own partitions.
+
+    Scale shape per batch: ONE Arrow-batched matmul buckets the batch
+    (lazily checkpointed — probes, the self-join and the index write all
+    reuse it); the admitted corpus is never re-bucketed. Corpus probing is
+    a bucket equi-join against only the probed bucket partitions (static
+    partition pruning via the collected probe set — bounded by
+    |batch|·(n_planes+1) ints); within-batch checking is a base-bucket
+    self-join with multi-probe on one side. Null vectors bucket to -1,
+    match nothing, and are admitted as-is (nothing to compare)."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _admit_embedding_batch(
+            batch_df, int(batch_id), index_dir, admitted_dir,
+            id_col, vec_col, threshold, dim, n_planes, seed,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def violation_streaks(
     stream_df: DataFrame,
     schema: SchemaNode,

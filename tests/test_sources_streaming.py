@@ -478,3 +478,75 @@ def test_streaming_admission_quality_gate(spark, tmp_path):
     admitted = {r.doc_id for r in spark.read.parquet(adm).collect()}
     assert admitted == {1, 3}
     assert spark.read.parquet(idx).count() == 2
+
+
+def test_streaming_embedding_admission(spark, tmp_path):
+    """Vector admission: per micro-batch, rows whose cosine against a
+    previously admitted embedding (probed via the persisted LSH index) or
+    an earlier-kept row of their own batch reaches the threshold are
+    dropped; null vectors pass through; and a replayed batch reproduces
+    its first attempt exactly (its own index contribution is excluded)."""
+    import pandas as pd
+
+    from jsschema_spark.streaming import (
+        _admit_embedding_batch,
+        start_embedding_admission_sink,
+    )
+
+    def basis(i, dim=8):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src)
+    cols = ["vec_id", "embedding"]
+    # batch 0: three mutually orthogonal vectors — all admitted
+    pd.DataFrame(
+        [(1, basis(0)), (2, basis(1)), (3, basis(2))], columns=cols
+    ).to_parquet(os.path.join(src, "f0.parquet"))
+    # batch 1: 4 = copy of admitted 1 (dropped via index), 5 fresh,
+    # 6/7 = within-batch copies (keep-first: 6), 8 = null vector (admitted)
+    pd.DataFrame(
+        [(4, basis(0)), (5, basis(3)), (6, basis(4)), (7, basis(4)), (8, None)],
+        columns=cols,
+    ).to_parquet(os.path.join(src, "f1.parquet"))
+
+    schema = "vec_id long, embedding array<double>"
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = str(tmp_path / "emb_idx")
+    out = str(tmp_path / "emb_out")
+    q = start_embedding_admission_sink(
+        stream, idx, out, str(tmp_path / "emb_ckpt"),
+        "vec_id", "embedding", threshold=0.9, dim=8, n_planes=6, seed=7,
+    )
+    q.awaitTermination(180)
+
+    admitted = spark.read.parquet(out)
+    ids = {r.vec_id for r in admitted.collect()}
+    assert ids == {1, 2, 3, 5, 6, 8}
+    # index covers exactly the admitted NON-NULL vectors (bucket -1 rows
+    # carry the null embedding and never match anything)
+    index = spark.read.parquet(idx)
+    assert {r.vec_id for r in index.collect()} == ids
+    assert {r.bucket for r in index.where(F.col("vec_id") == 8).collect()} == {-1}
+    # the _meta sidecar pins the plane parameters
+    meta = spark.read.parquet(f"{idx}/_meta").collect()[0]
+    assert (meta.dim, meta.n_planes, meta.seed) == (8, 6, 7)
+
+    # replay the LAST batch: its own signatures are already in the index;
+    # _admit_embedding_batch must exclude them and reproduce the output
+    last_bid = max(r.batch_id for r in index.select("batch_id").distinct().collect())
+    b1 = spark.createDataFrame(
+        [(4, basis(0)), (5, basis(3)), (6, basis(4)), (7, basis(4)), (8, None)],
+        schema,
+    )
+    _admit_embedding_batch(
+        b1, int(last_bid), idx, out, "vec_id", "embedding", 0.9, 8, 6, 7
+    )
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == ids
+    assert {r.vec_id for r in spark.read.parquet(idx).collect()} == ids
