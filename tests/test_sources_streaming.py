@@ -550,3 +550,32 @@ def test_streaming_embedding_admission(spark, tmp_path):
     )
     assert {r.vec_id for r in spark.read.parquet(out).collect()} == ids
     assert {r.vec_id for r in spark.read.parquet(idx).collect()} == ids
+
+
+def test_read_table_catalog_gate(spark, tmp_path):
+    """`read_table(fmt='iceberg')` routes through the SESSION CATALOG
+    (`spark.table`) — the exact call path an Iceberg catalog table takes —
+    and falls back to a parquet path read when the name is no catalog
+    table. No Iceberg jar ships in this sandbox, so the catalog branch is
+    exercised against Spark's built-in catalog (honest-coverage note in
+    SURVEY §2.5: a real Iceberg catalog has not executed here)."""
+    from jsschema_spark.sources import read_table
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "clip_id long, transcript string"
+    )
+    spark.sql("DROP TABLE IF EXISTS cat_gate_clips")
+    src.write.saveAsTable("cat_gate_clips")
+    try:
+        # catalog branch: resolved via spark.table, columns pruned
+        got = read_table(spark, "cat_gate_clips", fmt="iceberg", columns=["clip_id"])
+        assert got.columns == ["clip_id"]
+        assert {r.clip_id for r in got.collect()} == {1, 2, 3}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cat_gate_clips")
+
+    # fallback branch: a filesystem path is not a catalog name
+    p = str(tmp_path / "gate_pq")
+    src.write.parquet(p)
+    got = read_table(spark, p, fmt="iceberg")
+    assert {r.clip_id for r in got.collect()} == {1, 2, 3}
