@@ -118,6 +118,11 @@ def main() -> None:
         for rnd in range(args.rounds):
             for mult, d in dirs.items():
                 for n in names:
+                    # the entry module memoizes the shared group-formation
+                    # pipeline per (session, sf_dir) — legitimate for the
+                    # driver suite (compute once, derive many), but a
+                    # scale-step must time the real pipeline every round
+                    getattr(E, "_ND_GROUPS_MEMO", {}).clear()
                     t0 = time.time()
                     cnt = qs[n](spark, d).count()
                     dt = time.time() - t0
