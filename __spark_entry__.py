@@ -888,6 +888,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / search-many ANN, hyperplane-LSH flavor: persist the
+    bucket-partitioned index (+ `_meta` plane-parameter sidecar), then
+    multi-probe search it — only the probed bucket partitions are read,
+    the corpus is never re-bucketed. Injected-copies corpus, so the result
+    provably equals brute force (same oracle as lsh_topk/ivf_index_search)."""
+    from jsschema_spark.functions.similarity import lsh_build, lsh_search
+
+    corpus, queries = _ann_corpus_and_queries(spark, sf_dir)
+    path = f"/tmp/jsschema_idx/{os.path.basename(os.path.normpath(sf_dir))}/lsh"
+    lsh_build(corpus, path, dim=64, n_planes=8, seed=42)
+    out = lsh_search(queries, path, k=5)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 5).alias("cos_r"),
+    )
+
+
 def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once / search-many ANN: persist the IVF index (cell-partitioned
     parquet + centroid sidecar) then search it — the search plan reads only
@@ -1033,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_index_search": q_ivf_index_search,
+        "lsh_index_search": q_lsh_index_search,
         "incremental_minhash": q_incremental_minhash,
         "embedding_multiseed_near_dups": q_embedding_multiseed_near_dups,
     }
@@ -1940,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _ANN_TOPK_ORACLE,
         "ivf_topk": _ANN_TOPK_ORACLE,
         "ivf_index_search": _ANN_TOPK_ORACLE,
+        "lsh_index_search": _ANN_TOPK_ORACLE,
         "incremental_minhash": _INCREMENTAL_MINHASH_ORACLE,
         "embedding_multiseed_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
         "violation_samples_orders": _VIOLATION_SAMPLES_ORACLE,
