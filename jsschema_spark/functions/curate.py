@@ -513,62 +513,63 @@ def token_budget_sample(
     Scale shape — two-phase prefix scan, NOT a bare per-stratum window.
     ``Window.partitionBy(stratum)`` over the raw stream ships EVERY row
     of a stratum to one reducer and sorts there — a hot stratum (half the
-    corpus in one language) becomes one giant single-task sort. Instead:
+    corpus in one language) becomes one giant single-task sort. Instead,
+    each stratum is split into ``16^seg_chars`` LOGICAL segments by the
+    leading hex chars of the md5 ordering key — segments are contiguous
+    ranges of the sort order (hex prefix order == string order), uniform
+    in size (md5 is uniform), and pure functions of the row, so no
+    physical-partition identity, range-sampling pass, or checkpoint is
+    involved:
 
-    1. **Range-partition** by ``(strata…, __ord, id)`` — a stratum's
-       rows land in contiguous, ordered segments across many partitions
-       (a hot stratum simply spans more of them).
-    2. **Segment-local cumsum**: one window partitioned by
-       ``(strata…, __pid)`` — every group is bounded by the range-
-       partition size, so no reducer sorts more than one partition's
-       worth of rows regardless of stratum skew.
-    3. **Prefix offsets**: per-(stratum, pid) token totals aggregate to
-       ``#strata × #partitions`` rows; a window over THAT tiny table
-       (ordered by pid within each stratum) yields each segment's
-       exclusive prefix, joined back (AQE broadcasts it).
+    1. **Segment-local cumsum**: one window partitioned by
+       ``(strata…, __seg)`` — every window group holds ~``1/16^k`` of its
+       stratum, so a hot stratum spreads over many reducers.
+    2. **Prefix offsets**: per-(stratum, seg) token totals aggregate to
+       ``#strata × 16^k`` rows (map-side combined); a cumulative window
+       over THAT tiny table yields each segment's exclusive prefix,
+       joined back (AQE broadcasts it).
 
     The global cumulative sum per row is ``local_cum + segment_offset``
-    — exact long arithmetic, identical to the single-window formulation
-    for ANY placement of range boundaries, so results are bit-stable
-    across cluster sizes and the SQL oracle still reproduces them."""
+    — exact long arithmetic, identical to the single-window formulation,
+    so results are bit-stable across cluster sizes and the SQL oracle
+    still reproduces them. ``seg_chars=2`` (256 segments) suits up to
+    ~10^9-row strata; raise it when a single stratum segment would still
+    overwhelm one reducer."""
     from jsschema_spark.functions.text import token_count
 
     tok = F.col(token_col) if token_col else token_count(F.col(text_col))
     strata = list(strata_cols)
-    ranged = (
+    seg_chars = 2
+    base = (
         df.withColumn("__ord", _stable_order(id_col))
         .withColumn("__tok", tok.cast("long"))
-        .repartitionByRange(
-            *strata, F.col("__ord"), F.col(id_col)
-        )
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__seg", F.substring(F.col("__ord"), 1, seg_chars))
     )
-    # Both the local-cumsum branch and the totals branch key on __pid.
-    # Range boundaries are SAMPLED per exchange execution, so the two
-    # branches must observe the SAME physical partitioning — checkpoint
-    # the ranged table once (lazy) instead of trusting exchange reuse.
-    ranged = ranged.localCheckpoint(eager=False)
     w_local = (
-        Window.partitionBy(*strata, "__pid")
+        Window.partitionBy(*strata, "__seg")
         .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("__cum_local", F.sum("__tok").over(w_local))
-    totals = ranged.groupBy(*strata, "__pid").agg(
-        F.sum("__tok").alias("__seg_tok")
-    )
+    local = base.withColumn("__cum_local", F.sum("__tok").over(w_local))
+    # totals from ``base``, not from the windowed stream: the partial agg
+    # collapses each task's rows to ≤ #strata×16^k rows BEFORE its shuffle,
+    # so the totals branch costs a column-pruned second scan and a tiny
+    # exchange — whereas aggregating ``local`` would recompute the window
+    # (full-width shuffle + sort) because differing pruned projections
+    # keep ReusedExchange from firing (measured, not assumed).
+    totals = base.groupBy(*strata, "__seg").agg(F.sum("__tok").alias("__seg_tok"))
     w_prefix = (
         Window.partitionBy(*strata)
-        .orderBy(F.col("__pid").asc())
+        .orderBy(F.col("__seg").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = totals.select(
         *strata,
-        "__pid",
+        "__seg",
         (F.sum("__seg_tok").over(w_prefix) - F.col("__seg_tok")).alias("__offset"),
     )
     return (
-        local.join(offsets, [*strata, "__pid"], "inner")
+        local.join(offsets, [*strata, "__seg"], "inner")
         .where(F.col("__cum_local") + F.col("__offset") <= int(token_budget))
-        .drop("__ord", "__tok", "__pid", "__cum_local", "__offset")
+        .drop("__ord", "__tok", "__seg", "__cum_local", "__offset")
     )

@@ -1385,15 +1385,16 @@ def test_token_budget_sample_two_phase_skew(spark):
     assert got == sorted(expected)
 
     # plan shape: the cumulative-sum window over raw rows must include the
-    # partition id in its partitioning spec (bounded-size window groups);
-    # only the tiny per-segment totals table may window on the stratum alone
+    # md5-prefix segment in its partitioning spec (bounded-size window
+    # groups); only the tiny per-segment totals table may window on the
+    # stratum alone
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     import re
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan
-    raw_specs = [s for s in specs if "__pid" in s]
-    assert raw_specs, plan  # the big window is pid-bounded
+    raw_specs = [s for s in specs if "__seg" in s]
+    assert raw_specs, plan  # the big window is segment-bounded
     # schema unchanged: helper columns dropped
     assert set(out.columns) == {"doc_id", "text", "grp"}
 
