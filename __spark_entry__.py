@@ -635,6 +635,43 @@ def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (text.ngram_repetition /
+    top_ngram_share): per-doc duplicate-2/3-gram fractions (pure Catalyst
+    projection — int/int double math, bit-portable) plus the share of
+    3-gram occurrences claimed by the doc's most frequent 3-gram (two
+    map-side-combined aggregates). The auto-generated-boilerplate
+    signal."""
+    from jsschema_spark.functions.text import ngram_repetition, top_ngram_share
+
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    out = top_ngram_share(df, "text", n=3)
+    return out.select(
+        "doc_id",
+        F.round(ngram_repetition(F.col("text"), 2), 4).alias("rep2_r"),
+        F.round(ngram_repetition(F.col("text"), 3), 4).alias("rep3_r"),
+        F.round(F.col("top_ngram_share"), 4).alias("top3_share_r"),
+    )
+
+
+def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality (text.unigram_logprob): per-doc mean
+    ln unigram probability under the corpus' own empirical distribution —
+    the cheap perplexity proxy. One vocab aggregate + one token join +
+    one per-doc mean; round(3) because ln is libm-dependent across
+    engines (the only non-±*/ op in the score)."""
+    from jsschema_spark.functions.text import unigram_logprob
+
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    return unigram_logprob(df, "text").select(
+        "doc_id", F.round("logprob", 3).alias("logprob_r")
+    )
+
+
 def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation (functions/curate.curate_documents):
     validity -> quality gate -> exact dedup -> near-dup canonical, every
@@ -1042,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_customer_nation_segment": q_fd_customer_nation_segment,
         "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
         "quality_score_documents": q_quality_score_documents,
+        "repetition_documents": q_repetition_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
         "contamination_documents": q_contamination_documents,
         "top_quality_per_lang": q_top_quality_per_lang,
         "weighted_sample_documents": q_weighted_sample_documents,
@@ -1249,6 +1288,62 @@ WITH t AS (
 ), u AS (SELECT unnest(toks) AS token FROM t)
 SELECT token, CAST(count(*) AS BIGINT) AS n FROM u
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+_REPETITION_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_SQL.format(col='text')} AS norm
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+  FROM d
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END AS g2,
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END AS g3
+  FROM t
+), u AS (
+  SELECT doc_id, unnest(g3) AS gram FROM g WHERE len(g3) > 0
+), cnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM u GROUP BY doc_id, gram
+), share AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS s
+  FROM cnt GROUP BY doc_id
+)
+SELECT g.doc_id,
+  round(CASE WHEN len(g2) > 0
+        THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+        ELSE 0.0 END, 4) AS rep2_r,
+  round(CASE WHEN len(g3) > 0
+        THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+        ELSE 0.0 END, 4) AS rep3_r,
+  round(coalesce(share.s, 0.0), 4) AS top3_share_r
+FROM g LEFT JOIN share USING (doc_id)
+"""
+
+_UNIGRAM_LOGPROB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM d
+), u AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), v AS (
+  SELECT tok, count(*) AS n FROM u GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total FROM v
+), lp AS (
+  SELECT u.doc_id, avg(ln(CAST(v.n AS DOUBLE) / tot.total)) AS lp
+  FROM u JOIN v USING (tok) CROSS JOIN tot GROUP BY u.doc_id
+)
+SELECT d.doc_id, round(lp.lp, 3) AS logprob_r
+FROM d LEFT JOIN lp USING (doc_id)
 """
 
 _NGRAM_DOC_FREQ_ORACLE = f"""
@@ -1950,6 +2045,8 @@ def oracle_sql() -> dict[str, str]:
         "fd_customer_nation_segment": _FD_ORACLE,
         "cardinality_orders_lineitem": _CARDINALITY_ORACLE,
         "quality_score_documents": _QUALITY_SCORE_ORACLE,
+        "repetition_documents": _REPETITION_ORACLE,
+        "unigram_logprob_documents": _UNIGRAM_LOGPROB_ORACLE,
         "contamination_documents": _CONTAMINATION_ORACLE,
         "top_quality_per_lang": _TOP_QUALITY_ORACLE,
         "weighted_sample_documents": _WEIGHTED_SAMPLE_ORACLE,

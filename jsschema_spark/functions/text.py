@@ -295,3 +295,102 @@ def ngram_doc_freq(df, text_col: str, n: int = 3, k: int = 100):
     grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("ngram"))
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_docs"))
     return counts.orderBy(F.desc("n_docs"), F.asc("ngram")).limit(k)
+
+
+# --------------------------------------------------------------------------
+# repetition filters + corpus-statistical quality (Gopher/C4-style)
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """ALL k-word n-grams of a token array, duplicates KEPT (the
+    repetition metrics need multiplicity; ``word_shingles`` dedups).
+    Same zip_with-over-shifted-copies shape — see the CSE warning there:
+    ``transform`` + ``element_at`` re-evaluates the token expression per
+    element."""
+    if n <= 1:
+        return toks
+    sh = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, 2_147_483_640)
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(sh, lambda x: x.isNotNull())
+
+
+def ngram_repetition(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram of the SAME
+    document: ``1 - distinct/total`` over normalized tokens — the
+    duplicate-n-gram garbage signal (auto-generated and boilerplate text
+    scores high; natural prose stays near 0). Docs with fewer than ``n``
+    tokens score 0. Pure Catalyst projection, zero shuffle; the division
+    is int/int double math, so SQL oracles reproduce it bit-for-bit."""
+    grams = _word_ngrams(tokens(normalized_text(text)), n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_share(df, text_col: str, n: int = 3, id_col: str = "doc_id",
+                    out_col: str = "top_ngram_share"):
+    """Per-doc fraction of n-gram occurrences claimed by the doc's single
+    most frequent n-gram (the Gopher top-n-gram filter: high share =
+    one phrase stamped over and over). Docs with < ``n`` tokens get 0.
+
+    Scale shape: explode → two map-side-combined aggregates keyed by
+    (doc, gram) then doc — shuffle width is bounded by distinct grams,
+    never total occurrences; no windows, no driver collect."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(tokens(normalized_text(F.col(text_col))), n)).alias("__g"),
+    )
+    per_gram = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    share = per_gram.groupBy(id_col).agg(
+        (F.max("__c").cast("double") / F.sum("__c").cast("double")).alias(out_col)
+    )
+    return (
+        df.join(share, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+    )
+
+
+def unigram_logprob(df, text_col: str, id_col: str = "doc_id",
+                    out_col: str = "logprob", vocab=None):
+    """Per-doc mean natural-log unigram probability — the classic cheap
+    perplexity proxy for corpus-statistical quality filtering: rare-token
+    gibberish scores very negative, median prose scores near the corpus
+    mean. Probabilities come from the corpus' OWN empirical unigram
+    distribution (``p(w) = count(w)/total``; self-scoring has no OOV), or
+    from a precomputed ``vocab`` DataFrame ``(token, n)`` to score a
+    stream against a reference corpus (OOV tokens then get add-one
+    smoothing mass ``1/(total+|V|)``).
+
+    Scale shape: one vocab aggregate (map-side combined, shuffle width =
+    |vocab|), one token→vocab equi-join (AQE broadcasts a small vocab;
+    Zipf keeps real vocabs ≪ corpus), one per-doc mean aggregate. The
+    totals ride a 1-row cross join — no driver collect. NOTE: ``ln`` is
+    libm-dependent across engines — round scores before hashing them
+    against an external-engine oracle."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))
+    if vocab is None:
+        counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__n"))
+        smooth = 0
+    else:
+        counts = vocab.select(F.col("token").alias("__tok"), F.col("n").alias("__n"))
+        smooth = 1
+    totals = counts.agg(
+        F.sum("__n").alias("__total"), F.count(F.lit(1)).alias("__v")
+    )
+    scored = (
+        toks.join(counts, "__tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce(F.col("__n"), F.lit(0)) + F.lit(smooth)).cast("double")
+                / (F.col("__total") + F.lit(smooth) * F.col("__v")).cast("double")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.avg("__lp").alias(out_col))
+    )
+    return df.join(scored, id_col, "left")

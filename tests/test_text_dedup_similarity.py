@@ -1534,3 +1534,96 @@ def test_ann_recall_graded(spark):
     # LSH top-k is the high-cosine probe; at top-10 on clustered data it
     # recalls some neighbors but is NOT the retrieval path — floor only
     assert table["lsh_topk n_planes=6"] >= 0.2
+
+
+# ------------------------------------------- repetition / corpus-stat quality
+
+def test_ngram_repetition_matches_python(spark):
+    """dup-n-gram fraction == 1 - distinct/total over normalized tokens,
+    verified against a Python model; short/empty/null docs score 0."""
+    rows = [
+        (1, "a b a b a b"),           # 2-grams: ab ba ab ba ab -> 1 - 2/5
+        (2, "all words here differ"),  # no repeats
+        (3, "spam spam spam spam"),
+        (4, "one"),                    # < n tokens
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        got = {
+            r.doc_id: r.rep
+            for r in df.select(
+                "doc_id", X.ngram_repetition(F.col("text"), n).alias("rep")
+            ).collect()
+        }
+        for i, t in rows:
+            toks = (t or "").lower().split()
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            expect = 1 - len(set(grams)) / len(grams) if grams else 0.0
+            if t is None:
+                assert got[i] == 0.0 or got[i] is None
+            else:
+                assert abs(got[i] - expect) < 1e-12, (i, n, got[i], expect)
+
+
+def test_top_ngram_share_matches_python(spark):
+    import collections
+
+    rows = [
+        (1, "x y z x y z x y q"),
+        (2, "totally distinct words only here now"),
+        (3, "ha ha ha ha ha"),
+        (4, "a b"),   # < 3 tokens -> share 0
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.top_ngram_share
+        for r in X.top_ngram_share(df, "text", n=3).collect()
+    }
+    for i, t in rows:
+        toks = t.lower().split()
+        grams = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        if grams:
+            c = collections.Counter(grams)
+            expect = max(c.values()) / sum(c.values())
+        else:
+            expect = 0.0
+        assert abs(out[i] - expect) < 1e-12, (i, out[i], expect)
+
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+
+    rows = [(1, "the cat sat"), (2, "the the dog"), (3, "cat"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.logprob for r in X.unigram_logprob(df, "text").collect()}
+
+    counts: dict = {}
+    for _, t in rows:
+        for w in (t or "").split():
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+    for i, t in rows:
+        ws = (t or "").split()
+        if not ws:
+            assert out[i] is None
+            continue
+        expect = sum(math.log(counts[w] / total) for w in ws) / len(ws)
+        assert abs(out[i] - expect) < 1e-9, (i, out[i], expect)
+
+    # reference-vocab mode: OOV gets add-one smoothing mass
+    vocab = spark.createDataFrame(
+        [("the", 3), ("cat", 2)], "token string, n long"
+    )
+    out2 = {
+        r.doc_id: r.logprob
+        for r in X.unigram_logprob(df, "text", vocab=vocab).collect()
+    }
+    tot, v = 5, 2
+    exp1 = (
+        math.log((3 + 1) / (tot + v)) + math.log((2 + 1) / (tot + v))
+        + math.log((0 + 1) / (tot + v))
+    ) / 3
+    assert abs(out2[1] - exp1) < 1e-9
