@@ -672,6 +672,47 @@ def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + scrub (text.pii_counts / redact_pii) over a corpus with
+    injected emails (%29 docs) and phone+IP tails (%31): per-doc per-type
+    match counts and the md5 of the fully redacted text — the hash makes
+    the oracle check the SCRUBBED BYTES, not just the counts. Pure
+    codegen regexp projection; patterns are Java-regex/RE2-common so
+    DuckDB reproduces them exactly."""
+    from jsschema_spark.functions.text import pii_counts, redact_pii
+
+    base = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    spiked = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(
+                F.col("text"), F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 31 == 0,
+            F.concat(
+                F.col("text"), F.lit(" call 555-123-4567 from 10.0.0."),
+                (F.col("doc_id") % 250 + 1).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    p = pii_counts(F.col("text"))
+    return spiked.select(
+        "doc_id",
+        p["email"].cast("long").alias("n_email"),
+        p["phone"].cast("long").alias("n_phone"),
+        p["ipv4"].cast("long").alias("n_ipv4"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
 def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation (functions/curate.curate_documents):
     validity -> quality gate -> exact dedup -> near-dup canonical, every
@@ -1081,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": q_quality_score_documents,
         "repetition_documents": q_repetition_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
+        "pii_documents": q_pii_documents,
         "contamination_documents": q_contamination_documents,
         "top_quality_per_lang": q_top_quality_per_lang,
         "weighted_sample_documents": q_weighted_sample_documents,
@@ -1326,6 +1368,31 @@ SELECT g.doc_id,
   round(coalesce(share.s, 0.0), 4) AS top3_share_r
 FROM g LEFT JOIN share USING (doc_id)
 """
+
+def _pii_oracle() -> str:
+    from jsschema_spark.functions.text import PII_PATTERNS, _PII_ORDER
+
+    spike = (
+        "CASE WHEN doc_id % 29 = 0 THEN"
+        " text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " WHEN doc_id % 31 = 0 THEN"
+        " text || ' call 555-123-4567 from 10.0.0.' || CAST(doc_id % 250 + 1 AS VARCHAR)"
+        " ELSE text END"
+    )
+    red = "t"
+    for k in _PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '[PII]', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}"
+        for k in _PII_ORDER
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {spike} AS t FROM documents WHERE text IS NOT NULL)"
+        f" SELECT doc_id, {counts}, md5({red}) AS redacted_md5 FROM s"
+    )
+
+
+_PII_ORACLE = _pii_oracle()
 
 _UNIGRAM_LOGPROB_ORACLE = f"""
 WITH d AS (
@@ -2047,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_documents": _QUALITY_SCORE_ORACLE,
         "repetition_documents": _REPETITION_ORACLE,
         "unigram_logprob_documents": _UNIGRAM_LOGPROB_ORACLE,
+        "pii_documents": _PII_ORACLE,
         "contamination_documents": _CONTAMINATION_ORACLE,
         "top_quality_per_lang": _TOP_QUALITY_ORACLE,
         "weighted_sample_documents": _WEIGHTED_SAMPLE_ORACLE,

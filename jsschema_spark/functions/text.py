@@ -394,3 +394,43 @@ def unigram_logprob(df, text_col: str, id_col: str = "doc_id",
         .agg(F.avg("__lp").alias(out_col))
     )
     return df.join(scored, id_col, "left")
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB/Go engines)
+# interpret identically — no lookaround, no backrefs — so external SQL
+# oracles can reproduce counts and redactions byte-for-byte.
+PII_PATTERNS: "dict[str, str]" = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+# redaction order matters where patterns could overlap: emails first
+# (their local/domain parts contain dots and digits), then phones, then
+# bare IPs
+_PII_ORDER = ["email", "phone", "ipv4"]
+
+
+def pii_counts(text: Column) -> Column:
+    """Per-type PII match counts as a struct (email, phone, ipv4) — the
+    audit/reporting half of PII handling. Pure Catalyst ``regexp_count``
+    projection, zero shuffle."""
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(PII_PATTERNS[k])).alias(k)
+            for k in _PII_ORDER
+        ]
+    )
+
+
+def redact_pii(text: Column, replacement: str = "[PII]") -> Column:
+    """Replace every email / phone / IPv4 occurrence with ``replacement``
+    — the scrubbing half. Chained ``regexp_replace`` (each replaces ALL
+    matches), applied in overlap-safe order. Codegen projection, zero
+    shuffle, no Python."""
+    out = text
+    for k in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], replacement)
+    return out

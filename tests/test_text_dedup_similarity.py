@@ -1627,3 +1627,46 @@ def test_unigram_logprob_matches_python(spark):
         + math.log((0 + 1) / (tot + v))
     ) / 3
     assert abs(out2[1] - exp1) < 1e-9
+
+
+def test_pii_counts_and_redaction(spark):
+    """PII detection + scrubbing: per-type counts and full redaction,
+    verified against Python re with the same patterns (the patterns are
+    restricted to Java-regex/RE2-common syntax for oracle parity)."""
+    import re as _re
+
+    from jsschema_spark.functions.text import PII_PATTERNS, pii_counts, redact_pii
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk or bob@x.io thanks"),
+        (2, "call 555-867-5309 or +1 555.123.4567 x22"),
+        (3, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (4, "no sensitive content in this one"),
+        (5, "mixed: a@b.org from 8.8.8.8 dial 123-456-7890"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.pii, r.red)
+        for r in df.select(
+            "doc_id",
+            pii_counts(F.col("text")).alias("pii"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert got[i][0].email is None and got[i][1] is None
+            continue
+        pii, red = got[i]
+        expect_red = t
+        for k in ("email", "phone", "ipv4"):
+            assert getattr(pii, k) == len(_re.findall(PII_PATTERNS[k], expect_red)), (i, k)
+            expect_red = _re.sub(PII_PATTERNS[k], "[PII]", expect_red)
+        assert red == expect_red, (i, red, expect_red)
+    # the scrubbed text has no remaining matches
+    from jsschema_spark.functions.text import pii_counts as pc
+    post = df.where(F.col("text").isNotNull()).select(
+        pc(redact_pii(F.col("text"))).alias("p")
+    ).collect()
+    assert all(r.p.email == 0 and r.p.phone == 0 and r.p.ipv4 == 0 for r in post)
