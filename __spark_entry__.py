@@ -1004,6 +1004,24 @@ def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group mean pooling (similarity.mean_pool): per-label centroid of
+    the embeddings table — the doc-from-chunks / cluster-centroid
+    primitive. One map-side-combined (label, dim) average, shuffle width
+    = #labels×dim. Output exploded to scalar rows (label, dim, mean_r)
+    so the oracle hashes engine-portably; round(6) absorbs summation-
+    order ulp differences between engines."""
+    from jsschema_spark.functions.similarity import mean_pool
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = mean_pool(emb, "label")
+    return pooled.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode("embedding").alias("dim", "__v"),
+    ).select("label", F.col("dim").cast("int").alias("dim"),
+             F.round("__v", 6).alias("mean_r"))
+
+
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: the base corpus' minhash signatures
     are persisted ONCE, then the incoming batch (the %71 trailing-token
@@ -1133,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_index_search": q_ivf_index_search,
         "lsh_index_search": q_lsh_index_search,
+        "label_centroids": q_label_centroids,
         "incremental_minhash": q_incremental_minhash,
         "embedding_multiseed_near_dups": q_embedding_multiseed_near_dups,
     }
@@ -2125,6 +2144,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ANN_TOPK_ORACLE,
         "ivf_index_search": _ANN_TOPK_ORACLE,
         "lsh_index_search": _ANN_TOPK_ORACLE,
+        "label_centroids": """
+            SELECT label, CAST(t.i - 1 AS INT) AS dim,
+                   round(avg(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)), 6) AS mean_r
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            WHERE embedding IS NOT NULL
+            GROUP BY label, dim
+        """,
         "incremental_minhash": _INCREMENTAL_MINHASH_ORACLE,
         "embedding_multiseed_near_dups": _EMB_LSH_NEAR_DUP_ORACLE,
         "violation_samples_orders": _VIOLATION_SAMPLES_ORACLE,

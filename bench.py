@@ -134,7 +134,7 @@ def main() -> None:
             "events_props_json", "conformance_corpus",
             "near_dup_groups", "lsh_topk", "ivf_topk", "categorical_drift_returnflag",
             "numeric_drift_quantity",
-            "ivf_index_search", "lsh_index_search", "incremental_minhash", "embedding_multiseed_near_dups",
+            "ivf_index_search", "lsh_index_search", "label_centroids", "incremental_minhash", "embedding_multiseed_near_dups",
             "simhash_near_dup_pairs", "vocab_top_tokens", "ngram_doc_freq",
             "ks_drift_quantity", "grouped_stats_lineitem", "anomalous_users_events", "quality_score_documents",
             "repetition_documents", "unigram_logprob_documents", "pii_documents", "curated_documents",

@@ -374,3 +374,30 @@ def lsh_search(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def mean_pool(
+    df: DataFrame, group_col: str, vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vector — the pooling primitive (document embedding
+    from chunk embeddings, label/cluster centroids). Null vectors are
+    skipped; a group of only nulls disappears.
+
+    Scale shape: posexplode → ONE map-side-combined average keyed by
+    (group, dim) — shuffle width = #groups × dim, never #vectors — then a
+    per-group rebuild of the array by sorting the dim-tagged structs
+    (``array_sort`` on (dim, mean): dims are unique per group, so the
+    rebuild is deterministic). No windows, no driver collect, no Python."""
+    exploded = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("__dim", "__val")
+    )
+    means = exploded.groupBy(group_col, "__dim").agg(
+        F.avg(F.col("__val").cast("double")).alias("__m")
+    )
+    return means.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+            lambda s: s["__m"],
+        ).alias(out_col)
+    )

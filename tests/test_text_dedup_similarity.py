@@ -1670,3 +1670,25 @@ def test_pii_counts_and_redaction(spark):
         pc(redact_pii(F.col("text"))).alias("p")
     ).collect()
     assert all(r.p.email == 0 and r.p.phone == 0 and r.p.ipv4 == 0 for r in post)
+
+
+def test_mean_pool_matches_numpy(spark, emb):
+    """Group mean pooling == numpy mean per label; null vectors skipped;
+    output arrays ordered by dimension."""
+    import numpy as np
+
+    from jsschema_spark.functions.similarity import mean_pool
+
+    with_null = emb.unionByName(
+        spark.createDataFrame(
+            [(999999, None, 3)], "vec_id long, embedding array<float>, label int"
+        )
+    )
+    pooled = {r.label: np.array(r.embedding) for r in mean_pool(with_null, "label").collect()}
+    rows = emb.collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    assert pooled.keys() == by_label.keys()
+    for lbl, vs in by_label.items():
+        assert np.allclose(pooled[lbl], np.mean(vs, axis=0), atol=1e-9), lbl
