@@ -672,6 +672,62 @@ def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inferred_schema_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema INFERENCE (jsschema_spark.infer) — the inverse of the
+    validation core: profile the orders table (5-column projection) into
+    a draft-04 contract and emit it as flattened (path, keyword,
+    value_num, value_str) rows. One map-side-combined aggregate pass +
+    an enum pass over near-categorical columns only; the oracle
+    recomputes every inferred constraint in SQL. The validator round-trip
+    (inferred schema ⇒ zero violations on the same data) is pytest-pinned
+    in test_infer.py."""
+    from jsschema_spark.infer import schema_report
+
+    view = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    return schema_report(view)
+
+
+def _inferred_schema_oracle() -> str:
+    num_cols = {"o_orderkey": "integer", "o_custkey": "integer",
+                "o_totalprice": "number"}
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    parts = []
+    for c, ty in num_cols.items():
+        parts.append(
+            f"SELECT '{c}' AS path, 'type' AS keyword, CAST(NULL AS DOUBLE) AS value_num, '{ty}' AS value_str"
+        )
+        parts.append(
+            f"SELECT '{c}', 'minimum', CAST(min({c}) AS DOUBLE), NULL FROM orders"
+        )
+        parts.append(
+            f"SELECT '{c}', 'maximum', CAST(max({c}) AS DOUBLE), NULL FROM orders"
+        )
+    for c in str_cols:
+        parts.append(
+            f"SELECT '{c}', 'type', CAST(NULL AS DOUBLE), 'string'"
+        )
+        parts.append(
+            f"SELECT '{c}', 'minLength', CAST(min(length({c})) AS DOUBLE), NULL FROM orders"
+        )
+        parts.append(
+            f"SELECT '{c}', 'maxLength', CAST(max(length({c})) AS DOUBLE), NULL FROM orders"
+        )
+        parts.append(
+            f"SELECT '{c}', 'enum', CAST(NULL AS DOUBLE),"
+            f" string_agg(DISTINCT {c}, ',' ORDER BY {c}) FROM orders"
+            f" WHERE {c} IS NOT NULL HAVING count(DISTINCT {c}) <= 8"
+        )
+    for c in list(num_cols) + str_cols:
+        parts.append(
+            f"SELECT '{c}', 'required', CAST(NULL AS DOUBLE), 'true'"
+            f" WHERE (SELECT count(*) FROM orders WHERE {c} IS NULL) = 0"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII audit + scrub (text.pii_counts / redact_pii) over a corpus with
     injected emails (%29 docs) and phone+IP tails (%31): per-doc per-type
@@ -1141,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "pii_documents": q_pii_documents,
+        "inferred_schema_orders": q_inferred_schema_orders,
         "contamination_documents": q_contamination_documents,
         "top_quality_per_lang": q_top_quality_per_lang,
         "weighted_sample_documents": q_weighted_sample_documents,
@@ -2134,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": _REPETITION_ORACLE,
         "unigram_logprob_documents": _UNIGRAM_LOGPROB_ORACLE,
         "pii_documents": _PII_ORACLE,
+        "inferred_schema_orders": _inferred_schema_oracle(),
         "contamination_documents": _CONTAMINATION_ORACLE,
         "top_quality_per_lang": _TOP_QUALITY_ORACLE,
         "weighted_sample_documents": _WEIGHTED_SAMPLE_ORACLE,

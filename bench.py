@@ -137,7 +137,8 @@ def main() -> None:
             "ivf_index_search", "lsh_index_search", "label_centroids", "incremental_minhash", "embedding_multiseed_near_dups",
             "simhash_near_dup_pairs", "vocab_top_tokens", "ngram_doc_freq",
             "ks_drift_quantity", "grouped_stats_lineitem", "anomalous_users_events", "quality_score_documents",
-            "repetition_documents", "unigram_logprob_documents", "pii_documents", "curated_documents",
+            "repetition_documents", "unigram_logprob_documents", "pii_documents",
+            "inferred_schema_orders", "curated_documents",
             "stratified_sample_documents", "token_budget_documents",
             "session_stats_events", "asof_clicks_errors",
             "fd_customer_nation_segment", "cardinality_orders_lineitem",

@@ -1,0 +1,88 @@
+"""Schema inference (jsschema_spark.infer): observed-contract profiling
+and its round-trip through the validation core."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsschema_spark.infer import infer_schema, schema_report
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_infer_schema_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "red", "always", True),
+            (2, -1.0, "green", "text", False),
+            (3, 7.25, "red", None, True),
+        ],
+        "k long, x double, color string, note string, flag boolean",
+    )
+    s = infer_schema(df, enum_max=4)
+    p = s["properties"]
+    assert p["k"] == {"type": "integer", "minimum": 1, "maximum": 3}
+    assert p["x"] == {"type": "number", "minimum": -1.0, "maximum": 7.25}
+    assert p["color"]["enum"] == ["green", "red"]
+    assert p["color"]["minLength"] == 3 and p["color"]["maxLength"] == 5
+    assert p["flag"] == {"type": "boolean"}
+    # nullable column is not required; null is excluded from the domain
+    assert "note" not in s["required"]
+    assert sorted(s["required"]) == ["color", "flag", "k", "x"]
+    assert p["note"]["enum"] == ["always", "text"]
+
+
+def test_infer_schema_high_cardinality_skips_enum(spark):
+    df = spark.range(1000).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s")
+    )
+    p = infer_schema(df, enum_max=8)["properties"]["s"]
+    assert "enum" not in p
+    assert p["minLength"] == 2 and p["maxLength"] == 4
+
+
+def test_infer_schema_empty_and_timestamps(spark):
+    empty = spark.createDataFrame([], "a long, t timestamp, s string")
+    s = infer_schema(empty)
+    assert "required" not in s
+    assert s["properties"]["a"] == {"type": "integer"}
+    assert s["properties"]["t"] == {"type": "string", "format": "date-time"}
+    assert "minLength" not in s["properties"]["s"]
+
+
+def test_infer_round_trips_through_validator(spark):
+    """The inferred schema describes what was observed, so re-validating
+    the SAME table yields zero violations — inference and validation are
+    mutual inverses on the observed data."""
+    from jsschema_spark import parse_schema
+    from jsschema_spark.compiler import TableValidator
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    # timestamps validate as date-time STRINGS in draft-04; profile the
+    # validator-visible projection (same column set both sides)
+    view = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    schema = infer_schema(view)
+    tv = TableValidator(parse_schema(schema), view.schema)
+    out = tv.apply(view, with_violations=False)
+    assert out.where(~F.col("valid")).count() == 0
+    # and the contract is tight: an out-of-range row violates it
+    bad = view.limit(1).select(
+        F.lit(-1).cast("long").alias("o_orderkey"), "o_custkey",
+        F.lit("ZZ").alias("o_orderstatus"), "o_totalprice", "o_orderpriority",
+    )
+    assert tv.apply(bad, with_violations=False).where(~F.col("valid")).count() == 1
+
+
+def test_schema_report_rows(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    rows = {
+        (r.path, r.keyword): (r.value_num, r.value_str)
+        for r in schema_report(df).collect()
+    }
+    assert rows[("k", "type")] == (None, "integer")
+    assert rows[("k", "minimum")] == (1.0, None)
+    assert rows[("k", "maximum")] == (2.0, None)
+    assert rows[("s", "enum")] == (None, "a,b")
+    assert rows[("k", "required")] == (None, "true")
