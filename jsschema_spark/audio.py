@@ -451,3 +451,142 @@ def make_audio_profile_udf():
             yield out.drop(columns=["clip_id"])
 
     return _udf
+
+
+# --------------------------------------------------------------------------
+# spectral + silence analysis (numpy-only kernels — no codec libraries)
+
+SPECTRAL_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("zcr_hz", T.DoubleType()),
+        T.StructField("centroid_hz", T.DoubleType()),
+        T.StructField("rolloff85_hz", T.DoubleType()),
+        T.StructField("active_ratio", T.DoubleType()),
+        T.StructField("leading_silence_ms", T.DoubleType()),
+        T.StructField("trailing_silence_ms", T.DoubleType()),
+    ]
+)
+
+_SPECTRAL_MAX_FFT = 1 << 18  # cap the rFFT at ~262k samples (~16s @16k)
+
+
+def spectral_profile(
+    samples: "np.ndarray", sr_hz: int,
+    silence_dbfs: float = -45.0, frame_ms: float = 20.0,
+) -> "tuple[float, float, float, float, float, float]":
+    """(zcr_hz, centroid_hz, rolloff85_hz, active_ratio,
+    leading_silence_ms, trailing_silence_ms) of an int16 PCM signal.
+
+    * zero-crossing rate in crossings/sec (a 1 kHz tone ⇒ ~2000/s);
+    * spectral centroid + 85% energy rolloff from ONE whole-clip rFFT
+      magnitude spectrum (capped at ~262k samples; DC bin excluded so a
+      DC offset cannot masquerade as energy);
+    * silence via 20 ms frame RMS against an absolute dBFS floor —
+      active_ratio plus leading/trailing silence in ms (the
+      trim-detection signal).
+
+    All vectorized numpy; the FFT is the only superlinear step and is
+    capped, so per-clip cost is O(n + F log F)."""
+    n = len(samples)
+    if n == 0 or sr_hz <= 0:
+        return 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+    f64 = samples.astype(np.float64)
+    # ZCR: sign changes per second (zeros count as positive side)
+    signs = np.signbit(f64)
+    zcr_hz = float(np.count_nonzero(signs[1:] != signs[:-1])) * sr_hz / n
+
+    m = min(n, _SPECTRAL_MAX_FFT)
+    mag = np.abs(np.fft.rfft(f64[:m]))
+    mag[0] = 0.0  # DC is offset, not spectrum
+    freqs = np.fft.rfftfreq(m, d=1.0 / sr_hz)
+    tot = float(mag.sum())
+    if tot > 0:
+        centroid_hz = float((freqs * mag).sum() / tot)
+        energy = np.square(mag)
+        cum = np.cumsum(energy)
+        k = int(np.searchsorted(cum, 0.85 * cum[-1]))
+        rolloff85_hz = float(freqs[min(k, len(freqs) - 1)])
+    else:
+        centroid_hz = 0.0
+        rolloff85_hz = 0.0
+
+    frame = max(1, int(sr_hz * frame_ms / 1000.0))
+    n_frames = n // frame
+    if n_frames == 0:
+        rms = float(np.sqrt(np.mean(np.square(f64))))
+        active = rms > 0 and 20.0 * np.log10(rms / 32768.0) > silence_dbfs
+        ms = 1000.0 * n / sr_hz
+        return zcr_hz, centroid_hz, rolloff85_hz, float(active), (0.0 if active else ms), (0.0 if active else ms)
+    frames = f64[: n_frames * frame].reshape(n_frames, frame)
+    rms = np.sqrt(np.mean(np.square(frames), axis=1))
+    with np.errstate(divide="ignore"):
+        dbfs = 20.0 * np.log10(rms / 32768.0)
+    act = dbfs > silence_dbfs
+    active_ratio = float(np.count_nonzero(act) / n_frames)
+    frame_ms_actual = 1000.0 * frame / sr_hz
+    idx = np.flatnonzero(act)
+    if len(idx) == 0:
+        lead = trail = n_frames * frame_ms_actual
+    else:
+        lead = float(idx[0]) * frame_ms_actual
+        trail = float(n_frames - 1 - idx[-1]) * frame_ms_actual
+    return zcr_hz, centroid_hz, rolloff85_hz, active_ratio, lead, trail
+
+
+def _spectral_rows(cids, payloads) -> pd.DataFrame:
+    cols: dict[str, list] = {k: [] for k in (
+        "decode_ok", "zcr_hz", "centroid_hz", "rolloff85_hz",
+        "active_ratio", "leading_silence_ms", "trailing_silence_ms",
+    )}
+    for payload in payloads:
+        try:
+            sr, samples = wav_decode(payload)
+            vals = spectral_profile(samples, sr)
+            cols["decode_ok"].append(True)
+        except (ValueError, TypeError):
+            vals = (0.0,) * 6
+            cols["decode_ok"].append(False)
+        for k, v in zip(
+            ("zcr_hz", "centroid_hz", "rolloff85_hz", "active_ratio",
+             "leading_silence_ms", "trailing_silence_ms"), vals,
+        ):
+            cols[k].append(float(v))
+    return pd.DataFrame({"clip_id": list(cids), **cols})
+
+
+def audio_spectral_scan(
+    spark,
+    parquet_dir: str,
+    clip_id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+):
+    """Per-clip spectral/silence features over a parquet directory —
+    file-granular mapInPandas, payload bytes never cross JVM↔Python IPC
+    (same shape as ``audio_profile_scan``)."""
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_dir!r}")
+    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                table = pq.read_table(path, columns=[clip_id_col, bytes_col])
+                cids = table.column(clip_id_col).to_pylist()
+                payloads = (
+                    memoryview(s.as_buffer()) if s.is_valid else None
+                    for chunk in table.column(bytes_col).chunks
+                    for s in chunk
+                )
+                yield _spectral_rows(cids, payloads)
+
+    return files_df.mapInPandas(gen, SPECTRAL_ROW_SCHEMA)

@@ -95,3 +95,76 @@ def test_invariant_plan_is_arrow_batched(spark, clips_audio):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
     assert "BatchEvalPython" not in plan
+
+
+def test_spectral_profile_physical_invariants():
+    """The numpy spectral kernel against physics: a pure tone's ZCR is
+    2f, its centroid and rolloff sit at f; white noise centers near
+    sr/4; silence padding is measured as leading/trailing ms."""
+    import numpy as np
+
+    from jsschema_spark.audio import spectral_profile
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr  # 1 second
+    tone = (10000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+    zcr, cent, roll, act, lead, trail = spectral_profile(tone, sr)
+    assert abs(zcr - 2000) < 40
+    assert abs(cent - 1000) < 10
+    assert abs(roll - 1000) < 20
+    assert act == 1.0 and lead == 0.0 and trail == 0.0
+
+    pad = np.zeros(int(0.2 * sr), dtype=np.int16)
+    padded = np.concatenate([pad, tone, pad])
+    *_, act2, lead2, trail2 = spectral_profile(padded, sr)
+    assert abs(lead2 - 200) <= 20 and abs(trail2 - 200) <= 20
+    assert abs(act2 - 1.0 / 1.4) < 0.03
+
+    silence = np.zeros(sr, dtype=np.int16)
+    z, c, r, a, l, tr = spectral_profile(silence, sr)
+    assert (z, c, r, a) == (0.0, 0.0, 0.0, 0.0)
+    assert abs(l - 1000) < 25 and abs(tr - 1000) < 25
+
+    rng = np.random.default_rng(3)
+    noise = (8000 * rng.standard_normal(sr)).clip(-32768, 32767).astype(np.int16)
+    _, cn, _, an, *_ = spectral_profile(noise, sr)
+    assert abs(cn - sr / 4) < sr * 0.03  # flat spectrum centers at sr/4
+    assert an == 1.0
+
+    assert spectral_profile(np.array([], dtype=np.int16), sr) == (0.0,) * 6
+
+
+def test_audio_spectral_scan_matches_kernel(spark, tmp_path):
+    """The file-granular Spark scan returns exactly what the kernel
+    computes per clip (and flags undecodable payloads)."""
+    import numpy as np
+    import pandas as pd
+
+    from jsschema_spark.audio import spectral_profile, wav_decode, wav_encode
+    from jsschema_spark.audio import audio_spectral_scan
+
+    sr = 16000
+    t = np.arange(sr // 2, dtype=np.float64) / sr
+    clips = {
+        "c-tone": wav_encode((9000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16), sr),
+        "c-quiet": wav_encode(np.zeros(sr // 4, dtype=np.int16), sr),
+        "c-bad": b"not a wav at all",
+    }
+    pdf = pd.DataFrame(
+        {"clip_id": list(clips), "bytes": [bytearray(v) for v in clips.values()]}
+    )
+    src = str(tmp_path / "spec_clips")
+    import os
+    os.makedirs(src)
+    pdf.to_parquet(os.path.join(src, "part0.parquet"))
+
+    got = {r.clip_id: r for r in audio_spectral_scan(spark, src).collect()}
+    assert not got["c-bad"].decode_ok
+    for cid in ("c-tone", "c-quiet"):
+        srx, samples = wav_decode(clips[cid])
+        expect = spectral_profile(samples, srx)
+        row = got[cid]
+        assert row.decode_ok
+        vals = (row.zcr_hz, row.centroid_hz, row.rolloff85_hz,
+                row.active_ratio, row.leading_silence_ms, row.trailing_silence_ms)
+        assert all(abs(a - b) < 1e-9 for a, b in zip(vals, expect)), cid
