@@ -917,6 +917,19 @@ def q_asof_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (events.funnel_counts): users completing
+    signup → click → purchase strictly in order, earliest-completion
+    semantics. K-1 user-keyed joins against shrinking levels, no windows,
+    no per-user history collection. Oracle chains the same min-after
+    CTEs in SQL."""
+    from jsschema_spark.functions.events import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["signup", "click", "purchase"]
+    )
+
+
 def q_anomalous_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level anomaly screen (stats.anomalous_groups): users whose
     mean event value z-scores ≥ 3 against the corpus of per-user means —
@@ -1190,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomalous_users_events": q_anomalous_users_events,
         "session_stats_events": q_session_stats_events,
         "asof_clicks_errors": q_asof_clicks_errors,
+        "funnel_events": q_funnel_events,
         "freshness_events": q_freshness_events,
         "fd_customer_nation_segment": q_fd_customer_nation_segment,
         "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
@@ -2192,6 +2206,26 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_documents": _UNIGRAM_LOGPROB_ORACLE,
         "pii_documents": _PII_ORACLE,
         "inferred_schema_orders": _inferred_schema_oracle(),
+        "funnel_events": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+            )
+            SELECT 'signup' AS step, CAST(0 AS INT) AS step_idx,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL SELECT 'click', CAST(1 AS INT),
+                   CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL SELECT 'purchase', CAST(2 AS INT),
+                   CAST(count(*) AS BIGINT) FROM s3
+        """,
         "contamination_documents": _CONTAMINATION_ORACLE,
         "top_quality_per_lang": _TOP_QUALITY_ORACLE,
         "weighted_sample_documents": _WEIGHTED_SAMPLE_ORACLE,

@@ -138,3 +138,59 @@ def asof_join(
     out_cols.append(F.col(f"__match.__ts").alias(f"{prefix}{right_ts}"))
     out_cols += [F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in value_cols]
     return carried.where(F.col("__tag") == 1).select(*out_cols)
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: "Sequence[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each prefix of ``steps``, how many
+    users completed it IN ORDER — a user counts for step i iff they have
+    an event of type ``steps[i]`` STRICTLY AFTER their earliest
+    qualifying time for step i-1 (earliest-completion semantics: each
+    level keeps the user's minimal completion time, which maximizes the
+    chance of completing later steps, so the count is the true "can this
+    prefix be completed in order" answer). Output: one row per step —
+    ``(step, step_idx, n_users)``.
+
+    Scale shape: level 0 is one map-side-combined min-aggregate keyed by
+    user; each later level is a filtered join against the (shrinking)
+    previous level keyed by user plus another min-aggregate — K-1 joins
+    for K steps, no windows, no collect_list of event histories (a hot
+    user costs nothing beyond their event count). Each level is lazily
+    localCheckpoint'd so level k's plan doesn't re-run levels 0..k-1 per
+    downstream count."""
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    u, e, t = F.col(user_col), F.col(type_col), F.col(ts_col)
+    cur = (
+        df.where(e == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("__t"))
+        .localCheckpoint(eager=False)
+    )
+    levels = [cur]
+    for s in steps[1:]:
+        nxt = df.where(e == s).select(u.alias("__u2"), t.alias("__ts2"))
+        cur = (
+            nxt.join(cur, nxt["__u2"] == cur[user_col])
+            .where(F.col("__ts2") > F.col("__t"))
+            .groupBy("__u2")
+            .agg(F.min("__ts2").alias("__t"))
+            .withColumnRenamed("__u2", user_col)
+            .localCheckpoint(eager=False)
+        )
+        levels.append(cur)
+    spark = df.sparkSession
+    out = None
+    for i, (s, lv) in enumerate(zip(steps, levels)):
+        row = lv.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(s).alias("step"),
+            F.lit(i).cast("int").alias("step_idx"),
+            F.col("n_users").cast("long"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -221,3 +221,41 @@ def test_asof_and_sessionize_property_based(spark):
                 assert got_s[lid] == idx, (seed, lid)
                 prev = ts
         assert max(got_s.values()) >= 0
+
+
+def test_funnel_counts(spark):
+    """Ordered funnel: users count only when steps happen strictly in
+    order; earliest-completion semantics verified against a Python
+    model, including a user whose purchase precedes their click."""
+    import datetime as dt
+
+    from jsschema_spark.functions.events import funnel_counts
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, ty, minutes):
+        return (u, ty, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: full funnel in order
+        ev(1, "signup", 0), ev(1, "click", 5), ev(1, "purchase", 10),
+        # u2: signup then click only
+        ev(2, "signup", 0), ev(2, "click", 3),
+        # u3: purchase BEFORE click -> stops after signup+click? purchase
+        # at 2 < click at 4 -> no purchase after click
+        ev(3, "signup", 0), ev(3, "purchase", 2), ev(3, "click", 4),
+        # u4: click without signup -> counts nowhere
+        ev(4, "click", 1), ev(4, "purchase", 2),
+        # u5: two signups; earliest-completion uses the FIRST, so the
+        # click between them still counts
+        ev(5, "signup", 0), ev(5, "click", 1), ev(5, "signup", 2),
+        ev(5, "purchase", 3),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r.step_idx: (r.step, r.n_users)
+        for r in funnel_counts(df, ["signup", "click", "purchase"]).collect()
+    }
+    assert out[0] == ("signup", 4)   # u1 u2 u3 u5
+    assert out[1] == ("click", 4)    # all four clicked after first signup
+    assert out[2] == ("purchase", 2) # u1, u5 only
