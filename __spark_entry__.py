@@ -690,42 +690,86 @@ def q_inferred_schema_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_report(view)
 
 
-def _inferred_schema_oracle() -> str:
+def _inferred_schema_oracle(src: str = "orders") -> str:
     num_cols = {"o_orderkey": "integer", "o_custkey": "integer",
                 "o_totalprice": "number"}
     str_cols = ["o_orderstatus", "o_orderpriority"]
+    orders = src  # every FROM below targets the parameterized source
     parts = []
     for c, ty in num_cols.items():
         parts.append(
             f"SELECT '{c}' AS path, 'type' AS keyword, CAST(NULL AS DOUBLE) AS value_num, '{ty}' AS value_str"
         )
         parts.append(
-            f"SELECT '{c}', 'minimum', CAST(min({c}) AS DOUBLE), NULL FROM orders"
+            f"SELECT '{c}', 'minimum', CAST(min({c}) AS DOUBLE), NULL FROM {orders}"
         )
         parts.append(
-            f"SELECT '{c}', 'maximum', CAST(max({c}) AS DOUBLE), NULL FROM orders"
+            f"SELECT '{c}', 'maximum', CAST(max({c}) AS DOUBLE), NULL FROM {orders}"
         )
     for c in str_cols:
         parts.append(
             f"SELECT '{c}', 'type', CAST(NULL AS DOUBLE), 'string'"
         )
         parts.append(
-            f"SELECT '{c}', 'minLength', CAST(min(length({c})) AS DOUBLE), NULL FROM orders"
+            f"SELECT '{c}', 'minLength', CAST(min(length({c})) AS DOUBLE), NULL FROM {orders}"
         )
         parts.append(
-            f"SELECT '{c}', 'maxLength', CAST(max(length({c})) AS DOUBLE), NULL FROM orders"
+            f"SELECT '{c}', 'maxLength', CAST(max(length({c})) AS DOUBLE), NULL FROM {orders}"
         )
         parts.append(
             f"SELECT '{c}', 'enum', CAST(NULL AS DOUBLE),"
-            f" string_agg(DISTINCT {c}, ',' ORDER BY {c}) FROM orders"
+            f" string_agg(DISTINCT {c}, ',' ORDER BY {c}) FROM {orders}"
             f" WHERE {c} IS NOT NULL HAVING count(DISTINCT {c}) <= 8"
         )
     for c in list(num_cols) + str_cols:
         parts.append(
             f"SELECT '{c}', 'required', CAST(NULL AS DOUBLE), 'true'"
-            f" WHERE (SELECT count(*) FROM orders WHERE {c} IS NULL) = 0"
+            f" WHERE (SELECT count(*) FROM {orders} WHERE {c} IS NULL) = 0"
         )
     return " UNION ALL ".join(parts)
+
+
+def q_contract_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-drift monitoring (infer.contract_drift): profile orders
+    twice — full vs the o_totalprice < 100000 slice — and diff the two
+    observed contracts. Tightened ranges/lengths surface as 'changed',
+    constraints evidenced by only one run as added/removed. The oracle
+    recomputes BOTH profiles in SQL and full-outer-joins them with the
+    same IS DISTINCT FROM semantics."""
+    from jsschema_spark.infer import contract_drift, schema_report
+
+    view = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    old = schema_report(view)
+    new = schema_report(view.where(F.col("o_totalprice") < 100000))
+    return contract_drift(old, new)
+
+
+def _contract_drift_oracle() -> str:
+    old_r = _inferred_schema_oracle("full_src")
+    new_r = _inferred_schema_oracle("filt_src")
+    return f"""
+WITH full_src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+), filt_src AS (
+  SELECT * FROM full_src WHERE o_totalprice < 100000
+), old_r AS ({old_r}), new_r AS ({new_r})
+SELECT coalesce(o.path, n.path) AS path,
+       coalesce(o.keyword, n.keyword) AS keyword,
+       o.value_num AS old_num, n.value_num AS new_num,
+       o.value_str AS old_str, n.value_str AS new_str,
+       CASE WHEN o.path IS NULL THEN 'added'
+            WHEN n.path IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old_r o FULL OUTER JOIN new_r n
+  ON o.path = n.path AND o.keyword = n.keyword
+WHERE o.path IS NULL OR n.path IS NULL
+   OR (o.value_num IS DISTINCT FROM n.value_num)
+   OR (o.value_str IS DISTINCT FROM n.value_str)
+"""
 
 
 def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "pii_documents": q_pii_documents,
         "inferred_schema_orders": q_inferred_schema_orders,
+        "contract_drift_orders": q_contract_drift_orders,
         "contamination_documents": q_contamination_documents,
         "top_quality_per_lang": q_top_quality_per_lang,
         "weighted_sample_documents": q_weighted_sample_documents,
@@ -2206,6 +2251,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_documents": _UNIGRAM_LOGPROB_ORACLE,
         "pii_documents": _PII_ORACLE,
         "inferred_schema_orders": _inferred_schema_oracle(),
+        "contract_drift_orders": _contract_drift_oracle(),
         "funnel_events": """
             WITH s1 AS (
               SELECT user_id, min(ts) AS t FROM events

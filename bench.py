@@ -138,7 +138,7 @@ def main() -> None:
             "simhash_near_dup_pairs", "vocab_top_tokens", "ngram_doc_freq",
             "ks_drift_quantity", "grouped_stats_lineitem", "anomalous_users_events", "quality_score_documents",
             "repetition_documents", "unigram_logprob_documents", "pii_documents",
-            "inferred_schema_orders", "curated_documents",
+            "inferred_schema_orders", "contract_drift_orders", "curated_documents",
             "stratified_sample_documents", "token_budget_documents",
             "session_stats_events", "asof_clicks_errors", "funnel_events",
             "fd_customer_nation_segment", "cardinality_orders_lineitem",

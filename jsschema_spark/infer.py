@@ -141,3 +141,42 @@ def schema_report(df: DataFrame, enum_max: int = 8) -> DataFrame:
     return spark.createDataFrame(
         rows, "path string, keyword string, value_num double, value_str string"
     )
+
+
+def contract_drift(old_report: DataFrame, new_report: DataFrame) -> DataFrame:
+    """Diff two ``schema_report`` runs — the contract-drift monitor: what
+    did the observed schema gain, lose, or change between two profiling
+    passes (yesterday's landing vs today's)? Output: one row per drifted
+    constraint ``(path, keyword, old_num, new_num, old_str, new_str,
+    change ∈ added|removed|changed)``; unchanged constraints are dropped.
+
+    A full-outer join on (path, keyword) over two report tables whose
+    size is #columns × #keywords — driver-scale inputs, so the join is
+    trivially broadcast; the heavy work already happened inside the two
+    ``infer_schema`` passes."""
+    o = old_report.select(
+        "path", "keyword",
+        F.col("value_num").alias("old_num"), F.col("value_str").alias("old_str"),
+        F.lit(True).alias("__in_old"),
+    )
+    nw = new_report.select(
+        "path", "keyword",
+        F.col("value_num").alias("new_num"), F.col("value_str").alias("new_str"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(nw, ["path", "keyword"], "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(
+            ~F.col("old_num").eqNullSafe(F.col("new_num"))
+            | ~F.col("old_str").eqNullSafe(F.col("new_str")),
+            "changed",
+        )
+        .otherwise("same")
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change") != "same")
+        .select("path", "keyword", "old_num", "new_num", "old_str", "new_str", "change")
+    )

@@ -86,3 +86,29 @@ def test_schema_report_rows(spark):
     assert rows[("k", "maximum")] == (2.0, None)
     assert rows[("s", "enum")] == (None, "a,b")
     assert rows[("k", "required")] == (None, "true")
+
+
+def test_contract_drift(spark):
+    """Drift between two profiling runs: tightened ranges are 'changed',
+    vanished enum values change the enum row, constraints present in only
+    one run are added/removed."""
+    from jsschema_spark.infer import contract_drift
+
+    old = spark.createDataFrame(
+        [(1, 2.0, "red"), (2, 8.0, "green"), (3, 5.0, "blue")],
+        "k long, x double, c string",
+    )
+    new = spark.createDataFrame(
+        [(1, 2.0, "red"), (2, 4.0, None)], "k long, x double, c string"
+    )
+    drift = {
+        (r.path, r.keyword): (r.old_num, r.new_num, r.old_str, r.new_str, r.change)
+        for r in contract_drift(schema_report(old), schema_report(new)).collect()
+    }
+    assert drift[("k", "maximum")] == (3.0, 2.0, None, None, "changed")
+    assert drift[("x", "maximum")] == (8.0, 4.0, None, None, "changed")
+    assert drift[("c", "enum")][2:] == ("blue,green,red", "red", "changed")
+    # c gained nulls -> its required row vanished
+    assert drift[("c", "required")][4] == "removed"
+    # unchanged constraints are absent
+    assert ("k", "type") not in drift and ("k", "minimum") not in drift
