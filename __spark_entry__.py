@@ -974,6 +974,16 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (events.retention_cohorts): cohort by
+    first-event week, count active users per (cohort, weeks-since). One
+    min-agg, one distinct user-week projection, one user-keyed join, one
+    final count — no windows. Oracle mirrors it with date_trunc CTEs."""
+    from jsschema_spark.functions.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def q_anomalous_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level anomaly screen (stats.anomalous_groups): users whose
     mean event value z-scores ≥ 3 against the corpus of per-user means —
@@ -1248,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": q_session_stats_events,
         "asof_clicks_errors": q_asof_clicks_errors,
         "funnel_events": q_funnel_events,
+        "retention_events": q_retention_events,
         "freshness_events": q_freshness_events,
         "fd_customer_nation_segment": q_fd_customer_nation_segment,
         "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
@@ -2250,6 +2261,19 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": _REPETITION_ORACLE,
         "unigram_logprob_documents": _UNIGRAM_LOGPROB_ORACLE,
         "pii_documents": _PII_ORACLE,
+        "retention_events": """
+            WITH cohorts AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort
+              FROM events GROUP BY user_id
+            ), active AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+            )
+            SELECT CAST(c.cohort AS DATE) AS cohort_week,
+                   CAST(date_diff('day', CAST(c.cohort AS DATE), CAST(a.wk AS DATE)) / 7 AS INT) AS week_idx,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM active a JOIN cohorts c ON a.user_id = c.user_id
+            GROUP BY cohort_week, week_idx
+        """,
         "inferred_schema_orders": _inferred_schema_oracle(),
         "contract_drift_orders": _contract_drift_oracle(),
         "funnel_events": """

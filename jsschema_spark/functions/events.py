@@ -194,3 +194,41 @@ def funnel_counts(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: users are cohorted by the week of their
+    FIRST event; for every (cohort, weeks-since-cohort) cell, how many of
+    that cohort's users were active — the standard retention triangle.
+    Output: ``(cohort_week, week_idx, n_users)``; ``week_idx=0`` row is
+    the cohort size. Weeks are ``date_trunc('week')`` (Monday-start, the
+    same convention SQL engines use, so oracles align).
+
+    Scale shape: one map-side-combined min per user (cohort assignment),
+    one distinct over (user, week) — shuffle width = active user-weeks,
+    already far smaller than events — a user-keyed join, and a final
+    (cohort, idx) count-agg. No windows; a hot user contributes one row
+    per active week regardless of event volume."""
+    u, t = F.col(user_col), F.col(ts_col)
+    cohorts = (
+        df.groupBy(user_col)
+        .agg(F.date_trunc("week", F.min(t)).alias("__cohort"))
+    )
+    active = (
+        df.select(u, F.date_trunc("week", t).alias("__wk"))
+        .distinct()
+    )
+    return (
+        active.join(cohorts, user_col)
+        .select(
+            F.col("__cohort").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("__wk").cast("date"), F.col("__cohort").cast("date"))
+             / 7).cast("int").alias("week_idx"),
+        )
+        .groupBy("cohort_week", "week_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -259,3 +259,34 @@ def test_funnel_counts(spark):
     assert out[0] == ("signup", 4)   # u1 u2 u3 u5
     assert out[1] == ("click", 4)    # all four clicked after first signup
     assert out[2] == ("purchase", 2) # u1, u5 only
+
+
+def test_retention_cohorts(spark):
+    """Retention triangle: cohort by first-event week, count active users
+    per later week — verified against a Python model."""
+    import datetime as dt
+
+    from jsschema_spark.functions.events import retention_cohorts
+
+    mon = dt.datetime(2026, 1, 5)  # a Monday
+
+    def ev(u, days):
+        return (u, mon + dt.timedelta(days=days))
+
+    rows = [
+        ev(1, 0), ev(1, 8), ev(1, 15),   # cohort w0, active w0 w1 w2
+        ev(2, 1), ev(2, 16),             # cohort w0, active w0 w2
+        ev(3, 7), ev(3, 9),              # cohort w1 (two events same week)
+        ev(4, 20),                       # cohort w2 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_week), r.week_idx): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert got[("2026-01-05", 0)] == 2
+    assert got[("2026-01-05", 1)] == 1   # only u1 came back in week 1
+    assert got[("2026-01-05", 2)] == 2   # u1 and u2
+    assert got[("2026-01-12", 0)] == 1   # u3
+    assert got[("2026-01-19", 0)] == 1   # u4
+    assert len(got) == 5
