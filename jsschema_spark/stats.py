@@ -518,3 +518,69 @@ def anomalous_groups(
         .where(F.abs(F.col("z")) >= z_threshold)
         .select(*groups, "n_rows", "group_mean", "z")
     )
+
+
+# --------------------------------------------------------------------------
+# mergeable profiles — incremental monitoring state (DataSketches HLL)
+
+def mergeable_profile(df: DataFrame, cols: "Optional[Sequence[str]]" = None) -> DataFrame:
+    """Per-column MERGEABLE profile: ``(column, n_rows, n_nulls, min_num,
+    max_num, hll)`` where ``hll`` is a DataSketches HLL sketch binary.
+    Profiles are monitoring STATE, not just reports: profile each landed
+    batch/partition once, persist the rows, and fold any set of them with
+    ``merge_profiles`` — counts and min/max merge exactly, distinct
+    merges at sketch accuracy — so day-N corpus stats never rescan days
+    0..N-1. ``min_num``/``max_num`` are the try_cast-double range (null for
+    non-castable columns — string ranges are profiled by the schema
+    inferrer instead).
+
+    One aggregate pass, all columns at once (map-side combined; sketches
+    merge associatively on the combiners). Values are sketched via their
+    canonical string form so every column type is admissible."""
+    names = list(cols) if cols else [f.name for f in df.schema.fields]
+    aggs = []
+    for c in names:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(col.try_cast("double")).alias(f"{c}__min"),
+            F.max(col.try_cast("double")).alias(f"{c}__max"),
+            F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__min").alias("min_num"),
+            F.col(f"{c}__max").alias("max_num"),
+            F.col(f"{c}__hll").alias("hll"),
+        )
+        for c in names
+    ])
+    return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def merge_profiles(profiles: DataFrame) -> DataFrame:
+    """Fold any union of ``mergeable_profile`` outputs into one profile
+    per column: counts sum, ranges min/max, sketches union — all exact
+    merges of the stored state, no data rescans. Output schema matches
+    ``mergeable_profile``."""
+    return profiles.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.hll_union_agg("hll").alias("hll"),
+    )
+
+
+def profile_estimates(profile: DataFrame) -> DataFrame:
+    """Readable view of a profile: sketch binaries become distinct-count
+    estimates (``n_distinct_est``)."""
+    return profile.select(
+        "column", "n_rows", "n_nulls", "min_num", "max_num",
+        F.hll_sketch_estimate("hll").cast("long").alias("n_distinct_est"),
+    )

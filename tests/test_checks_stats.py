@@ -416,3 +416,42 @@ def test_anomalous_groups(spark):
     # nothing anomalous in a homogeneous corpus
     clean = df.where(~F.col("grp").isin("g7", "tiny"))
     assert anomalous_groups(clean, ["grp"], "v", 3.0).count() == 0
+
+
+def test_mergeable_profiles_fold_exactly(spark):
+    """Incremental profiling: profiling two halves and merging equals
+    profiling the whole — counts/ranges exactly, distinct at sketch
+    accuracy (HLL merge is lossless over the same sketches)."""
+    from jsschema_spark.stats import (
+        merge_profiles,
+        mergeable_profile,
+        profile_estimates,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    a = df.where(F.col("o_orderkey") % 2 == 0)
+    b = df.where(F.col("o_orderkey") % 2 == 1)
+    merged = profile_estimates(
+        merge_profiles(mergeable_profile(a).unionByName(mergeable_profile(b)))
+    )
+    whole = profile_estimates(mergeable_profile(df))
+    m = {r.column: r for r in merged.collect()}
+    w = {r.column: r for r in whole.collect()}
+    assert m.keys() == w.keys()
+    for c in w:
+        assert (m[c].n_rows, m[c].n_nulls) == (w[c].n_rows, w[c].n_nulls), c
+        assert (m[c].min_num, m[c].max_num) == (w[c].min_num, w[c].max_num), c
+        # union-of-sketches vs direct sketch: same accuracy class (the
+        # union operator may land at a different register state, so the
+        # estimates are close, not bit-equal)
+        assert abs(m[c].n_distinct_est - w[c].n_distinct_est) <= max(
+            4, 0.03 * w[c].n_distinct_est
+        ), c
+    # and the estimate is honest: within 5% of the exact distinct count
+    exact = df.agg(
+        *[F.countDistinct(c).alias(c) for c in ("o_orderkey", "o_orderstatus")]
+    ).collect()[0]
+    assert abs(w["o_orderkey"].n_distinct_est - exact["o_orderkey"]) <= 0.05 * exact["o_orderkey"]
+    assert w["o_orderstatus"].n_distinct_est == exact["o_orderstatus"]
