@@ -7,6 +7,9 @@ Usage:
     python -m jsschema_spark.cli SCHEMA.json DATA.json       # validate one JSON doc
     python -m jsschema_spark.cli SCHEMA.json DATA.parquet    # Spark-validate a table
         [--summary] [--details] [--master local[*]]
+    python -m jsschema_spark.cli --infer DATA.parquet        # profile a table into
+        [--enum-max 8]                                       # the draft-04 contract
+                                                             # it evidences (stdout)
 """
 
 from __future__ import annotations
@@ -23,7 +26,22 @@ def main(argv=None) -> int:
     ap.add_argument("--summary", action="store_true", help="per-keyword violation counts")
     ap.add_argument("--details", action="store_true", help="exploded violation rows")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--infer", action="store_true",
+                    help="treat the first argument as a parquet table and print its inferred draft-04 schema")
+    ap.add_argument("--enum-max", type=int, default=8)
     args = ap.parse_args(argv)
+
+    if args.infer:
+        from jsschema_spark.infer import infer_schema
+        from jsschema_spark.session import build_session
+
+        spark = build_session(app_name="jsschema-infer", master=args.master)
+        try:
+            schema = infer_schema(spark.read.parquet(args.schema), args.enum_max)
+            print(json.dumps(schema, indent=2, sort_keys=True))
+            return 0
+        finally:
+            spark.stop()
 
     from jsschema_spark import read_file
     from jsschema_spark.errors import SchemaParseError

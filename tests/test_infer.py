@@ -112,3 +112,24 @@ def test_contract_drift(spark):
     assert drift[("c", "required")][4] == "removed"
     # unchanged constraints are absent
     assert ("k", "type") not in drift and ("k", "minimum") not in drift
+
+
+def test_cli_infer_subprocess():
+    """`--infer` CLI mode prints the inferred draft-04 schema as JSON.
+    Runs in a subprocess because cli.main owns (and stops) its session."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "jsschema_spark.cli", "--infer",
+         f"{SF}/nation.parquet", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    schema = json.loads(out.stdout)
+    assert schema["properties"]["n_nationkey"] == {
+        "type": "integer", "minimum": 0, "maximum": 24
+    }
+    assert "n_name" in schema["required"]
