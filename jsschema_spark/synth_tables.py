@@ -232,6 +232,68 @@ def lineitem_table(
     )
 
 
+def orders_table(
+    spark: SparkSession, n: int, seed: int = 42,
+    n_customers: Optional[int] = None, partitions: Optional[int] = None,
+) -> DataFrame:
+    """TPC-H-ish orders with the driver's column set: ~10 orders/customer,
+    status O/F/P with P rare, totalprice in TPC-H range, dates over
+    1992-1998, five priorities. Pure codegen."""
+    customers = n_customers or max(1, n // 10)
+    base = spark.range(n)
+    if partitions:
+        base = base.repartition(partitions)
+    sd = F.lit(seed)
+    st_h = _h(F.col("id"), sd, F.lit("st")) % 100
+    o_days = _h(F.col("id"), sd, F.lit("od")) % (7 * 365)
+    prio = F.element_at(
+        F.array(
+            F.lit("1-URGENT"), F.lit("2-HIGH"), F.lit("3-MEDIUM"),
+            F.lit("4-NOT SPECIFIED"), F.lit("5-LOW"),
+        ),
+        (_h(F.col("id"), sd, F.lit("pr")) % 5 + 1).cast("int"),
+    )
+    return base.select(
+        F.col("id").alias("o_orderkey"),
+        (_h(F.col("id"), sd, F.lit("ck")) % customers).alias("o_custkey"),
+        F.when(st_h < 49, "O").when(st_h < 98, "F").otherwise("P").alias("o_orderstatus"),
+        ((_h(F.col("id"), sd, F.lit("tp")) % 45000000).cast("double") / 100.0 + 900.0
+         ).alias("o_totalprice"),
+        (F.to_timestamp(F.lit("1992-01-01 00:00:00"))
+         + F.make_dt_interval(o_days.cast("int"), F.lit(0), F.lit(0), F.lit(0.0))
+         ).alias("o_orderdate"),
+        prio.alias("o_orderpriority"),
+    )
+
+
+def customer_table(
+    spark: SparkSession, n: int, seed: int = 42,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """TPC-H-ish customer: name from the key, 25 nations, acctbal in
+    TPC-H range, five market segments. Pure codegen."""
+    base = spark.range(n)
+    if partitions:
+        base = base.repartition(partitions)
+    sd = F.lit(seed)
+    seg = F.element_at(
+        F.array(
+            F.lit("AUTOMOBILE"), F.lit("BUILDING"), F.lit("FURNITURE"),
+            F.lit("HOUSEHOLD"), F.lit("MACHINERY"),
+        ),
+        (_h(F.col("id"), sd, F.lit("seg")) % 5 + 1).cast("int"),
+    )
+    return base.select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.lpad(F.col("id").cast("string"), 9, "0")
+                 ).alias("c_name"),
+        (_h(F.col("id"), sd, F.lit("nk")) % 25).cast("int").alias("c_nationkey"),
+        ((_h(F.col("id"), sd, F.lit("ab")) % 1109951).cast("double") / 100.0 - 999.99
+         ).alias("c_acctbal"),
+        seg.alias("c_mktsegment"),
+    )
+
+
 def write_corpus_dir(
     spark: SparkSession, out_dir: str, *,
     docs: int, emb: int, events: int, lineitem: int,
@@ -252,3 +314,10 @@ def write_corpus_dir(
     lineitem_table(spark, lineitem, seed, partitions).write.mode("overwrite").parquet(
         f"{out_dir}/lineitem.parquet"
     )
+    n_orders = max(1, lineitem // 4)
+    orders_table(spark, n_orders, seed, partitions=partitions).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/orders.parquet")
+    customer_table(spark, max(1, n_orders // 10), seed, partitions).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/customer.parquet")

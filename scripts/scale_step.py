@@ -51,6 +51,11 @@ QUERIES = [
     "weighted_sample_documents", "token_budget_documents", "ivf_topk",
     "embedding_lsh_near_dups", "embedding_multiseed_near_dups",
     "session_stats_events", "asof_clicks_errors",
+    # round-5 additions
+    "lsh_index_search", "label_centroids", "repetition_documents",
+    "unigram_logprob_documents", "pii_documents", "inferred_schema_orders",
+    "contract_drift_orders", "funnel_events", "retention_events",
+    "referential_orders_customer",
 ]
 
 

@@ -137,3 +137,26 @@ def test_write_corpus_dir_feeds_entry_queries(spark, tmp_path):
     assert qs["stats_lineitem"](spark, out).count() == 3
     assert qs["session_stats_events"](spark, out).count() > 0
     assert qs["ivf_topk"](spark, out).count() > 0
+
+
+def test_orders_customer_shapes(spark, tmp_path):
+    ot = ST.orders_table(spark, 8000).cache()
+    ct = ST.customer_table(spark, 800).cache()
+    try:
+        assert ot.columns == [
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ]
+        st = {r.o_orderstatus for r in ot.select("o_orderstatus").distinct().collect()}
+        assert st == {"O", "F", "P"}
+        agg = ot.agg(F.min("o_totalprice"), F.max("o_totalprice"),
+                     F.countDistinct("o_custkey")).collect()[0]
+        assert agg[0] >= 900.0 and agg[1] <= 451000.0 and 400 <= agg[2] <= 800
+        assert ct.columns == [
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        ]
+        assert ct.where(~F.col("c_name").rlike("^Customer#[0-9]{9}$")).count() == 0
+        assert ct.agg(F.max("c_nationkey")).collect()[0][0] <= 24
+    finally:
+        ot.unpersist()
+        ct.unpersist()
