@@ -45,6 +45,9 @@ def curate_documents(
     with_report: bool = True,
     metadata_schema: "Optional[dict]" = None,
     groups: "Optional[DataFrame]" = None,
+    max_rep_ngram: "Optional[float]" = None,
+    min_logprob: "Optional[float]" = None,
+    redact: bool = False,
 ) -> "tuple[DataFrame, dict]":
     """Run the full curation pipeline; see module docstring.
 
@@ -60,7 +63,17 @@ def curate_documents(
     production run that already maintains a signature index doesn't pay
     the signature+band join again. Groups covering docs the earlier
     stages dropped are harmless — ``keep_canonical`` joins on the
-    surviving ids only."""
+    surviving ids only.
+
+    Round-5 gates, all still inside the single validity projection:
+    ``max_rep_ngram`` drops docs whose duplicate-3-gram fraction exceeds
+    it (Gopher-style repetition filter); ``min_logprob`` drops docs below
+    the corpus-statistical perplexity-proxy floor (scored against the
+    VALIDITY-surviving corpus' own unigram distribution — one extra vocab
+    aggregate + token join, only when enabled); ``redact=True`` scrubs
+    PII (email/phone/IPv4) from the surviving text as a final codegen
+    projection — dedup runs on the ORIGINAL text, so two docs differing
+    only in their PII are not silently merged."""
     report: dict = {}
     if with_report:
         report["n_input"] = df.count()
@@ -76,6 +89,18 @@ def curate_documents(
         valid = valid.where(tv.valid_column())
     if min_quality > 0.0:
         valid = valid.where(quality_score(F.col(text_col)) >= min_quality)
+    if max_rep_ngram is not None:
+        from jsschema_spark.functions.text import ngram_repetition
+
+        valid = valid.where(
+            ngram_repetition(F.col(text_col), 3) <= float(max_rep_ngram)
+        )
+    if min_logprob is not None:
+        from jsschema_spark.functions.text import unigram_logprob
+
+        valid = unigram_logprob(valid, text_col, id_col, out_col="__lp").where(
+            F.col("__lp") >= float(min_logprob)
+        ).drop("__lp")
     if with_report:
         report["n_valid"] = valid.count()
 
@@ -97,6 +122,10 @@ def curate_documents(
         )
         groups = connected_components(pairs)
         kept = keep_canonical(exact, groups, id_col)
+    if redact:
+        from jsschema_spark.functions.text import redact_pii
+
+        kept = kept.withColumn(text_col, redact_pii(F.col(text_col)))
     if with_report:
         report["n_kept"] = kept.count()
         report["n_dropped"] = report["n_input"] - report["n_kept"]

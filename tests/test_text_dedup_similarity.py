@@ -1692,3 +1692,35 @@ def test_mean_pool_matches_numpy(spark, emb):
     assert pooled.keys() == by_label.keys()
     for lbl, vs in by_label.items():
         assert np.allclose(pooled[lbl], np.mean(vs, axis=0), atol=1e-9), lbl
+
+
+def test_curate_documents_round5_gates(spark):
+    """The repetition, logprob and redaction gates compose into the
+    pipeline: spammy docs die at the repetition gate, gibberish at the
+    logprob floor, and surviving text is scrubbed when redact=True —
+    while dedup still runs on the ORIGINAL text."""
+    from jsschema_spark.functions.curate import curate_documents
+
+    prose = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    rows = [
+        (1, prose + " contact me at a@b.org please"),
+        (2, prose + " contact me at z@y.net please"),   # exact-dup AFTER redaction only
+        (3, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (4, "zxqv wkjh pqrs mnbv zxqv2 wkjh2 pqrs2 mnbv2 qqq www eee rrr"),
+        (5, prose),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept, rep = curate_documents(
+        df, near_dup_threshold=None, max_rep_ngram=0.5, min_logprob=-4.0,
+        redact=True,
+    )
+    out = {r.doc_id: r.text for r in kept.collect()}
+    assert 3 not in out          # repetition gate (rep3 ~ 0.8)
+    assert 4 not in out          # gibberish: every token hapax -> very low logprob
+    # docs 1 and 2 differ pre-redaction, so BOTH survive exact dedup,
+    # then redaction makes their text equal
+    assert 1 in out and 2 in out and 5 in out
+    assert out[1] == out[2] and "[PII]" in out[1]
+    assert "@" not in out[1]
+    assert out[5] == prose
