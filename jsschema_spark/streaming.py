@@ -200,6 +200,7 @@ def start_dedup_admission_sink(
     text_col: str,
     trigger_once: bool = True,
     min_quality: float = 0.0,
+    redact: bool = False,
 ) -> StreamingQuery:
     """Streaming corpus admission with exact dedup against a persisted
     fingerprint index: per micro-batch, drop rows whose content fingerprint
@@ -207,6 +208,14 @@ def start_dedup_admission_sink(
     write the survivors to ``admitted_dir``, and admit their fingerprints
     into the index — so later batches dedup against everything admitted
     before them.
+
+    ``redact=True`` scrubs PII (``text.redact_pii``) from the ADMITTED
+    text only: fingerprints are always taken from the ORIGINAL text
+    (before and after this batch), so cross-batch dedup semantics are
+    unchanged and two docs differing only in their PII never silently
+    merge. The near-dup sink deliberately has no such switch — its
+    verification step Jaccard-compares new text against the STORED
+    corpus text, which must therefore stay unredacted.
 
     Replay-idempotent without transactions: both the admitted rows and the
     index contribution are written to per-batch ``batch_id=<n>`` partition
@@ -244,7 +253,18 @@ def start_dedup_admission_sink(
         except AnalysisException:
             index = spark.createDataFrame([], "fingerprint long, doc_id long")
         kept = incremental_exact_dedup(batch_df, index, id_col, text_col)
-        kept.write.mode("overwrite").parquet(f"{admitted_dir}/batch_id={int(batch_id)}")
+        # two consumers (admitted rows + index fingerprints) — materialize
+        # the dedup result once; the index MUST fingerprint original text,
+        # so compute fingerprints before any redaction projection
+        kept = kept.localCheckpoint(eager=False)
+        admitted = kept
+        if redact:
+            from jsschema_spark.functions.text import redact_pii
+
+            admitted = kept.withColumn(text_col, redact_pii(F.col(text_col)))
+        admitted.write.mode("overwrite").parquet(
+            f"{admitted_dir}/batch_id={int(batch_id)}"
+        )
         (
             kept.select(
                 content_fingerprint(F.col(text_col)).alias("fingerprint"),

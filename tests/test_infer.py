@@ -133,3 +133,23 @@ def test_cli_infer_subprocess():
         "type": "integer", "minimum": 0, "maximum": 24
     }
     assert "n_name" in schema["required"]
+
+
+def test_inferred_schema_marshal_round_trip(spark):
+    """The inferred dict survives the reference's marshal semantics:
+    parse_schema -> to_json -> read_string reproduces the same schema."""
+    import json
+
+    from jsschema_spark import parse_schema, read_string
+
+    df = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    inferred = infer_schema(df)
+    node = parse_schema(inferred)
+    again = read_string(node.to_json())
+    assert json.loads(again.to_json()) == json.loads(node.to_json())
+    # and the marshalled form still contains the inferred facts
+    out = json.loads(node.to_json())
+    assert out["properties"]["o_orderkey"]["type"] == "integer"
+    assert "enum" in out["properties"]["o_orderstatus"]

@@ -579,3 +579,40 @@ def test_read_table_catalog_gate(spark, tmp_path):
     src.write.parquet(p)
     got = read_table(spark, p, fmt="iceberg")
     assert {r.clip_id for r in got.collect()} == {1, 2, 3}
+
+
+def test_streaming_admission_redaction(spark, tmp_path):
+    """redact=True scrubs PII from admitted text while the fingerprint
+    index keeps deduping on the ORIGINAL text: a later batch repeating an
+    admitted doc's original text is still dropped."""
+    import pandas as pd
+
+    from jsschema_spark.streaming import start_dedup_admission_sink
+
+    src = str(tmp_path / "red_src")
+    os.makedirs(src)
+    cols = ["doc_id", "text"]
+    pd.DataFrame(
+        [(1, "hello world mail me at a@b.org today"), (2, "plain text here")],
+        columns=cols,
+    ).to_parquet(os.path.join(src, "f0.parquet"))
+    pd.DataFrame(
+        [(3, "hello world mail me at a@b.org today"),  # dup of ORIGINAL 1
+         (4, "fresh words entirely 10.0.0.7 included")],
+        columns=cols,
+    ).to_parquet(os.path.join(src, "f1.parquet"))
+
+    idx = str(tmp_path / "red_idx")
+    out = str(tmp_path / "red_out")
+    q = start_dedup_admission_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        idx, out, str(tmp_path / "red_ckpt"), "doc_id", "text", redact=True,
+    )
+    q.awaitTermination(120)
+
+    rows = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 4}       # 3 deduped against 1's ORIGINAL text
+    assert "[PII]" in rows[1] and "@" not in rows[1]
+    assert "[PII]" in rows[4] and "10.0.0.7" not in rows[4]
+    assert rows[2] == "plain text here"
