@@ -729,6 +729,34 @@ def _inferred_schema_oracle(src: str = "orders") -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_masked_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup (dedup.mask_duplicate_spans): tokens
+    covered by any 8-gram appearing in ≥2 docs are removed — boilerplate
+    masking, exercised by a shared footer injected into %37 docs (organic
+    word-salad collisions mask too). md5 of the rebuilt text makes the
+    oracle byte-level; the oracle replicates gram positions, span
+    document-frequency and the index-filter rebuild in SQL."""
+    from jsschema_spark.functions.dedup import mask_duplicate_spans
+
+    base = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    spiked = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" standard footer block appended to many documents for masking"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = mask_duplicate_spans(spiked, n=8, min_docs=2)
+    return out.select(
+        "doc_id", "n_masked_tokens", F.md5("masked_text").alias("masked_md5")
+    )
+
+
 def q_contract_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract-drift monitoring (infer.contract_drift): profile orders
     twice — full vs the o_totalprice < 100000 slice — and diff the two
@@ -1268,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_documents": q_pii_documents,
         "inferred_schema_orders": q_inferred_schema_orders,
         "contract_drift_orders": q_contract_drift_orders,
+        "masked_spans_documents": q_masked_spans_documents,
         "contamination_documents": q_contamination_documents,
         "top_quality_per_lang": q_top_quality_per_lang,
         "weighted_sample_documents": q_weighted_sample_documents,
@@ -1539,6 +1568,42 @@ def _pii_oracle() -> str:
 
 
 _PII_ORACLE = _pii_oracle()
+
+_MASKED_SPANS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 37 = 0
+         THEN text || ' standard footer block appended to many documents for masking'
+         ELSE text END AS t
+  FROM documents WHERE text IS NOT NULL
+), tk AS (
+  SELECT doc_id,
+         CASE WHEN trim(t) = '' THEN [] ELSE regexp_split_to_array(trim(t), '\\s+') END AS toks
+  FROM d
+), g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i+0] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS gram
+  FROM tk, unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+  WHERE len(toks) >= 8
+), freq AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY gram)
+  WHERE c >= 2
+), cov AS (
+  SELECT g.doc_id, list(DISTINCT g.pos) AS starts
+  FROM g JOIN freq USING (gram) GROUP BY g.doc_id
+), j AS (
+  SELECT tk.doc_id, toks, coalesce(cov.starts, []) AS starts
+  FROM tk LEFT JOIN cov USING (doc_id)
+), reb AS (
+  SELECT doc_id, toks,
+    list_filter(range(0, len(toks)), i ->
+      len(list_filter(starts, s -> s <= i AND i < s + 8)) = 0) AS keep
+  FROM j
+)
+SELECT doc_id,
+  CAST(len(toks) - len(keep) AS BIGINT) AS n_masked_tokens,
+  md5(coalesce(array_to_string(list_transform(keep, i -> toks[CAST(i + 1 AS INT)]), ' '), '')) AS masked_md5
+FROM reb
+"""
 
 _UNIGRAM_LOGPROB_ORACLE = f"""
 WITH d AS (
@@ -2276,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "inferred_schema_orders": _inferred_schema_oracle(),
         "contract_drift_orders": _contract_drift_oracle(),
+        "masked_spans_documents": _MASKED_SPANS_ORACLE,
         "funnel_events": """
             WITH s1 AS (
               SELECT user_id, min(ts) AS t FROM events

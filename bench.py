@@ -143,7 +143,7 @@ def main() -> None:
             "session_stats_events", "asof_clicks_errors", "funnel_events", "retention_events",
             "fd_customer_nation_segment", "cardinality_orders_lineitem",
             "top_quality_per_lang", "weighted_sample_documents", "contamination_documents", "freshness_events",
-            "leakage_split_documents", "chunked_documents",
+            "leakage_split_documents", "chunked_documents", "masked_spans_documents",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -1043,3 +1043,71 @@ def decontaminate(
     return corpus.join(
         hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def mask_duplicate_spans(
+    df: "DataFrame",
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "masked_text",
+) -> "DataFrame":
+    """Cross-document SPAN dedup: drop every token covered by an n-token
+    span that appears in ≥ ``min_docs`` distinct documents — the
+    boilerplate/repeated-span removal step of training-data pipelines
+    (headers, footers, license blocks, templated passages), finer-grained
+    than whole-document near-dup removal. Output: input rows +
+    ``out_col`` (the text with covered tokens removed) and
+    ``n_masked_tokens``. Comparison is on raw whitespace tokens
+    (case-sensitive — masking rewrites the user's actual text, so the
+    match must be literal).
+
+    Scale shape: positions ride a posexplode of the CSE-safe n-gram
+    array; span document-frequency is a (gram, doc) distinct + count —
+    the same map-side-combined shuffle shape as ``ngram_doc_freq``
+    (width = distinct grams); covered starts join back on the gram and
+    collect per doc (bounded by the doc's own length, never corpus
+    size). The rebuild is one higher-order projection over a
+    MATERIALIZED token column — ``element_at`` over a column reference,
+    not an inline re-tokenization (the word_shingles CSE trap)."""
+    from jsschema_spark.functions.text import _word_ngrams, tokens
+
+    base = df.withColumn("__toks", tokens(F.col(text_col)))
+    grams_pos = base.select(
+        F.col(id_col).alias("__gid"),
+        F.posexplode(_word_ngrams(F.col("__toks"), n)).alias("__pos", "__gram"),
+    )
+    frequent = (
+        grams_pos.select("__gram", "__gid")
+        .distinct()
+        .groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= int(min_docs))
+        .select("__gram")
+    )
+    starts = (
+        grams_pos.join(frequent, "__gram")
+        .groupBy("__gid")
+        .agg(F.collect_set("__pos").alias("__starts"))
+    )
+    joined = base.join(
+        starts, base[id_col] == starts["__gid"], "left"
+    ).drop("__gid")
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    idx = F.sequence(F.lit(0), F.size("__toks") - 1)
+    keep_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(st, lambda s: (s <= i) & (i < s + F.lit(n))),
+    )
+    rebuilt = F.array_join(
+        F.transform(keep_idx, lambda i: F.element_at(F.col("__toks"), i + 1)), " "
+    )
+    return (
+        joined.withColumn(
+            "n_masked_tokens",
+            (F.size("__toks") - F.size(keep_idx)).cast("long"),
+        )
+        .withColumn(out_col, rebuilt)
+        .drop("__toks", "__starts")
+    )

@@ -1724,3 +1724,49 @@ def test_curate_documents_round5_gates(spark):
     assert out[1] == out[2] and "[PII]" in out[1]
     assert "@" not in out[1]
     assert out[5] == prose
+
+
+def test_mask_duplicate_spans_matches_python(spark):
+    """Cross-doc span dedup vs a Python model: tokens covered by any
+    n-gram appearing in >= min_docs docs are removed; unique prose
+    survives; empty/short docs untouched."""
+    import collections
+
+    boiler = "this footer text is identical across many documents exactly"
+    rows = [
+        (1, "alpha unique words " + boiler + " tail one"),
+        (2, "totally different opening " + boiler + " closing remark"),
+        (3, "no shared content whatsoever in this document at all today"),
+        (4, "tiny doc"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n, min_docs = 5, 2
+    out = {
+        r.doc_id: (r.masked_text, r.n_masked_tokens)
+        for r in D.mask_duplicate_spans(df, n=n, min_docs=min_docs).collect()
+    }
+
+    # python model
+    doc_toks = {i: (t.split() if t else []) for i, t in rows}
+    gram_docs = collections.defaultdict(set)
+    for i, toks in doc_toks.items():
+        for p in range(len(toks) - n + 1):
+            gram_docs[tuple(toks[p : p + n])].add(i)
+    frequent = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    for i, toks in doc_toks.items():
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            if tuple(toks[p : p + n]) in frequent:
+                covered.update(range(p, p + n))
+        expect = " ".join(t for j, t in enumerate(toks) if j not in covered)
+        if rows[i - 1][1] is None:
+            continue
+        got_text, got_n = out[i]
+        assert got_text == expect, (i, got_text, expect)
+        assert got_n == len(covered), i
+
+    # the boilerplate really was masked, the unique doc untouched
+    assert boiler not in out[1][0] and boiler not in out[2][0]
+    assert out[3][0] == rows[2][1] and out[3][1] == 0
+    assert out[4] == ("tiny doc", 0)
