@@ -55,7 +55,7 @@ QUERIES = [
     "lsh_index_search", "label_centroids", "repetition_documents",
     "unigram_logprob_documents", "pii_documents", "inferred_schema_orders",
     "contract_drift_orders", "funnel_events", "retention_events",
-    "referential_orders_customer",
+    "referential_orders_customer", "masked_spans_documents",
 ]
 
 
