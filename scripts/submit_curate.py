@@ -8,10 +8,10 @@
         --near-dup-threshold 0.85 [--metadata-schema meta.json] \\
         [--benchmark /data/eval_docs.parquet] [--report /out/report.json]
 
-Runs validity (+ optional metadata JSON-Schema) → quality gate →
-exact dedup → near-dup canonical, optionally decontaminates against a
-benchmark table, writes the kept docs as parquet, and prints the stage
-report as ONE JSON line. Exit 0 on success; exit 2 when the pipeline
+Runs validity (+ optional metadata JSON-Schema) → quality / repetition /
+logprob gates → exact dedup → near-dup canonical → optional PII
+redaction, optionally decontaminates against a benchmark table, writes
+the kept docs as parquet, and prints the stage report as ONE JSON line. Exit 0 on success; exit 2 when the pipeline
 dropped every row (an almost-certain configuration error)."""
 
 from __future__ import annotations
@@ -35,6 +35,12 @@ def main() -> int:
                     help="parquet table of held-out docs to decontaminate against")
     ap.add_argument("--contamination-ngram", type=int, default=8)
     ap.add_argument("--report", default=None, help="also write the report JSON here")
+    ap.add_argument("--max-rep-ngram", type=float, default=None,
+                    help="drop docs whose duplicate-3-gram fraction exceeds this")
+    ap.add_argument("--min-logprob", type=float, default=None,
+                    help="drop docs below this mean unigram log-probability")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub email/phone/IPv4 from the kept text (after dedup)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +62,9 @@ def main() -> int:
             min_quality=args.min_quality,
             near_dup_threshold=None if args.no_near_dup else args.near_dup_threshold,
             metadata_schema=meta_schema,
+            max_rep_ngram=args.max_rep_ngram,
+            min_logprob=args.min_logprob,
+            redact=args.redact_pii,
         )
         if args.benchmark:
             bench = spark.read.parquet(args.benchmark)
