@@ -505,6 +505,45 @@ def start_embedding_admission_sink(
     return writer.start()
 
 
+def start_contract_drift_sink(
+    stream_df: DataFrame,
+    reference_report_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    enum_max: int = 8,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming CONTRACT monitoring: per micro-batch, profile the batch
+    with the schema inferrer (``infer.schema_report``) and diff it against
+    a PINNED reference profile (a ``schema_report`` written to parquet by
+    an offline profiling run) — every added/removed/changed constraint
+    lands as a drift row in ``out_dir``. The streaming composition of
+    inference + ``contract_drift``: "did this delivery stop matching the
+    contract we pinned?" without writing a single validation schema by
+    hand.
+
+    An empty drift batch still writes its (empty) ``batch_id=`` partition
+    — absence of the directory would be indistinguishable from a batch
+    that never ran. Same idempotent ``batch_id=``-partitioned overwrite
+    contract as the other sinks. Per batch: one agg pass over the batch +
+    an enum pass over near-categorical columns, then a driver-scale
+    diff join."""
+    from jsschema_spark.infer import contract_drift, schema_report
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        reference = spark.read.parquet(reference_report_dir)
+        drift = contract_drift(reference, schema_report(batch_df, enum_max))
+        drift.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(batch_id)}")
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def violation_streaks(
     stream_df: DataFrame,
     schema: SchemaNode,

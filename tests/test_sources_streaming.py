@@ -616,3 +616,49 @@ def test_streaming_admission_redaction(spark, tmp_path):
     assert "[PII]" in rows[1] and "@" not in rows[1]
     assert "[PII]" in rows[4] and "10.0.0.7" not in rows[4]
     assert rows[2] == "plain text here"
+
+
+def test_streaming_contract_drift_sink(spark, tmp_path):
+    """Per-batch contract monitoring: a conforming batch emits no drift
+    rows, a drifting batch (range breach + new enum value + nulls in a
+    required column) emits the exact constraint diffs."""
+    import pandas as pd
+
+    from jsschema_spark.infer import schema_report
+    from jsschema_spark.streaming import start_contract_drift_sink
+
+    ref_df = spark.createDataFrame(
+        [(1, "red"), (2, "green"), (3, "red")], "k long, c string"
+    )
+    ref_dir = str(tmp_path / "cd_ref")
+    schema_report(ref_df).write.parquet(ref_dir)
+
+    src = str(tmp_path / "cd_src")
+    os.makedirs(src)
+    cols = ["k", "c"]
+    # batch 0 conforms exactly to the reference profile
+    pd.DataFrame([(1, "red"), (2, "green"), (3, "red")], columns=cols).to_parquet(
+        os.path.join(src, "f0.parquet")
+    )
+    # batch 1 drifts: k out of range, new enum value, null in c
+    pd.DataFrame([(9, "blue"), (2, None)], columns=cols).to_parquet(
+        os.path.join(src, "f1.parquet")
+    )
+
+    out = str(tmp_path / "cd_out")
+    q = start_contract_drift_sink(
+        spark.readStream.schema("k long, c string")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        ref_dir, out, str(tmp_path / "cd_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    drift = spark.read.parquet(out)
+    by_batch = {}
+    for r in drift.collect():
+        by_batch.setdefault(r.batch_id, {})[(r.path, r.keyword)] = r.change
+    assert by_batch.get(0, {}) == {}  # conforming batch: zero drift rows
+    b1 = by_batch[1]
+    assert b1[("k", "maximum")] == "changed"      # 3 -> 9
+    assert b1[("c", "enum")] == "changed"         # green,red -> blue
+    assert b1[("c", "required")] == "removed"     # nulls appeared
