@@ -230,6 +230,23 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(injected)
 
 
+def q_lang_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content consistency: the confusion matrix between the
+    documents table's CLAIMED lang column and the content-inferred
+    ``text.lang_id`` — the 'does the metadata lie' audit. One map-side-
+    combined count over (claimed, inferred); oracle reuses the lang_id
+    marker CTE."""
+    from jsschema_spark.functions.text import lang_id
+
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        df.select(F.col("lang").alias("claimed"),
+                  lang_id(F.col("text")).alias("inferred"))
+        .groupBy("claimed", "inferred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shipped exact-dedup operator (dedup.exact_duplicate_groups) with
     an md5 fingerprint_fn so DuckDB can reproduce the group keys."""
@@ -1270,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_documents": q_text_profile_documents,
         "exact_dup_documents": q_exact_dup_documents,
         "lang_id_documents": q_lang_id_documents,
+        "lang_confusion_documents": q_lang_confusion_documents,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "events_props_json": q_events_props_json,
@@ -2345,6 +2363,14 @@ def oracle_sql() -> dict[str, str]:
             FROM active a JOIN cohorts c ON a.user_id = c.user_id
             GROUP BY cohort_week, week_idx
         """,
+        "lang_confusion_documents": f"""
+            WITH inferred AS ({{_LANG_CTE}})
+            SELECT d.lang AS claimed, i.lang AS inferred,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d JOIN inferred i USING (doc_id)
+            WHERE d.text IS NOT NULL
+            GROUP BY claimed, inferred
+        """.format(_LANG_CTE=_LANG_ORACLE),
         "inferred_schema_orders": _inferred_schema_oracle(),
         "contract_drift_orders": _contract_drift_oracle(),
         "masked_spans_documents": _MASKED_SPANS_ORACLE,

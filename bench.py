@@ -128,7 +128,7 @@ def main() -> None:
         for name in (
             "validate_lineitem", "invalid_orders", "uniqueness_events_user",
             "referential_orders_customer", "stats_lineitem", "histogram_l_quantity",
-            "token_count_documents", "exact_dup_documents", "lang_id_documents",
+            "token_count_documents", "exact_dup_documents", "lang_id_documents", "lang_confusion_documents",
             "minhash_near_dups", "simhash_documents", "embedding_topk",
             "embedding_lsh_near_dups", "violation_samples_orders", "key_set_customers_orders",
             "events_props_json", "conformance_corpus",
