@@ -1008,6 +1008,16 @@ def q_asof_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (checks.skew_report): the 10 hottest
+    user_id values with share-of-table and the salting-decision
+    skew_ratio. One map-side-combined count per key + a single-row totals
+    aggregate + TakeOrdered — the operator that says WHERE to salt."""
+    from jsschema_spark.checks import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), ["user_id"], k=10)
+
+
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (events.funnel_counts): users completing
     signup → click → purchase strictly in order, earliest-completion
@@ -1311,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks_errors": q_asof_clicks_errors,
         "funnel_events": q_funnel_events,
         "retention_events": q_retention_events,
+        "skew_events_user": q_skew_events_user,
         "freshness_events": q_freshness_events,
         "fd_customer_nation_segment": q_fd_customer_nation_segment,
         "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
@@ -2371,6 +2382,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.text IS NOT NULL
             GROUP BY claimed, inferred
         """.format(_LANG_CTE=_LANG_ORACLE),
+        "skew_events_user": """
+            WITH counts AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+              FROM events GROUP BY user_id
+            ), tot AS (
+              SELECT sum(n_rows) AS total, count(*) AS n_keys, max(n_rows) AS mx
+              FROM counts
+            )
+            SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+                   round(n_rows / tot.total, 6) AS share,
+                   CAST(tot.n_keys AS BIGINT) AS n_keys,
+                   round(tot.mx / (tot.total / tot.n_keys), 4) AS skew_ratio
+            FROM counts, tot
+            ORDER BY n_rows DESC, key ASC LIMIT 10
+        """,
         "inferred_schema_orders": _inferred_schema_oracle(),
         "contract_drift_orders": _contract_drift_oracle(),
         "masked_spans_documents": _MASKED_SPANS_ORACLE,

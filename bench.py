@@ -141,7 +141,7 @@ def main() -> None:
             "inferred_schema_orders", "contract_drift_orders", "curated_documents",
             "stratified_sample_documents", "token_budget_documents",
             "session_stats_events", "asof_clicks_errors", "funnel_events", "retention_events",
-            "fd_customer_nation_segment", "cardinality_orders_lineitem",
+            "fd_customer_nation_segment", "cardinality_orders_lineitem", "skew_events_user",
             "top_quality_per_lang", "weighted_sample_documents", "contamination_documents", "freshness_events",
             "leakage_split_documents", "chunked_documents", "masked_spans_documents",
         ):

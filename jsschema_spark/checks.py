@@ -325,3 +325,43 @@ def schema_diff(df_a: DataFrame, df_b: DataFrame) -> dict:
         ),
         "identical": a == b,
     }
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    k: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the ``k`` hottest key values
+    with their row counts and share of the table, plus per-row the
+    overall ``skew_ratio`` (hottest key count ÷ mean rows per key) — the
+    number that says whether this key needs salting before it becomes a
+    join/shuffle bottleneck. Deterministic ties: count desc, then key
+    string asc.
+
+    One map-side-combined count per key (shuffle width = #distinct
+    keys), one single-row aggregate over the counts table for the
+    totals, and a TakeOrdered top-k — no windows, no full sort, nothing
+    driver-side beyond k rows."""
+    keys = [F.col(c).cast("string") for c in key_cols]
+    key_str = F.concat_ws("|", *keys)
+    counts = (
+        df.select(key_str.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+        F.max("n_rows").alias("__max"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(int(k))
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        F.col("__n_keys").cast("long").alias("n_keys"),
+        F.round(
+            F.col("__max") / (F.col("__total") / F.col("__n_keys")), 4
+        ).alias("skew_ratio"),
+    )

@@ -455,3 +455,19 @@ def test_mergeable_profiles_fold_exactly(spark):
     ).collect()[0]
     assert abs(w["o_orderkey"].n_distinct_est - exact["o_orderkey"]) <= 0.05 * exact["o_orderkey"]
     assert w["o_orderstatus"].n_distinct_est == exact["o_orderstatus"]
+
+
+def test_skew_report(spark):
+    """Hot-key diagnostic: counts, shares and the salting-decision ratio
+    against a hand-built skewed table."""
+    from jsschema_spark.checks import skew_report
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], k=3).collect()
+    assert [(r.key, r.n_rows) for r in out] == [("hot", 70), ("warm", 20), ("k0", 1)]
+    top = out[0]
+    assert abs(top.share - 0.7) < 1e-9
+    assert top.n_keys == 12
+    # skew_ratio = 70 / (100/12)
+    assert abs(top.skew_ratio - round(70 / (100 / 12), 4)) < 1e-9
