@@ -450,6 +450,33 @@ def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
 
 
+def q_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector near-dup GROUP formation: LSH pairs over a corpus with TWO
+    injected exact copies per %3 vector (so every component has three
+    members and genuinely needs transitive merging) → connected
+    components. Identical vectors provably share buckets, so the edge set
+    equals brute force at threshold 0.9999 and the oracle's recursive-CTE
+    closure reproduces the labels exactly — near_dup_groups' vector
+    sibling."""
+    from jsschema_spark.functions.dedup import (
+        connected_components,
+        embedding_near_dups,
+    )
+
+    base = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    d1 = base.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    d2 = base.select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding")
+    df = base.unionByName(d1).unionByName(d2)
+    pairs = embedding_near_dups(df, "vec_id", "embedding", dim=64, threshold=0.9999)
+    groups = connected_components(pairs)
+    return groups.select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
 _ND_GROUPS_MEMO: dict = {}
 
 
@@ -1345,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "incremental_minhash": q_incremental_minhash,
         "embedding_multiseed_near_dups": q_embedding_multiseed_near_dups,
+        "embedding_dup_groups": q_embedding_dup_groups,
     }
 
 
@@ -2396,6 +2424,30 @@ def oracle_sql() -> dict[str, str]:
                    round(tot.mx / (tot.total / tot.n_keys), 4) AS skew_ratio
             FROM counts, tot
             ORDER BY n_rows DESC, key ASC LIMIT 10
+        """,
+        "embedding_dup_groups": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 3 = 0
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 3 = 0
+              UNION ALL
+              SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 3 = 0
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.9999
+            ),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+            walk AS (
+              SELECT u, u AS reach FROM (SELECT DISTINCT u FROM edges) nodes
+              UNION
+              SELECT w.u, e2.v AS reach FROM walk w JOIN edges e2 ON e2.u = w.reach
+            )
+            SELECT CAST(u AS BIGINT) AS vec_id, CAST(min(reach) AS BIGINT) AS group_id
+            FROM walk GROUP BY u
         """,
         "inferred_schema_orders": _inferred_schema_oracle(),
         "contract_drift_orders": _contract_drift_oracle(),

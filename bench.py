@@ -130,7 +130,7 @@ def main() -> None:
             "referential_orders_customer", "stats_lineitem", "histogram_l_quantity",
             "token_count_documents", "exact_dup_documents", "lang_id_documents", "lang_confusion_documents",
             "minhash_near_dups", "simhash_documents", "embedding_topk",
-            "embedding_lsh_near_dups", "violation_samples_orders", "key_set_customers_orders",
+            "embedding_lsh_near_dups", "embedding_dup_groups", "violation_samples_orders", "key_set_customers_orders",
             "events_props_json", "conformance_corpus",
             "near_dup_groups", "lsh_topk", "ivf_topk", "categorical_drift_returnflag",
             "numeric_drift_quantity",
