@@ -56,6 +56,7 @@ QUERIES = [
     "unigram_logprob_documents", "pii_documents", "inferred_schema_orders",
     "contract_drift_orders", "funnel_events", "retention_events",
     "referential_orders_customer", "masked_spans_documents",
+    "lang_confusion_documents", "skew_events_user", "embedding_dup_groups",
 ]
 
 
