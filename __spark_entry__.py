@@ -552,6 +552,24 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-completeness gap scan (checks.completeness_by_period): hourly
+    row counts for purchase events with missing hours materialized as
+    explicit zero-count gap rows — the "did a delivery silently skip an
+    hour" monitor a bare groupBy cannot express. One map-side-combined
+    count (#periods rows), a single-row bounds aggregate, and an exploded
+    expected-hour spine joined back (AQE broadcasts the #periods side)."""
+    from jsschema_spark.checks import completeness_by_period
+
+    df = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    out = completeness_by_period(df, "ts", "hour")
+    return out.select(
+        _EPOCH_US(F.col("period_start")).alias("period_us"),
+        "n_rows",
+        "is_gap",
+    )
+
+
 def q_fd_customer_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency discovery (checks.functional_dependency_
     violations): which nation keys map to more than one market segment —
@@ -1350,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_events": q_retention_events,
         "skew_events_user": q_skew_events_user,
         "freshness_events": q_freshness_events,
+        "completeness_events": q_completeness_events,
         "fd_customer_nation_segment": q_fd_customer_nation_segment,
         "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
         "quality_score_documents": q_quality_score_documents,
@@ -2383,6 +2402,23 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": _SESSION_STATS_ORACLE,
         "asof_clicks_errors": _ASOF_ORACLE,
         "freshness_events": _FRESHNESS_ORACLE,
+        "completeness_events": """
+            WITH e AS (
+              SELECT date_trunc('hour', ts) AS p FROM events
+              WHERE event_type = 'purchase' AND ts IS NOT NULL
+            ), c AS (
+              SELECT p, count(*) AS n FROM e GROUP BY p
+            ), bounds AS (
+              SELECT min(p) AS lo, max(p) AS hi FROM e
+            ), expected AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS period_start
+              FROM bounds
+            )
+            SELECT epoch_us(expected.period_start) AS period_us,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_rows,
+                   (c.p IS NULL) AS is_gap
+            FROM expected LEFT JOIN c ON expected.period_start = c.p
+        """,
         "fd_customer_nation_segment": _FD_ORACLE,
         "cardinality_orders_lineitem": _CARDINALITY_ORACLE,
         "quality_score_documents": _QUALITY_SCORE_ORACLE,

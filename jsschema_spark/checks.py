@@ -365,3 +365,44 @@ def skew_report(
             F.col("__max") / (F.col("__total") / F.col("__n_keys")), 4
         ).alias("skew_ratio"),
     )
+
+
+def completeness_by_period(
+    df: DataFrame,
+    ts_col: str,
+    period: str = "day",
+) -> DataFrame:
+    """Time-completeness check: row counts per ``period`` (``day`` /
+    ``hour`` / ``week``) over the table's observed time span, with GAPS
+    materialized as explicit zero-count rows (``is_gap = true``) — the
+    "did a delivery silently skip Tuesday" monitor that a bare
+    groupBy-count cannot express (absent periods produce no group).
+    Output: ``(period_start, n_rows, is_gap)``.
+
+    One map-side-combined count keyed by truncated period (#periods
+    rows), a single-row bounds aggregate, and an exploded expected-period
+    sequence joined back — the expected side is #periods rows (AQE
+    broadcasts it), never data-sized."""
+    if period not in ("day", "hour", "week"):
+        raise ValueError("period must be day/hour/week")
+    per = F.date_trunc(period, F.col(ts_col))
+    counts = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(per.alias("__p"))
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    step = F.expr(f"interval 1 {period}")
+    expected = counts.agg(
+        F.min("__p").alias("__lo"), F.max("__p").alias("__hi")
+    ).select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("period_start")
+    )
+    return (
+        expected.join(counts, expected["period_start"] == counts["__p"], "left")
+        .select(
+            "period_start",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_rows"),
+            F.col("__p").isNull().alias("is_gap"),
+        )
+    )

@@ -471,3 +471,30 @@ def test_skew_report(spark):
     assert top.n_keys == 12
     # skew_ratio = 70 / (100/12)
     assert abs(top.skew_ratio - round(70 / (100 / 12), 4)) < 1e-9
+
+
+def test_completeness_by_period_gaps(spark):
+    """Missing days materialize as zero-count gap rows; present days keep
+    their counts; the span runs min..max period inclusive."""
+    import datetime as dt
+
+    from jsschema_spark.checks import completeness_by_period
+
+    d0 = dt.datetime(2026, 3, 1, 10, 0)
+    rows = []
+    for day, n in ((0, 5), (1, 3), (4, 2)):   # days 2 and 3 missing
+        for i in range(n):
+            rows.append((d0 + dt.timedelta(days=day, minutes=i),))
+    rows.append((None,))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {
+        str(r.period_start.date()): (r.n_rows, r.is_gap)
+        for r in completeness_by_period(df, "ts", "day").collect()
+    }
+    assert out == {
+        "2026-03-01": (5, False),
+        "2026-03-02": (3, False),
+        "2026-03-03": (0, True),
+        "2026-03-04": (0, True),
+        "2026-03-05": (2, False),
+    }
