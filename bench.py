@@ -123,6 +123,17 @@ def main() -> None:
             repeats=3,
         )
 
+        # q3c: gain-invariant spectral fingerprint + pigeonhole near-dup
+        # join on the same stored WAVs (synth corpus has no injected audio
+        # dups, so this times the full scan + candidate join at 0 pairs)
+        from jsschema_spark.audio import audio_fingerprint_scan, fingerprint_near_dups
+
+        timed(
+            "clips_audio_fingerprint",
+            lambda: fingerprint_near_dups(audio_fingerprint_scan(spark, asrc)).count(),
+            repeats=3,
+        )
+
         # q4+: engine queries over the driver tables
         qs = entry_mod.queries()
         for name in (

@@ -590,3 +590,151 @@ def audio_spectral_scan(
                 yield _spectral_rows(cids, payloads)
 
     return files_df.mapInPandas(gen, SPECTRAL_ROW_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# gain-invariant spectral fingerprint → near-duplicate audio detection
+#
+# The audio twin of text SimHash: a 64-bit per-clip sketch whose bits are
+# SIGNS of adjacent band-energy differences (Haitsma & Kalker's "robust
+# audio hash" bit derivation, ISMIR 2002 — public literature), majority-
+# voted across frames. Scaling PCM by any positive gain scales every band
+# energy by gain², so every difference keeps its sign: re-encoded or
+# volume-normalized copies of a clip land within a small hamming distance
+# and are caught by the same pigeonhole chunk join the text path uses
+# (functions/dedup.hamming_near_dups).
+
+FP_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("fp", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+_FP_BITS = 64
+_FP_MAX_FRAMES = 256
+
+
+def band_energy_fingerprint(
+    samples: "np.ndarray", sr_hz: int,
+    frame_len: int = 1024, hop: int = 512,
+    f_lo: float = 100.0, f_hi: float = 4000.0,
+) -> "tuple[int, int]":
+    """(fp, n_frames): 64-bit gain-invariant spectral fingerprint of int16
+    PCM. Per frame: 65 linear band energies on [f_lo, min(f_hi, 0.45·sr)],
+    bit b = E[b] > E[b+1]; clip bits = per-bit majority across frames
+    (strict >, so ties are 0 — deterministic). Frames beyond
+    ``_FP_MAX_FRAMES`` are evenly subsampled, capping per-clip cost; the
+    rFFT runs once over a (frames × frame_len) matrix. Returns fp as a
+    SIGNED 64-bit int (bit 63 ⇒ negative) so it stores in a Spark LONG."""
+    n = len(samples)
+    if n == 0 or sr_hz <= 0:
+        return 0, 0
+    f64 = samples.astype(np.float64)
+    if n < frame_len:
+        f64 = np.concatenate([f64, np.zeros(frame_len - n)])
+        n = frame_len
+    starts = np.arange(0, n - frame_len + 1, hop)
+    if len(starts) > _FP_MAX_FRAMES:
+        starts = starts[
+            np.linspace(0, len(starts) - 1, _FP_MAX_FRAMES).round().astype(int)
+        ]
+    frames = np.lib.stride_tricks.sliding_window_view(f64, frame_len)[starts]
+    mag2 = np.square(np.abs(np.fft.rfft(frames, axis=1)))
+    freqs = np.fft.rfftfreq(frame_len, d=1.0 / sr_hz)
+    hi = min(f_hi, 0.45 * sr_hz)
+    edges = np.linspace(f_lo, hi, _FP_BITS + 2)  # 65 bands -> 64 diffs
+    bounds = np.searchsorted(freqs, edges)
+    # reduceat yields mag2[:, bounds[i]] (not 0) for an empty segment; a
+    # 1024-pt frame at 8 kHz has ~7.8 Hz bins vs ~54 Hz bands, so segments
+    # are never empty for supported rates — assert instead of masking.
+    if (np.diff(bounds) <= 0).any():
+        raise ValueError(f"degenerate band layout for sr_hz={sr_hz}")
+    energies = np.add.reduceat(mag2, bounds[:-1], axis=1)[:, : _FP_BITS + 1]
+    bits = energies[:, :-1] > energies[:, 1:]  # (frames, 64)
+    maj = bits.sum(axis=0) * 2 > len(bits)
+    fp = np.uint64(0)
+    packed = np.packbits(maj[::-1]).astype(np.uint64)
+    for i, byte in enumerate(packed):
+        fp |= byte << np.uint64(8 * (len(packed) - 1 - i))
+    return int(fp.astype(np.int64)), len(bits)
+
+
+def _fingerprint_rows(cids, payloads) -> pd.DataFrame:
+    fps, nfs, oks = [], [], []
+    for payload in payloads:
+        try:
+            sr, samples = wav_decode(payload)
+            fp, nf = band_energy_fingerprint(samples, sr)
+            oks.append(True)
+        except (ValueError, TypeError):
+            fp, nf = 0, 0
+            oks.append(False)
+        fps.append(fp)
+        nfs.append(nf)
+    return pd.DataFrame(
+        {"clip_id": list(cids), "fp": pd.array(fps, dtype="Int64"),
+         "n_frames": nfs, "decode_ok": oks}
+    )
+
+
+def audio_fingerprint_scan(
+    spark,
+    parquet_dir: str,
+    clip_id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+):
+    """Per-clip spectral fingerprints over a parquet directory —
+    file-granular mapInPandas (payload bytes never cross JVM↔Python IPC),
+    the same scan shape as ``audio_profile_scan``. Output: (clip_id, fp,
+    n_frames, decode_ok). At 10¹²-clip scale this is the ONE pass that
+    touches audio bytes; the ~16 B/clip result is what shuffles."""
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_dir!r}")
+    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                table = pq.read_table(path, columns=[clip_id_col, bytes_col])
+                cids = table.column(clip_id_col).to_pylist()
+                payloads = (
+                    memoryview(s.as_buffer()) if s.is_valid else None
+                    for chunk in table.column(bytes_col).chunks
+                    for s in chunk
+                )
+                yield _fingerprint_rows(cids, payloads)
+
+    return files_df.mapInPandas(gen, FP_ROW_SCHEMA)
+
+
+def fingerprint_near_dups(
+    fp_df,
+    id_col: str = "clip_id",
+    fp_col: str = "fp",
+    max_hamming: int = 7,
+    max_bucket_size: int = 500,
+):
+    """Near-duplicate clip pairs by fingerprint hamming distance ≤
+    ``max_hamming`` (gain-scaled / re-encoded copies). Delegates to the
+    pigeonhole chunk join (``dedup.hamming_near_dups``): candidates are
+    exact below the bucket cap, verification is one codegen
+    ``bit_count(xor)``. Output: ({id}_a, {id}_b, hamming). 64 bits split
+    into max_hamming+1 chunks, so max_hamming ∈ {1,3,7,15,31}."""
+    from jsschema_spark.functions.dedup import hamming_near_dups
+
+    return hamming_near_dups(
+        fp_df.where(F.col("decode_ok")) if "decode_ok" in fp_df.columns else fp_df,
+        id_col, fp_col, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size, n_bits=_FP_BITS,
+    )

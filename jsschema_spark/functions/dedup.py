@@ -690,11 +690,36 @@ def simhash_near_dups(
     switch to consecutive-pair chaining ordered by the full simhash value,
     so docs at small hamming distance sort adjacent and their chain edges
     survive the hamming filter — see ``_bounded_self_pairs``."""
+    sh = simhash_values(df, id_col, text_col, n_bits=n_bits, hash_fn=hash_fn)
+    return hamming_near_dups(
+        sh, "doc_id", "sh", max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size, materialize=materialize, n_bits=n_bits,
+    )
+
+
+def hamming_near_dups(
+    df: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3,
+    max_bucket_size: int = 500,
+    materialize: "str | bool" = "checkpoint",
+    n_bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs among PRECOMPUTED bit signatures (a long column) by
+    hamming distance ≤ max_hamming — the signature-agnostic core of
+    ``simhash_near_dups``, reused by audio fingerprints
+    (``audio.fingerprint_near_dups``) or any other 64-bit sketch.
+
+    Pigeonhole chunk join: C = max_hamming + 1 equal-width chunks ⇒ any
+    pair within distance max_hamming agrees exactly on ≥1 chunk, so the
+    candidate set provably CONTAINS every qualifying pair — below the
+    bucket cap this equals brute force. Over-cap chunk buckets chain
+    consecutive pairs ordered by the full signature (near signatures sort
+    adjacent). Verification is one codegen
+    ``bit_count(xor) <= max_hamming``. Output: id_a, id_b, hamming."""
     n_chunks = max_hamming + 1
     if n_bits % n_chunks:
         raise ValueError("n_bits must divide into max_hamming + 1 chunks")
     width = n_bits // n_chunks
-    sh = simhash_values(df, id_col, text_col, n_bits=n_bits, hash_fn=hash_fn)
+    sh = df.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sh"))
     chunks = F.array(
         *[
             F.struct(
@@ -713,7 +738,8 @@ def simhash_near_dups(
     )
     return (
         pairs.select(
-            "id_a", "id_b",
+            F.col("id_a").alias(f"{id_col}_a") if id_col != "doc_id" else F.col("id_a"),
+            F.col("id_b").alias(f"{id_col}_b") if id_col != "doc_id" else F.col("id_b"),
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)

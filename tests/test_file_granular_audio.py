@@ -103,3 +103,90 @@ def test_audio_profile_scan(spark, tmp_path):
 
     pdf = _profile_rows(["x"], [b"not a wav"])
     assert not pdf.decode_ok[0] and pdf.rms_dbfs[0] == float("-inf")
+
+
+def test_audio_fingerprint_scan_and_near_dups(spark, tmp_path):
+    """Gain-invariant fingerprints: volume-scaled copies pair up (and ONLY
+    they do — pairs equal the brute-force O(n²) hamming set), corrupt
+    payloads are excluded, the scan is deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsschema_spark.audio import (
+        audio_fingerprint_scan,
+        band_energy_fingerprint,
+        fingerprint_near_dups,
+        synth_pcm,
+        wav_decode,
+        wav_encode,
+    )
+
+    out = tmp_path / "audio_fp"
+    out.mkdir()
+    sr = 16000
+    rows = []
+    for i in range(60):
+        pcm = synth_pcm(f"base-{i:04d}", sr, sr * 2)
+        rows.append((f"base-{i:04d}", wav_encode(pcm, sr)))
+        if i < 12:  # volume-scaled near-duplicate (re-quantized to int16)
+            sc = np.clip(np.round(pcm.astype(np.float64) * 0.4), -32768, 32767)
+            rows.append((f"dupl-{i:04d}", wav_encode(sc.astype(np.int16), sr)))
+    rows.append(("corrupt-0000", b"\x00" * 50))
+    for f in range(4):
+        chunk = rows[f::4]
+        pq.write_table(
+            pa.table({
+                "clip_id": pa.array([c for c, _ in chunk], pa.string()),
+                "bytes": pa.array([b for _, b in chunk], pa.binary()),
+            }),
+            str(out / f"part-{f}.parquet"),
+        )
+
+    fp = audio_fingerprint_scan(spark, str(out)).cache()
+    rows_fp = {r.clip_id: r for r in fp.collect()}
+    assert len(rows_fp) == 73
+    assert not rows_fp["corrupt-0000"].decode_ok
+    assert all(r.decode_ok for c, r in rows_fp.items() if c != "corrupt-0000")
+
+    # scan fp == driver-side kernel fp (same bytes, same result)
+    b0 = dict(rows)["base-0003"]
+    srx, pcmx = wav_decode(b0)
+    assert rows_fp["base-0003"].fp == band_energy_fingerprint(pcmx, srx)[0]
+
+    pairs = fingerprint_near_dups(fp, max_hamming=7).collect()
+    got = {(r.clip_id_a, r.clip_id_b) for r in pairs}
+    # brute-force ground truth over the decoded fingerprints
+    ok = [(c, r.fp) for c, r in rows_fp.items() if r.decode_ok]
+    brute = set()
+    for i in range(len(ok)):
+        for j in range(i + 1, len(ok)):
+            h = bin((ok[i][1] ^ ok[j][1]) & (2**64 - 1)).count("1")
+            if h <= 7:
+                a, b = sorted((ok[i][0], ok[j][0]))
+                brute.add((a, b))
+    assert got == brute
+    assert {(f"base-{i:04d}", f"dupl-{i:04d}") for i in range(12)} <= got
+    assert all(r.hamming <= 7 for r in pairs)
+    fp.unpersist()
+
+
+def test_hamming_near_dups_generic(spark):
+    """The signature-agnostic pigeonhole join on hand-built longs: exact
+    pairs at distance ≤ 3, nothing at distance 4, custom id naming."""
+    from jsschema_spark.functions.dedup import hamming_near_dups
+
+    base = 0x0123456789ABCDEF
+    data = [
+        ("a", base),
+        ("b", base ^ 0b111),            # hamming 3 from a
+        ("c", base ^ 0b11110000),       # hamming 4 from a -> excluded
+        ("d", -42),
+        ("e", -42 ^ 1),                 # hamming 1 from d (negative longs)
+    ]
+    df = spark.createDataFrame(data, "clip_id string, sig long")
+    got = {
+        (r.clip_id_a, r.clip_id_b, r.hamming)
+        for r in hamming_near_dups(df, "clip_id", "sig", max_hamming=3).collect()
+    }
+    assert got == {("a", "b", 3), ("d", "e", 1)}
