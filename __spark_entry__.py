@@ -552,6 +552,23 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_rate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript↔duration consistency (audio.transcript_rate_check):
+    speaking rate vs the plausible-speech band over the oracle-reproducible
+    clips table — pure Catalyst cross-column check, zero shuffle."""
+    from jsschema_spark.audio import transcript_rate_check
+
+    df = _clips_from_documents(spark, sf_dir)
+    out = transcript_rate_check(df, "transcript", "dur_ms")
+    return out.select(
+        "clip_id",
+        F.col("dur_ms").cast("long").alias("dur_ms"),
+        "n_tokens",
+        F.round("tokens_per_sec", 6).alias("tps_r"),
+        "reason",
+    )
+
+
 def q_completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-completeness gap scan (checks.completeness_by_period): hourly
     row counts for purchase events with missing hours materialized as
@@ -1369,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_events_user": q_skew_events_user,
         "freshness_events": q_freshness_events,
         "completeness_events": q_completeness_events,
+        "transcript_rate_clips": q_transcript_rate_clips,
         "fd_customer_nation_segment": q_fd_customer_nation_segment,
         "cardinality_orders_lineitem": q_cardinality_orders_lineitem,
         "quality_score_documents": q_quality_score_documents,
@@ -2402,6 +2420,24 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": _SESSION_STATS_ORACLE,
         "asof_clicks_errors": _ASOF_ORACLE,
         "freshness_events": _FRESHNESS_ORACLE,
+        "transcript_rate_clips": f"""
+            WITH clips AS ({_CLIPS_SQL}),
+            r AS (
+              SELECT clip_id, dur_ms,
+                     CAST(len(CASE WHEN trim(transcript) = '' THEN []
+                              ELSE regexp_split_to_array(trim(transcript), '\\s+') END) AS BIGINT) AS n_tokens
+              FROM clips
+            ), f AS (
+              SELECT clip_id, CAST(dur_ms AS BIGINT) AS dur_ms, n_tokens,
+                     CASE WHEN dur_ms > 0 THEN round(n_tokens * 1000.0 / dur_ms, 6) END AS tps_r,
+                     CASE WHEN dur_ms IS NULL OR dur_ms <= 0 THEN 'bad_duration'
+                          WHEN n_tokens = 0 THEN 'empty_transcript'
+                          WHEN n_tokens * 1000.0 / dur_ms > 8.0 THEN 'too_fast'
+                          WHEN n_tokens * 1000.0 / dur_ms < 0.5 THEN 'too_slow' END AS reason
+              FROM r
+            )
+            SELECT * FROM f WHERE reason IS NOT NULL
+        """,
         "completeness_events": """
             WITH e AS (
               SELECT date_trunc('hour', ts) AS p FROM events

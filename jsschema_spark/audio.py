@@ -738,3 +738,41 @@ def fingerprint_near_dups(
         id_col, fp_col, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size, n_bits=_FP_BITS,
     )
+
+
+def transcript_rate_check(
+    df,
+    transcript_col: str = "transcript",
+    dur_ms_col: str = "dur_ms",
+    min_tps: float = 0.5,
+    max_tps: float = 8.0,
+):
+    """Transcript↔duration consistency: speaking rate in whitespace
+    tokens/sec against a plausible-speech band — the cross-COLUMN audio
+    sanity check that needs no decode (a 2-second clip claiming a
+    60-token transcript is mislabeled no matter what the bytes say).
+    Returns ONLY flagged rows: (original columns…, n_tokens,
+    tokens_per_sec, reason ∈ bad_duration / empty_transcript / too_fast /
+    too_slow). Pure Catalyst projection + filter — zero shuffle, scales as
+    a scan; the rate uses ±·/ arithmetic only, so external SQL oracles
+    reproduce it bit-for-bit."""
+    from jsschema_spark.functions.text import token_count
+
+    nt = token_count(F.col(transcript_col))
+    dur = F.col(dur_ms_col)
+    tps = nt.cast("double") * 1000.0 / dur.cast("double")
+    reason = (
+        F.when(dur.isNull() | (dur <= 0), F.lit("bad_duration"))
+        .when(nt == 0, F.lit("empty_transcript"))
+        .when(tps > max_tps, F.lit("too_fast"))
+        .when(tps < min_tps, F.lit("too_slow"))
+    )
+    return (
+        df.withColumn("n_tokens", nt.cast("long"))
+        .withColumn(
+            "tokens_per_sec",
+            F.when(dur > 0, tps).otherwise(F.lit(None).cast("double")),
+        )
+        .withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+    )

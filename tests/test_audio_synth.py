@@ -168,3 +168,27 @@ def test_audio_spectral_scan_matches_kernel(spark, tmp_path):
         vals = (row.zcr_hz, row.centroid_hz, row.rolloff85_hz,
                 row.active_ratio, row.leading_silence_ms, row.trailing_silence_ms)
         assert all(abs(a - b) < 1e-9 for a, b in zip(vals, expect)), cid
+
+
+def test_transcript_rate_check(spark):
+    """Cross-column consistency: each reason fires on its own row shape and
+    passing rows are absent."""
+    from jsschema_spark.audio import transcript_rate_check
+
+    rows = [
+        ("ok", "one two three four", 2000),        # 2 tps -> pass
+        ("fast", " ".join(["w"] * 50), 2000),      # 25 tps
+        ("slow", "hi", 30000),                     # 0.033 tps
+        ("empty", "   ", 5000),
+        ("nodur", "a b c", None),
+        ("zerodur", "a b c", 0),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string, dur_ms int")
+    out = {r.clip_id: r for r in transcript_rate_check(df).collect()}
+    assert set(out) == {"fast", "slow", "empty", "nodur", "zerodur"}
+    assert out["fast"].reason == "too_fast" and out["fast"].n_tokens == 50
+    assert out["slow"].reason == "too_slow"
+    assert out["empty"].reason == "empty_transcript" and out["empty"].n_tokens == 0
+    assert out["nodur"].reason == "bad_duration" and out["nodur"].tokens_per_sec is None
+    assert out["zerodur"].reason == "bad_duration"
+    assert abs(out["fast"].tokens_per_sec - 25.0) < 1e-12
