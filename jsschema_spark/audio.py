@@ -776,3 +776,50 @@ def transcript_rate_check(
         .withColumn("reason", reason)
         .where(F.col("reason").isNotNull())
     )
+
+
+def make_audio_fingerprint_udf():
+    """Column-form fingerprint: iterator pandas UDF (clip_id kept only for
+    signature symmetry with the invariant UDF; the fingerprint is a pure
+    function of the bytes). Returns struct(fp long, n_frames int,
+    decode_ok boolean). Use ``audio_fingerprint_scan`` for stored corpora
+    (bytes never cross IPC); this form is for STREAMING micro-batches and
+    ad-hoc columns where rows are already in flight."""
+    schema = "fp long, n_frames int, decode_ok boolean"
+
+    @F.pandas_udf(schema)
+    def _udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        for cids, payloads in it:
+            yield _fingerprint_rows(cids, payloads).drop(columns=["clip_id"])
+
+    return _udf
+
+
+def write_fingerprint_index(fp_df, path: str, mode: str = "overwrite") -> None:
+    """Persist ``(clip_id, fp)`` spectral fingerprints as the corpus audio
+    dedup index (~16 B/clip — 10¹² clips ≈ 16 TB of index vs the corpus's
+    payload petabytes). ``mode="append"`` admits a verified batch after
+    ``incremental_fingerprint_pairs``. Decode failures are excluded: a
+    clip with no decodable audio has no fingerprint."""
+    cols = ["clip_id", "fp"]
+    out = fp_df.where(F.col("decode_ok")) if "decode_ok" in fp_df.columns else fp_df
+    out.select(*cols).write.mode(mode).parquet(path)
+
+
+def incremental_fingerprint_pairs(
+    new_fp, index,
+    max_hamming: int = 7,
+    max_bucket_size: int = 500,
+):
+    """Near-dup clip pairs of a new batch vs a persisted fingerprint index
+    (plus within-batch pairs) — the corpus audio is NEVER re-decoded:
+    stored 8-byte fingerprints are chunk-exploded with codegen bit ops.
+    Delegates to ``dedup.incremental_hamming_pairs``. Output:
+    (clip_id_a, clip_id_b, hamming)."""
+    from jsschema_spark.functions.dedup import incremental_hamming_pairs
+
+    new_fp = new_fp.where(F.col("decode_ok")) if "decode_ok" in new_fp.columns else new_fp
+    return incremental_hamming_pairs(
+        new_fp, index, "clip_id", "fp",
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size, n_bits=_FP_BITS,
+    )

@@ -697,6 +697,24 @@ def simhash_near_dups(
     )
 
 
+def _hamming_chunked(sh_df: DataFrame, n_chunks: int, width: int) -> DataFrame:
+    """Explode a ``(doc_id, sh)`` signature stream into pigeonhole chunk
+    rows ``(doc_id, sh, chunk, cv)`` — pure codegen bit ops, n_chunks
+    rows/doc."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("sh"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    return sh_df.select("doc_id", "sh", F.explode(chunks).alias("e")).select(
+        "doc_id", "sh", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv")
+    )
+
+
 def hamming_near_dups(
     df: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3,
     max_bucket_size: int = 500,
@@ -719,18 +737,9 @@ def hamming_near_dups(
     if n_bits % n_chunks:
         raise ValueError("n_bits must divide into max_hamming + 1 chunks")
     width = n_bits // n_chunks
-    sh = df.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sh"))
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("sh"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
-            )
-            for c in range(n_chunks)
-        ]
-    )
-    chunked = sh.select("doc_id", "sh", F.explode(chunks).alias("e")).select(
-        "doc_id", "sh", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv")
+    chunked = _hamming_chunked(
+        df.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sh")),
+        n_chunks, width,
     )
     pairs = _bounded_self_pairs(
         chunked, ["chunk", "cv"], max_bucket_size, payload="sh", chain_order=["sh"],
@@ -745,6 +754,78 @@ def hamming_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_hamming_pairs(
+    new_df: DataFrame, index: DataFrame,
+    id_col: str, sig_col: str,
+    max_hamming: int = 7,
+    max_bucket_size: int = 500,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Hamming near-dup pairs of an incoming batch against a PERSISTED
+    signature index (``(id, sig)`` longs — audio fingerprints, simhash,
+    any 64-bit sketch) plus within-batch pairs, WITHOUT re-sketching the
+    corpus: stored signatures are chunk-exploded with codegen bit ops
+    (never re-derived from payload), the batch side is chunked once and
+    equi-joined on (chunk, cv), and verification is one
+    ``bit_count(xor) <= max_hamming``. Corpus chunk buckets larger than
+    ``max_bucket_size`` are truncated to their smallest ids (one window
+    pass over over-cap rows only): a new item needs ONE surviving link
+    into an existing duplicate family to be recognized. Output:
+    ``({id}_a, {id}_b, hamming)``, id_a < id_b; both-in-corpus pairs are
+    never produced."""
+    n_chunks = max_hamming + 1
+    if n_bits % n_chunks:
+        raise ValueError("n_bits must divide into max_hamming + 1 chunks")
+    width = n_bits // n_chunks
+
+    from pyspark.sql import Window
+
+    new_sig = new_df.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sh"))
+    new_chunked = _materialize(_hamming_chunked(new_sig, n_chunks, width), "checkpoint")
+    corpus_chunked = _hamming_chunked(
+        index.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sh")),
+        n_chunks, width,
+    )
+    # truncate degenerate corpus buckets (two-phase: map-side-combined
+    # counts, broadcast of over-cap keys, ONE window over over-cap rows)
+    sizes = corpus_chunked.groupBy("chunk", "cv").agg(F.count(F.lit(1)).alias("__bn"))
+    big = sizes.where(F.col("__bn") > max_bucket_size).select(
+        "chunk", "cv", F.lit(True).alias("__big")
+    )
+    tagged = corpus_chunked.join(big, ["chunk", "cv"], "left")
+    w = Window.partitionBy("chunk", "cv").orderBy("doc_id")
+    capped = tagged.where(F.col("__big").isNull()).drop("__big").unionByName(
+        tagged.where(F.col("__big"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_bucket_size)
+        .drop("__big", "__rn")
+    )
+    cross = (
+        new_chunked.alias("a")
+        .join(capped.alias("b"), ["chunk", "cv"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    within = hamming_near_dups(
+        new_sig, "doc_id", "sh", max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size, n_bits=n_bits,
+    )
+    out = cross.unionByName(within).distinct()
+    if id_col != "doc_id":
+        out = out.select(
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            "hamming",
+        )
+    return out
 
 
 # --------------------------------------------------------------------------

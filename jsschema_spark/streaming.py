@@ -505,6 +505,111 @@ def start_embedding_admission_sink(
     return writer.start()
 
 
+def _admit_audio_batch(
+    batch_df: DataFrame, bid: int, index_dir: str, admitted_dir: str,
+    clip_id_col: str, bytes_col: str, max_hamming: int,
+) -> None:
+    """One micro-batch of the audio admission sink (module-level so a
+    replayed batch is reproducible outside the stream)."""
+    from pyspark.errors import AnalysisException
+
+    from jsschema_spark.audio import make_audio_fingerprint_udf
+    from jsschema_spark.functions.dedup import incremental_hamming_pairs
+
+    spark = batch_df.sparkSession
+    fp_udf = make_audio_fingerprint_udf()
+    fps = batch_df.select(
+        F.col(clip_id_col),
+        fp_udf(F.col(clip_id_col), F.col(bytes_col)).alias("__f"),
+    ).select(
+        clip_id_col,
+        F.col("__f.fp").alias("fp"),
+        F.col("__f.decode_ok").alias("decode_ok"),
+    )
+    # three consumers (pairs, rejects, index write) — fingerprint once
+    fps = fps.localCheckpoint(eager=False)
+    undecodable = fps.where(~F.col("decode_ok")).select(
+        F.col(clip_id_col).alias("__drop")
+    )
+    batch_fp = fps.where(F.col("decode_ok")).select(clip_id_col, "fp")
+    try:
+        index = spark.read.parquet(index_dir).where(F.col("batch_id") != bid)
+        have = index.limit(1).count() > 0
+    except AnalysisException:
+        have = False
+    if have:
+        pairs = incremental_hamming_pairs(
+            batch_fp, index.select(clip_id_col, "fp"), clip_id_col, "fp",
+            max_hamming=max_hamming,
+        )
+    else:
+        from jsschema_spark.functions.dedup import hamming_near_dups
+
+        pairs = hamming_near_dups(
+            batch_fp, clip_id_col, "fp", max_hamming=max_hamming
+        )
+    # keep-first: the larger pair side loses when both are in this batch;
+    # a batch-vs-corpus pair always drops the batch side
+    batch_ids = batch_fp.select(F.col(clip_id_col).alias("__bid_key"))
+    a, b = f"{clip_id_col}_a", f"{clip_id_col}_b"
+    in_batch_b = pairs.join(
+        batch_ids, pairs[b] == batch_ids["__bid_key"], "left_semi"
+    ).select(F.col(b).alias("__drop"))
+    in_corpus_b = pairs.join(
+        batch_ids, pairs[b] == batch_ids["__bid_key"], "left_anti"
+    ).select(F.col(a).alias("__drop"))
+    losers = in_batch_b.unionByName(in_corpus_b).unionByName(undecodable).distinct()
+    kept = batch_df.join(
+        losers, batch_df[clip_id_col] == losers["__drop"], "left_anti"
+    )
+    kept.write.mode("overwrite").parquet(f"{admitted_dir}/batch_id={bid}")
+    (
+        batch_fp.join(
+            losers, batch_fp[clip_id_col] == losers["__drop"], "left_anti"
+        )
+        .select(clip_id_col, "fp")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/batch_id={bid}")
+    )
+
+
+def start_audio_admission_sink(
+    stream_df: DataFrame,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    clip_id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 7,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming AUDIO admission: per micro-batch, fingerprint the clips
+    (gain-invariant band-energy sketch, ``audio.band_energy_fingerprint``)
+    and drop ones whose fingerprint lands within ``max_hamming`` of any
+    previously admitted clip (persisted ``(clip_id, fp)`` index) or of an
+    earlier-kept clip of the same batch (keep-first by clip_id); clips
+    that fail WAV decode are rejected outright and never enter the index.
+    The audio sibling of ``start_near_dup_admission_sink``: the corpus is
+    never re-decoded — stored 8-byte fingerprints are chunk-exploded with
+    codegen bit ops (``dedup.incremental_hamming_pairs``).
+
+    Replay-idempotency contract as the text sinks: admitted rows and
+    index contribution are ``batch_id=``-partitioned overwrites and all
+    reads exclude the current batch's own partitions."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _admit_audio_batch(
+            batch_df, int(batch_id), index_dir, admitted_dir,
+            clip_id_col, bytes_col, max_hamming,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_contract_drift_sink(
     stream_df: DataFrame,
     reference_report_dir: str,

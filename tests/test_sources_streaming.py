@@ -662,3 +662,125 @@ def test_streaming_contract_drift_sink(spark, tmp_path):
     assert b1[("k", "maximum")] == "changed"      # 3 -> 9
     assert b1[("c", "enum")] == "changed"         # green,red -> blue
     assert b1[("c", "required")] == "removed"     # nulls appeared
+
+
+def test_streaming_audio_admission(spark, tmp_path):
+    """Audio admission: a volume-scaled copy of an earlier-batch clip is
+    dropped via the persisted fingerprint index, within-batch copies
+    keep-first, undecodable clips are rejected, and a replayed batch
+    reproduces its output (index reads exclude the batch's own
+    partition)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsschema_spark.audio import synth_pcm, wav_encode
+    from jsschema_spark.streaming import _admit_audio_batch, start_audio_admission_sink
+
+    sr = 16000
+
+    def wav(cid, scale=1.0):
+        pcm = synth_pcm(cid, sr, sr * 2)
+        if scale != 1.0:
+            pcm = np.clip(np.round(pcm.astype(np.float64) * scale), -32768, 32767).astype(np.int16)
+        return wav_encode(pcm, sr)
+
+    src = str(tmp_path / "aud_src")
+    os.makedirs(src)
+    rows0 = [(f"a{i}", wav(f"a{i}")) for i in range(5)]
+    rows1 = [
+        ("b0", wav("a0", scale=0.5)),   # cross-batch near-dup of a0
+        ("b1", wav("b1")),              # fresh
+        ("b2", wav("zz")),              # within-batch dup pair (keep-first)
+        ("b3", wav("zz", scale=0.7)),
+        ("b4", b"\x01" * 30),           # undecodable
+    ]
+    for f, rows in (("f0", rows0), ("f1", rows1)):
+        pq.write_table(
+            pa.table({
+                "clip_id": pa.array([c for c, _ in rows], pa.string()),
+                "bytes": pa.array([b for _, b in rows], pa.binary()),
+            }),
+            os.path.join(src, f + ".parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema("clip_id string, bytes binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = str(tmp_path / "aud_idx")
+    out = str(tmp_path / "aud_out")
+    q = start_audio_admission_sink(
+        stream, idx, out, str(tmp_path / "aud_ckpt")
+    )
+    q.awaitTermination(120)
+
+    admitted = {r.clip_id for r in spark.read.parquet(out).select("clip_id").collect()}
+    assert {"a0", "a1", "a2", "a3", "a4", "b1", "b2"} == admitted
+    index = spark.read.parquet(idx)
+    assert {r.clip_id for r in index.collect()} == admitted  # rejects never enter
+
+    # replay the last batch: output identical
+    last_bid = max(r.batch_id for r in index.select("batch_id").distinct().collect())
+    batch = spark.createDataFrame(rows1, "clip_id string, bytes binary")
+    _admit_audio_batch(batch, int(last_bid), idx, out, "clip_id", "bytes", 7)
+    after = {r.clip_id for r in spark.read.parquet(out).select("clip_id").collect()}
+    assert after == admitted
+
+
+def test_incremental_fingerprint_pairs_batch(spark, tmp_path):
+    """Batch form: new-vs-corpus links come from stored fingerprints only,
+    within-batch pairs included, corpus-vs-corpus pairs never produced."""
+    import numpy as np
+
+    from jsschema_spark.audio import (
+        audio_fingerprint_scan,
+        incremental_fingerprint_pairs,
+        synth_pcm,
+        wav_encode,
+        write_fingerprint_index,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sr = 16000
+
+    def wav(cid, scale=1.0):
+        pcm = synth_pcm(cid, sr, sr * 2)
+        if scale != 1.0:
+            pcm = np.clip(np.round(pcm.astype(np.float64) * scale), -32768, 32767).astype(np.int16)
+        return wav_encode(pcm, sr)
+
+    corpus_dir = tmp_path / "fp_corpus"
+    corpus_dir.mkdir()
+    # corpus contains an internal dup pair (c0, c1) — must NOT reappear
+    rows = [("c0", wav("t0")), ("c1", wav("t0", 0.6)), ("c2", wav("t2"))]
+    pq.write_table(
+        pa.table({
+            "clip_id": pa.array([c for c, _ in rows], pa.string()),
+            "bytes": pa.array([b for _, b in rows], pa.binary()),
+        }),
+        str(corpus_dir / "p.parquet"),
+    )
+    idx = str(tmp_path / "fp_idx")
+    write_fingerprint_index(audio_fingerprint_scan(spark, str(corpus_dir)), idx)
+    index = spark.read.parquet(idx)
+    assert set(index.columns) == {"clip_id", "fp"}
+
+    new_rows = [("n0", wav("t2", 0.8)), ("n1", wav("t9")), ("n2", wav("t9", 0.5))]
+    new_dir = tmp_path / "fp_new"
+    new_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "clip_id": pa.array([c for c, _ in new_rows], pa.string()),
+            "bytes": pa.array([b for _, b in new_rows], pa.binary()),
+        }),
+        str(new_dir / "p.parquet"),
+    )
+    new_fp = audio_fingerprint_scan(spark, str(new_dir))
+    got = {
+        (r.clip_id_a, r.clip_id_b)
+        for r in incremental_fingerprint_pairs(new_fp, index).collect()
+    }
+    assert got == {("c2", "n0"), ("n1", "n2")}
