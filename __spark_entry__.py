@@ -1338,6 +1338,123 @@ def q_violation_samples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ledger reconciliation: recompute each order's total from
+    its lineitems (exact DECIMAL arithmetic — order-independent sums) and
+    bucket the divergence from ``o_totalprice``. The fact side collapses
+    through a map-side-combined aggregate before one key-partitioned join
+    (``checks.reconciliation_report``)."""
+    from jsschema_spark.checks import reconciliation_report
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+
+    def dec(c):
+        return F.col(c).cast("decimal(12,2)")
+
+    one = F.lit(1).cast("decimal(12,2)")
+    measure = dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax"))
+    rep = reconciliation_report(
+        l, o, "l_orderkey", "o_orderkey", measure, dec("o_totalprice"),
+        tolerance=0.01,
+    )
+    bucket = (
+        F.when(F.col("status") == "missing_fact", F.lit("missing_lines"))
+        .when(F.col("status") == "missing_dim", F.lit("missing_order"))
+        .when(F.col("status") == "match", F.lit("match"))
+        .when(F.col("abs_err") <= 100, F.lit("err_le_100"))
+        .when(F.col("abs_err") <= 10000, F.lit("err_le_10k"))
+        .otherwise(F.lit("err_gt_10k"))
+    )
+    return rep.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.coalesce(F.col("abs_err"), F.lit(0).cast("decimal(12,2)")))
+        .cast("double")
+        .alias("total_abs_err"),
+    )
+
+
+def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column constraint validation (``checks.vector_violations``):
+    dimension / NaN / squared-norm bounds over the embeddings table with
+    SQL-reproducible injected corruption (modular arithmetic, so the
+    DuckDB oracle rebuilds the identical corrupt table)."""
+    from jsschema_spark.checks import vector_violations
+
+    e = _t(spark, sf_dir, "embeddings")
+    i = F.col("vec_id")
+    nan = F.lit(float("nan")).cast("float")
+    vec = (
+        F.when(i % 97 == 0, F.concat(F.col("embedding"), F.array(F.lit(0.0).cast("float"))))
+        .when(i % 89 == 3, F.transform(F.col("embedding"), lambda x: nan))
+        .when(i % 83 == 7, F.transform(F.col("embedding"), lambda x: (x.cast("double") * 100.0).cast("float")))
+        .when(i % 79 == 11, F.transform(F.col("embedding"), lambda x: F.lit(0.0).cast("float")))
+        .when(i % 101 == 13, F.lit(None).cast("array<float>"))
+        .otherwise(F.col("embedding"))
+    )
+    corrupted = e.select(i.alias("vec_id"), vec.alias("embedding"))
+    out = vector_violations(
+        corrupted, "vec_id", "embedding", expected_dim=64,
+        norm_sq_min=0.25, norm_sq_max=4.0,
+    )
+    return out.select(F.col("id").alias("vec_id"), "reason")
+
+
+def q_violations_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup of compiled-validator violation details by
+    (order status × keyword) — subtotal rows distinguished with
+    ``grouping()`` so a NULL grouping value can never masquerade as a
+    rollup. One explode + one cube aggregate (map-side combined; the cube
+    multiplies rows by the 4 grouping sets BEFORE the shuffle, but the
+    exploded violation stream is already violation-count-sized, not
+    table-sized)."""
+    from jsschema_spark import parse_schema
+    from jsschema_spark.compiler import TableValidator
+
+    df = _t(spark, sf_dir, "orders")
+    tv = TableValidator(parse_schema(ORDERS_SCHEMA), df.schema)
+    applied = tv.apply(df, with_violations=True)
+    ex = applied.where(~F.col("valid")).select(
+        "o_orderstatus", F.explode("violations").alias("v")
+    ).select("o_orderstatus", F.col("v.keyword").alias("keyword"))
+    cubed = ex.cube("o_orderstatus", "keyword").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").alias("__g_s"),
+        F.grouping("keyword").alias("__g_k"),
+    )
+
+    def label(col, g):
+        return (
+            F.when(F.col(g) == 1, F.lit("(all)"))
+            .otherwise(F.coalesce(F.col(col), F.lit("__NULL__")))
+        )
+
+    return cubed.select(
+        label("o_orderstatus", "__g_s").alias("status"),
+        label("keyword", "__g_k").alias("keyword"),
+        "n",
+    )
+
+
+def q_clip_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-level training-window segmentation of the clips table
+    (``audio.clip_windows``): pure sequence+explode projection, payloads
+    untouched."""
+    from jsschema_spark.audio import clip_windows
+
+    df = _clips_from_documents(spark, sf_dir)
+    return clip_windows(df, win_ms=1000, hop_ms=500)
+
+
+def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit audit of o_totalprice vs Benford's law
+    (``stats.benford_report``) — digit extraction through exact DECIMAL
+    rendering, expectations as compile-time literals."""
+    from jsschema_spark.stats import benford_report
+
+    return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1410,6 +1527,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash": q_incremental_minhash,
         "embedding_multiseed_near_dups": q_embedding_multiseed_near_dups,
         "embedding_dup_groups": q_embedding_dup_groups,
+        "order_total_reconciliation": q_order_total_reconciliation,
+        "embedding_validation": q_embedding_validation,
+        "violations_cube_orders": q_violations_cube_orders,
+        "clip_windows": q_clip_windows,
+        "benford_totalprice": q_benford_totalprice,
     }
 
 
@@ -2572,4 +2694,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT custkey, 'unexpected' AS status FROM (
               SELECT DISTINCT o_custkey AS custkey FROM orders
               EXCEPT SELECT DISTINCT c_custkey FROM customer)""",
+        "order_total_reconciliation": """
+            WITH r AS (
+              SELECT l_orderkey AS key,
+                     sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                         * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS actual
+              FROM lineitem GROUP BY 1
+            ), j AS (
+              SELECT o_orderkey, key,
+                     CAST(o_totalprice AS DECIMAL(12,2)) AS expected, actual,
+                     abs(CAST(o_totalprice AS DECIMAL(12,2)) - actual) AS abs_err
+              FROM orders FULL OUTER JOIN r ON o_orderkey = r.key
+            ), b AS (
+              SELECT CASE WHEN o_orderkey IS NULL THEN 'missing_order'
+                          WHEN key IS NULL THEN 'missing_lines'
+                          WHEN abs_err <= 0.01 THEN 'match'
+                          WHEN abs_err <= 100 THEN 'err_le_100'
+                          WHEN abs_err <= 10000 THEN 'err_le_10k'
+                          ELSE 'err_gt_10k' END AS bucket,
+                     abs_err
+              FROM j
+            )
+            SELECT bucket, count(*) AS n_orders,
+                   CAST(sum(coalesce(abs_err, 0)) AS DOUBLE) AS total_abs_err
+            FROM b GROUP BY 1""",
+        "embedding_validation": """
+            WITH c AS (
+              SELECT vec_id,
+                CASE WHEN vec_id % 97 = 0 THEN list_append(embedding, CAST(0.0 AS FLOAT))
+                     WHEN vec_id % 89 = 3 THEN list_transform(embedding, x -> CAST('NaN' AS FLOAT))
+                     WHEN vec_id % 83 = 7 THEN list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 100.0 AS FLOAT))
+                     WHEN vec_id % 79 = 11 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                     WHEN vec_id % 101 = 13 THEN NULL
+                     ELSE embedding END AS v
+              FROM embeddings
+            ), m AS (
+              SELECT vec_id, v, len(v) AS dim,
+                coalesce(list_aggregate(list_transform(v, x -> CAST(isnan(x) AS INT)), 'max') = 1, FALSE) AS has_nan,
+                list_aggregate(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS norm_sq
+              FROM c
+            )
+            SELECT vec_id, reason FROM (
+              SELECT vec_id, 'null_vec' AS reason FROM m WHERE v IS NULL
+              UNION ALL SELECT vec_id, 'bad_dim' FROM m WHERE v IS NOT NULL AND dim <> 64
+              UNION ALL SELECT vec_id, 'nan' FROM m WHERE v IS NOT NULL AND has_nan
+              UNION ALL SELECT vec_id, 'norm_low' FROM m WHERE v IS NOT NULL AND NOT has_nan AND norm_sq < 0.25
+              UNION ALL SELECT vec_id, 'norm_high' FROM m WHERE v IS NOT NULL AND NOT has_nan AND norm_sq > 4.0
+            )""",
+        "violations_cube_orders": """
+            WITH v AS (
+              SELECT o_orderstatus, keyword FROM (
+                SELECT o_orderstatus, CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F') THEN 'enum' END AS keyword FROM orders
+                UNION ALL
+                SELECT o_orderstatus, CASE WHEN o_totalprice IS NOT NULL
+                       AND NOT (o_totalprice < 400000) THEN 'exclusiveMaximum' END FROM orders
+                UNION ALL
+                SELECT o_orderstatus, CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-3]-') THEN 'pattern' END FROM orders
+              ) WHERE keyword IS NOT NULL
+            )
+            SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+                        ELSE coalesce(o_orderstatus, '__NULL__') END AS status,
+                   CASE WHEN GROUPING(keyword) = 1 THEN '(all)'
+                        ELSE coalesce(keyword, '__NULL__') END AS keyword,
+                   count(*) AS n
+            FROM v GROUP BY CUBE(o_orderstatus, keyword)""",
+        "clip_windows": f"""
+            WITH clips AS ({_CLIPS_SQL})
+            SELECT clip_id,
+                   CAST(s / 500 AS INT) AS win_idx,
+                   CAST(s AS INT) AS start_ms,
+                   CAST(s + 1000 AS INT) AS end_ms
+            FROM clips, unnest(generate_series(0, dur_ms - 1000, 500)) AS t(s)
+            WHERE dur_ms IS NOT NULL AND dur_ms >= 1000""",
+        "benford_totalprice": """
+            WITH d AS (
+              SELECT CAST(substring(CAST(CAST(abs(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+              FROM orders WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1
+            ), c AS (
+              SELECT digit, count(*) AS n FROM d GROUP BY 1
+            )
+            SELECT digit, n,
+                   CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS p_obs,
+                   CAST([0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+                    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+                    0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit] AS DOUBLE) AS p_exp,
+                   CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+                     - CAST([0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+                        0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+                        0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit] AS DOUBLE) AS dev
+            FROM c WHERE digit BETWEEN 1 AND 9""",
     }

@@ -823,3 +823,38 @@ def incremental_fingerprint_pairs(
         new_fp, index, "clip_id", "fp",
         max_hamming=max_hamming, max_bucket_size=max_bucket_size, n_bits=_FP_BITS,
     )
+
+
+def clip_windows(
+    df,
+    win_ms: int = 1000,
+    hop_ms: int = 500,
+    clip_id_col: str = "clip_id",
+    dur_col: str = "dur_ms",
+):
+    """Fixed-length training-window segmentation at the METADATA level:
+    each clip yields rows ``(clip_id, win_idx, start_ms, end_ms)`` for
+    every full ``win_ms`` window at stride ``hop_ms`` (clips shorter than
+    one window yield nothing; the tail partial window is dropped — chunk
+    upstream if it matters). The audio sibling of ``curate.chunk_documents``:
+    the payload is untouched, so the 100-TB corpus never moves — this is a
+    pure narrow ``sequence``+``explode`` projection (zero shuffle, zero
+    Python) producing the frame manifest that a decode stage consumes
+    file-granularly later."""
+    if win_ms <= 0 or hop_ms <= 0:
+        raise ValueError("win_ms and hop_ms must be positive")
+    dur = F.col(dur_col)
+    starts = F.sequence(F.lit(0), (dur - win_ms).cast("int"), F.lit(hop_ms))
+    return (
+        df.where(dur.isNotNull() & (dur >= win_ms))
+        .select(
+            F.col(clip_id_col).alias("clip_id"),
+            F.explode(starts).alias("start_ms"),
+        )
+        .select(
+            "clip_id",
+            (F.col("start_ms") / hop_ms).cast("int").alias("win_idx"),
+            F.col("start_ms").cast("int"),
+            (F.col("start_ms") + win_ms).cast("int").alias("end_ms"),
+        )
+    )

@@ -406,3 +406,108 @@ def completeness_by_period(
             F.col("__p").isNull().alias("is_gap"),
         )
     )
+
+
+def reconciliation_report(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_measure,
+    dim_measure,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Cross-table aggregate reconciliation: does ``sum(fact_measure)``
+    per ``fact_key`` equal ``dim_measure`` on the dimension row? The
+    classic ledger check (order header total vs recomputed line total)
+    the reference cannot express (single-document scope,
+    validator/validator.go) but a table engine must. Output one row per
+    key: ``(key, expected, actual, abs_err, status)`` with status in
+    ``match`` / ``mismatch`` / ``missing_fact`` (dim row has no fact
+    rows) / ``missing_dim`` (fact rows with no dim row).
+
+    Scale shape: the fact side collapses FIRST through a map-side-combined
+    hash aggregate (shuffle width = #keys, not #fact rows), then a single
+    key-partitioned FULL OUTER join against the dim projection — both
+    sides shuffle once on the same key, AQE picks broadcast when the agg
+    output is small. Pass DECIMAL-typed measures for order-independent
+    exact sums (double addition is order-sensitive and partial aggregation
+    order is nondeterministic)."""
+    if isinstance(fact_measure, str):
+        fact_measure = F.col(fact_measure)
+    if isinstance(dim_measure, str):
+        dim_measure = F.col(dim_measure)
+    agg = fact.groupBy(F.col(fact_key).alias("key")).agg(
+        F.sum(fact_measure).alias("actual")
+    )
+    dims = dim.select(F.col(dim_key).alias("__dkey"), dim_measure.alias("expected"))
+    joined = dims.join(agg, dims["__dkey"] == agg["key"], "full_outer")
+    err = F.abs(F.col("expected") - F.col("actual"))
+    status = (
+        F.when(F.col("__dkey").isNull(), F.lit("missing_dim"))
+        .when(F.col("key").isNull(), F.lit("missing_fact"))
+        .when(err <= F.lit(tolerance), F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return joined.select(
+        F.coalesce(F.col("__dkey"), F.col("key")).alias("key"),
+        "expected",
+        "actual",
+        err.alias("abs_err"),
+        status.alias("status"),
+    )
+
+
+def vector_violations(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    expected_dim: int,
+    norm_sq_min: Optional[float] = None,
+    norm_sq_max: Optional[float] = None,
+    forbid_nan: bool = True,
+) -> DataFrame:
+    """Constraint validation for an embedding column (``array<float>``) —
+    the vector-side sibling of the draft-04 scalar keywords: dimension
+    (≈ min/maxItems), NaN/Inf poisoning, and squared-L2-norm bounds
+    (≈ minimum/maximum on a derived value; squared so the check stays in
+    +-* arithmetic — no libm sqrt in the plan or the oracle). Output:
+    ``(id, reason)`` rows, one per violated constraint, reason in
+    ``null_vec`` / ``bad_dim`` / ``nan`` / ``norm_low`` / ``norm_high``.
+
+    Pure Catalyst: ``size``, ``exists`` and a left-to-right ``aggregate``
+    fold over the array — zero Python, zero shuffle, a single projection
+    the scan pipeline absorbs. Norm bounds are only evaluated on NaN-free
+    vectors (guarded explicitly: Spark orders NaN ABOVE every number, so
+    an unguarded ``norm_sq > max`` would double-report every NaN vector)."""
+    vec = F.col(vec_col)
+    norm_sq = F.aggregate(
+        vec,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    has_nan = F.exists(vec, lambda x: F.isnan(x))
+    checks = [
+        F.when(vec.isNull(), F.lit("null_vec")),
+        F.when(vec.isNotNull() & (F.size(vec) != expected_dim), F.lit("bad_dim")),
+    ]
+    if forbid_nan:
+        checks.append(F.when(vec.isNotNull() & has_nan, F.lit("nan")))
+    if norm_sq_min is not None:
+        checks.append(
+            F.when(
+                vec.isNotNull() & ~has_nan & (norm_sq < F.lit(float(norm_sq_min))),
+                F.lit("norm_low"),
+            )
+        )
+    if norm_sq_max is not None:
+        checks.append(
+            F.when(
+                vec.isNotNull() & ~has_nan & (norm_sq > F.lit(float(norm_sq_max))),
+                F.lit("norm_high"),
+            )
+        )
+    reasons = F.array_compact(F.array(*checks))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(reasons).alias("reason"))
+    )

@@ -584,3 +584,50 @@ def profile_estimates(profile: DataFrame) -> DataFrame:
         "column", "n_rows", "n_nulls", "min_num", "max_num",
         F.hll_sketch_estimate("hll").cast("long").alias("n_distinct_est"),
     )
+
+
+# log10(1 + 1/d) for d = 1..9, spelled as literals so the Spark plan and
+# any SQL oracle share bit-identical expectations (no libm log in either).
+_BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_report(df: DataFrame, col: str, scale: int = 2) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the classic
+    fabricated-numbers screen for positive broad-range measures (ledger
+    amounts, populations). Output one row per digit 1-9:
+    ``(digit, n, p_obs, p_exp, dev)`` with ``dev = p_obs - p_exp``; a
+    large ``sum(dev²/p_exp)`` flags a synthetic or truncated distribution
+    (uniform generators — like this repo's test data — fail loudly).
+
+    Digit extraction goes through ``DECIMAL(38, scale)`` → string, NOT
+    float formatting (engines disagree on double rendering; decimal
+    rendering is exact and universal). One map-side-combined 9-group
+    aggregate; expectations are compile-time literals, division is IEEE
+    and portable."""
+    from pyspark.sql import Window
+
+    digit = F.substring(
+        F.abs(F.col(col)).cast(f"decimal(38,{scale})").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.where(F.col(col).isNotNull() & (F.abs(F.col(col)) >= 1))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    p_exp = F.element_at(F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("digit"))
+    return (
+        counts.where(F.col("digit").between(1, 9))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / total.cast("double")).alias("p_obs"),
+            p_exp.alias("p_exp"),
+        )
+        .withColumn("dev", F.col("p_obs") - F.col("p_exp"))
+    )

@@ -192,3 +192,25 @@ def test_transcript_rate_check(spark):
     assert out["nodur"].reason == "bad_duration" and out["nodur"].tokens_per_sec is None
     assert out["zerodur"].reason == "bad_duration"
     assert abs(out["fast"].tokens_per_sec - 25.0) < 1e-12
+
+
+def test_clip_windows_segmentation(spark):
+    """Window manifest: full windows only, stride hop_ms, short and null
+    clips excluded, tail partials dropped."""
+    from jsschema_spark.audio import clip_windows
+
+    df = spark.createDataFrame(
+        [("a", 2200), ("b", 1000), ("c", 999), ("d", None)],
+        "clip_id string, dur_ms int",
+    )
+    out = sorted(
+        (r.clip_id, r.win_idx, r.start_ms, r.end_ms)
+        for r in clip_windows(df, win_ms=1000, hop_ms=500).collect()
+    )
+    assert out == [
+        ("a", 0, 0, 1000), ("a", 1, 500, 1500), ("a", 2, 1000, 2000),
+        ("b", 0, 0, 1000),
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        clip_windows(df, win_ms=0)

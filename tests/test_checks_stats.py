@@ -498,3 +498,69 @@ def test_completeness_by_period_gaps(spark):
         "2026-03-04": (0, True),
         "2026-03-05": (2, False),
     }
+
+
+def test_reconciliation_report_statuses(spark):
+    """All four statuses from one full-outer pass: match, mismatch within
+    and beyond tolerance, dim rows with no facts, fact rows with no dim."""
+    from jsschema_spark.checks import reconciliation_report
+
+    fact = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (2, 3.0), (4, 9.0)], "k int, amt double"
+    )
+    dim = spark.createDataFrame(
+        [(1, 10.0), (2, 3.005), (3, 7.0)], "k int, total double"
+    )
+    out = {
+        r.key: r.status
+        for r in reconciliation_report(fact, dim, "k", "k", "amt", "total").collect()
+    }
+    assert out == {1: "match", 2: "match", 3: "missing_fact", 4: "missing_dim"}
+    tight = {
+        r.key: r.status
+        for r in reconciliation_report(
+            fact, dim, "k", "k", "amt", "total", tolerance=0.001
+        ).collect()
+    }
+    assert tight[2] == "mismatch"
+
+
+def test_vector_violations_reasons(spark):
+    """Each corruption mode maps to its reason; NaN vectors never
+    double-report a norm bound (NaN sorts above every number in Spark)."""
+    from jsschema_spark.checks import vector_violations
+
+    nan = float("nan")
+    rows = [
+        (0, [1.0, 0.0]),            # clean
+        (1, [1.0, 0.0, 0.0]),       # bad_dim
+        (2, [nan, 0.0]),            # nan only — no norm_high leak
+        (3, [0.1, 0.1]),            # norm_low
+        (4, [10.0, 0.0]),           # norm_high
+        (5, None),                  # null_vec
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<float>")
+    out = vector_violations(
+        df, "id", "v", expected_dim=2, norm_sq_min=0.25, norm_sq_max=4.0
+    ).collect()
+    got = sorted((r.id, r.reason) for r in out)
+    assert got == [
+        (1, "bad_dim"), (2, "nan"), (3, "norm_low"), (4, "norm_high"),
+        (5, "null_vec"),
+    ]
+
+
+def test_benford_report_digits(spark):
+    """Digit extraction survives decimals <1x shifts (12.3 -> 1, 0.5 dropped,
+    negative sign ignored) and probabilities sum to 1 over observed rows."""
+    from jsschema_spark.stats import benford_report
+
+    df = spark.createDataFrame(
+        [(12.3,), (199.0,), (-25.0,), (0.5,), (None,), (9.01,)], "x double"
+    )
+    rows = {r.digit: r for r in benford_report(df, "x").collect()}
+    assert sorted(rows) == [1, 2, 9]
+    assert rows[1].n == 2 and rows[2].n == 1 and rows[9].n == 1
+    assert abs(sum(r.p_obs for r in rows.values()) - 1.0) < 1e-12
+    assert abs(rows[1].p_exp - 0.3010299956639812) < 1e-15
+    assert abs(rows[1].dev - (0.5 - 0.3010299956639812)) < 1e-12
