@@ -1455,6 +1455,67 @@ def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (``events.transition_counts``): one user-keyed lag window + a
+    state-pair-width count aggregate."""
+    from jsschema_spark.functions.events import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(
+        ev, "user_id", "ts", "event_type", order_cols=["event_id"]
+    )
+
+
+def q_incident_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (``events.interval_join``) of events against
+    60 deterministic synthetic incident windows: time-bucketed equi-join
+    (never the BroadcastNestedLoop a raw range predicate plans), exact
+    containment as a post-filter, per-window event/user counts."""
+    from jsschema_spark.functions.events import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    tstype = ev.schema["ts"].dataType
+    wid = F.col("id").alias("window_id")
+    base = F.lit("2024-01-01 00:00:00").cast(tstype)
+    start = F.timestamp_add(
+        "HOUR", (F.col("id") * 12 + (F.col("id") * 7) % 5).cast("int"), base
+    )
+    windows = spark.range(60).select(
+        wid,
+        start.alias("w_start"),
+        F.timestamp_add(
+            "HOUR", (F.lit(1) + (F.col("id") * 3) % 7).cast("int"), start
+        ).alias("w_end"),
+    )
+    joined = interval_join(ev, windows, "ts", "w_start", "w_end")
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+def q_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup pairs (``dedup.edit_distance_near_dups``):
+    prefix-blocked candidates + banded Levenshtein verify, over the corpus
+    plus SQL-reproducible perturbed copies (``doc_id % 31 == 2`` docs get
+    a 2-char suffix under a shifted id)."""
+    from jsschema_spark.functions.dedup import edit_distance_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    pert = (
+        d.where(F.col("doc_id") % 31 == 2)
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("zq")).alias("text"),
+        )
+    )
+    docs = d.select("doc_id", "text").unionByName(pert)
+    return edit_distance_near_dups(
+        docs, "doc_id", "text", max_dist=3, prefix_len=12
+    ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1532,6 +1593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_cube_orders": q_violations_cube_orders,
         "clip_windows": q_clip_windows,
         "benford_totalprice": q_benford_totalprice,
+        "event_transitions": q_event_transitions,
+        "incident_window_events": q_incident_window_events,
+        "edit_distance_near_dups": q_edit_distance_near_dups,
     }
 
 
@@ -2786,4 +2850,41 @@ def oracle_sql() -> dict[str, str]:
                         0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
                         0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit] AS DOUBLE) AS dev
             FROM c WHERE digit BETWEEN 1 AND 9""",
+        "event_transitions": """
+            SELECT src, dst, count(*) AS n FROM (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                     event_type AS dst
+              FROM events
+            ) WHERE src IS NOT NULL
+            GROUP BY src, dst""",
+        "incident_window_events": """
+            WITH w AS (
+              SELECT w AS window_id,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + to_hours(CAST(w*12 + (w*7) % 5 AS BIGINT)) AS ws,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + to_hours(CAST(w*12 + (w*7) % 5 + 1 + (w*3) % 7 AS BIGINT)) AS we
+              FROM range(60) t(w)
+            )
+            SELECT window_id, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+            GROUP BY window_id""",
+        "edit_distance_near_dups": f"""
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 3000000, text || 'zq' FROM documents WHERE doc_id % 31 = 2
+            ), n AS (
+              SELECT doc_id, {_NORM_SQL.format(col='text')} AS norm
+              FROM all_docs WHERE text IS NOT NULL
+            ), b AS (
+              SELECT doc_id, norm, substring(norm, 1, 12) AS blk FROM n
+            )
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                   CAST(levenshtein(a.norm, c.norm) AS INT) AS dist
+            FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+            WHERE abs(length(a.norm) - length(c.norm)) <= 3
+              AND levenshtein(a.norm, c.norm) <= 3""",
     }

@@ -1218,3 +1218,52 @@ def mask_duplicate_spans(
         .withColumn(out_col, rebuilt)
         .drop("__toks", "__starts")
     )
+
+
+def edit_distance_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    prefix_len: int = 12,
+    max_block_size: int = 200,
+) -> DataFrame:
+    """Typo-level near-duplicate pairs by bounded edit distance: candidate
+    pairs share the first ``prefix_len`` characters of the normalized text
+    (prefix blocking) and differ in length by at most ``max_dist``; each
+    candidate is verified with Levenshtein ≤ ``max_dist``. Output:
+    ``(id_a, id_b, dist)``, ``id_a < id_b``. Complements MinHash (token
+    rewrites) with character-level edits MinHash's shingle sets barely
+    move. Prefix blocking is recall-incomplete BY DESIGN (an edit inside
+    the prefix escapes the block) — the deterministic, oracle-checkable
+    trade LSH banding also makes.
+
+    Scale shape: one map-side shuffle on the prefix key; within-block
+    pairing reuses ``_bounded_self_pairs`` (all-pairs under
+    ``max_block_size``, similarity-ordered chaining above it — a
+    boilerplate-prefix block never goes quadratic). The length band
+    prunes before the O(len·maxdist) banded Levenshtein kernel
+    (threshold form: gives up at ``max_dist`` instead of filling the
+    full DP matrix). All JVM codegen, zero Python."""
+    from jsschema_spark.functions.text import normalized_text
+
+    if max_dist < 0 or prefix_len <= 0:
+        raise ValueError("max_dist must be >= 0 and prefix_len positive")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_text(F.col(text_col)).alias("__norm"),
+    ).withColumn("__block", F.substring(F.col("__norm"), 1, prefix_len))
+    pairs = _bounded_self_pairs(
+        base, ["__block"], max_block_size,
+        payload="__norm", chain_order=["__norm"],
+        materialize="none",  # upstream is one cheap projection
+    )
+    dist = F.levenshtein(F.col("__norm_a"), F.col("__norm_b"), int(max_dist))
+    return (
+        pairs.where(
+            F.abs(F.length("__norm_a") - F.length("__norm_b")) <= max_dist
+        )
+        .withColumn("dist", dist)
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
+    )

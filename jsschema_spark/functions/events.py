@@ -232,3 +232,117 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    order_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    for every consecutive pair of events within a user, count
+    ``(src_state, dst_state)``. Each user's first event has no
+    predecessor and contributes nothing. Output: ``(src, dst, n)`` —
+    the empirical transition matrix behaviour models and anomaly
+    screens start from.
+
+    Deterministic: events order by ``(ts, *order_cols)`` within the
+    user — pass an id column when timestamps can tie.
+
+    Scale shape: ONE shuffle (hash on the user key) feeding one lag
+    window, then a map-side-combined count on ``(src, dst)`` whose
+    shuffle width is #distinct state pairs — vocabulary-sized, never
+    event-sized. Skew is bounded by the busiest single user."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    return (
+        df.select(
+            F.col(user_col),
+            F.col(state_col).alias("dst"),
+            F.lag(F.col(state_col)).over(w).alias("src"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    keys: Optional[Sequence[str]] = None,
+    granularity_s: int = 3600,
+    max_buckets_per_interval: int = 10_000,
+    anchor: str = "1970-01-01 00:00:00",
+) -> DataFrame:
+    """Distributed point-in-interval join: each point row pairs with every
+    interval row whose half-open window ``[start, end)`` contains its
+    timestamp (optionally also matching on equi-``keys``). The classic
+    "events × validity windows" join Spark has no native operator for —
+    expressed as an equi-join so it never degenerates into the
+    BroadcastNestedLoop/cartesian plan a raw range predicate produces.
+
+    Mechanics: time is cut into ``granularity_s``-second buckets anchored
+    at ``anchor`` (cast to each side's own timestamp type, so TIMESTAMP
+    and TIMESTAMP_NTZ inputs both work and never mix). A point belongs to
+    exactly ONE bucket; an interval explodes to every bucket it overlaps
+    (``sequence`` + ``explode``). The join is then a pure equi-join on
+    ``(*keys, bucket)`` with the exact containment predicate as a cheap
+    post-filter — no duplicate pairs are ever produced, because the point
+    side is never exploded.
+
+    Scale shape: one shuffle on ``(*keys, bucket)`` — AQE broadcasts the
+    exploded interval side when it is small (the usual case: dimension
+    validity windows, incident/maintenance windows). Explode factor is
+    ``len/granularity + 1`` per interval; a driver-side precheck (one
+    map-side-combined MAX over the interval table) raises if any interval
+    would explode past ``max_buckets_per_interval``, telling the caller to
+    coarsen ``granularity_s`` instead of silently materializing a
+    timeline-sized blow-up. Empty and inverted intervals (end <= start)
+    match nothing and are dropped up front."""
+    if granularity_s <= 0:
+        raise ValueError("granularity_s must be positive")
+    keys = list(keys or [])
+
+    def bucket_of(df: DataFrame, col: Column) -> Column:
+        a = F.lit(anchor).cast(df.schema[ts_col if df is points else start_col].dataType)
+        return F.floor(
+            F.timestamp_diff("SECOND", a, col) / F.lit(int(granularity_s))
+        ).cast("long")
+
+    ivl = intervals.where(F.col(end_col) > F.col(start_col))
+    b_start = bucket_of(ivl, F.col(start_col))
+    # end is exclusive: an interval ending exactly on a bucket boundary
+    # does not reach into that bucket
+    b_end = bucket_of(ivl, F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"))
+    n_buckets = (b_end - b_start + 1).alias("__nb")
+
+    worst = ivl.select(F.max(n_buckets).alias("m")).first()
+    if worst and worst.m is not None and worst.m > max_buckets_per_interval:
+        raise ValueError(
+            f"an interval spans {worst.m} buckets at granularity_s="
+            f"{granularity_s} (cap {max_buckets_per_interval}); coarsen "
+            "granularity_s or raise max_buckets_per_interval"
+        )
+
+    exploded = ivl.withColumn("__bkt", F.explode(F.sequence(b_start, b_end)))
+    pts = points.withColumn("__bkt", bucket_of(points, F.col(ts_col)))
+    joined = pts.alias("p").join(
+        exploded.alias("i"),
+        [F.col(f"p.{k}") == F.col(f"i.{k}") for k in keys]
+        + [F.col("p.__bkt") == F.col("i.__bkt")],
+    )
+    dup = [F.col(f"i.{k}") for k in keys]  # matched keys live on the point side
+    return (
+        joined.where(
+            (F.col(f"p.{ts_col}") >= F.col(f"i.{start_col}"))
+            & (F.col(f"p.{ts_col}") < F.col(f"i.{end_col}"))
+        )
+        .drop(*dup)
+        .drop("__bkt")
+    )

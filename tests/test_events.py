@@ -290,3 +290,89 @@ def test_retention_cohorts(spark):
     assert got[("2026-01-12", 0)] == 1   # u3
     assert got[("2026-01-19", 0)] == 1   # u4
     assert len(got) == 5
+
+
+def test_transition_counts(spark):
+    """Per-user consecutive pairs only; first events contribute nothing;
+    ties break on the order column."""
+    import datetime as dt
+
+    from jsschema_spark.functions.events import transition_counts
+
+    t0 = dt.datetime(2026, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "a"), (1, t0 + s, 2, "b"), (1, t0 + 2 * s, 3, "a"),
+        (2, t0, 4, "a"),                      # lone event: no transition
+        (3, t0, 5, "x"), (3, t0, 6, "y"),     # tie → event_id order: x->y
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, event_type string")
+    out = {
+        (r.src, r.dst): r.n
+        for r in transition_counts(
+            df, "user_id", "ts", "event_type", order_cols=["event_id"]
+        ).collect()
+    }
+    assert out == {("a", "b"): 1, ("b", "a"): 1, ("x", "y"): 1}
+
+
+def test_interval_join_semantics(spark):
+    """Half-open [start, end): boundary start included, boundary end
+    excluded; inverted intervals match nothing; keys scope the match;
+    oversized intervals raise instead of exploding."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from jsschema_spark.functions.events import interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    pts = spark.createDataFrame(
+        [(1, "k1", ts(0)), (2, "k1", ts(90)), (3, "k2", ts(30)), (4, "k1", ts(120))],
+        "pid int, k string, ts timestamp",
+    )
+    ivl = spark.createDataFrame(
+        [
+            (10, "k1", ts(0), ts(120)),    # catches pid 1 (start incl), 2; NOT 4 (end excl)
+            (20, "k2", ts(0), ts(60)),     # catches pid 3 only (key scoped)
+            (30, "k1", ts(60), ts(30)),    # inverted → nothing
+        ],
+        "wid int, k string, s timestamp, e timestamp",
+    )
+    out = sorted(
+        (r.pid, r.wid)
+        for r in interval_join(
+            pts, ivl, "ts", "s", "e", keys=["k"], granularity_s=600
+        ).collect()
+    )
+    assert out == [(1, 10), (2, 10), (3, 20)]
+    with _pytest.raises(ValueError, match="coarsen"):
+        interval_join(pts, ivl, "ts", "s", "e", keys=["k"], granularity_s=1,
+                      max_buckets_per_interval=10)
+
+
+def test_interval_join_no_keys_and_bucket_spans(spark):
+    """Keyless join pairs every containing window; a point on a bucket
+    boundary still matches an interval that only reaches it mid-bucket."""
+    import datetime as dt
+
+    from jsschema_spark.functions.events import interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    pts = spark.createDataFrame([(1, ts(61))], "pid int, ts timestamp")
+    ivl = spark.createDataFrame(
+        [(10, ts(0), ts(62)), (20, ts(61), ts(90)), (30, ts(0), ts(61))],
+        "wid int, s timestamp, e timestamp",
+    )
+    out = sorted(
+        r.wid for r in interval_join(pts, ivl, "ts", "s", "e", granularity_s=3600).collect()
+    )
+    assert out == [10, 20]  # 30 ends exactly at the point → excluded

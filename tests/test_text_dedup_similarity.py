@@ -1770,3 +1770,24 @@ def test_mask_duplicate_spans_matches_python(spark):
     assert boiler not in out[1][0] and boiler not in out[2][0]
     assert out[3][0] == rows[2][1] and out[3][1] == 0
     assert out[4] == ("tiny doc", 0)
+
+
+def test_edit_distance_near_dups(spark):
+    """Within-threshold pairs survive the banded verify; beyond-threshold
+    and prefix-escaping edits don't; normalization folds case/punct."""
+    from jsschema_spark.functions.dedup import edit_distance_near_dups
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy dog!"),   # dist 0 after norm
+        (3, "the quick brown fox jumps over the lazy cat"),    # dist 3
+        (4, "the quick brown fox leaps over the sleepy tiger"),# dist > 3
+        (5, "xhe quick brown fox jumps over the lazy dog"),    # edit in prefix → other block
+        (6, "completely different text with nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_near_dups(df, "doc_id", "text", max_dist=3).collect()
+    }
+    assert out == {(1, 2): 0, (1, 3): 3, (2, 3): 3}
