@@ -1516,6 +1516,55 @@ def q_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
 
 
+def q_psi_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift TREND (``stats.psi_by_period``): daily per-bin PSI terms of
+    the event value stream against a static week-one baseline — one
+    (day, bucket)-width aggregate, baseline histogram broadcast in,
+    windows only over the aggregated rows."""
+    from jsschema_spark.stats import psi_by_period
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08 00:00:00").cast(ev.schema["ts"].dataType)
+    base = ev.where(F.col("ts") < cut)
+    cur = ev.where(F.col("ts") >= cut)
+    out = psi_by_period(base, cur, "value", "ts", "day", 0.0, 500.0, nbins=10)
+    return out.select(
+        F.col("period_start").cast("date").alias("day"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("p_base", 6).alias("p_base_r"),
+        F.round("p_cur", 6).alias("p_cur_r"),
+        F.round("psi_term", 6).alias("psi_term_r"),
+    )
+
+
+def q_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (``dedup.containment_pairs``):
+    quote/embedding detection the symmetric Jaccard family misses, over
+    the corpus plus SQL-reproducible truncated copies (``doc_id % 23 ==
+    5`` docs re-enter as their first 150 characters under a shifted id)."""
+    from jsschema_spark.functions.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pert = (
+        d.where(F.col("doc_id") % 23 == 5)
+        .select(
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.substring(F.col("text"), 1, 150).alias("text"),
+        )
+    )
+    docs = d.select("doc_id", "text").unionByName(pert)
+    out = containment_pairs(docs, "doc_id", "text", min_containment=0.8)
+    return out.select(
+        "id_a", "id_b", "shared",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("cont_a", 4).alias("cont_a_r"),
+        F.round("cont_b", 4).alias("cont_b_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1596,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "incident_window_events": q_incident_window_events,
         "edit_distance_near_dups": q_edit_distance_near_dups,
+        "psi_by_day_events": q_psi_by_day_events,
+        "containment_documents": q_containment_documents,
     }
 
 
@@ -2887,4 +2938,69 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
             WHERE abs(length(a.norm) - length(c.norm)) <= 3
               AND levenshtein(a.norm, c.norm) <= 3""",
+        "psi_by_day_events": """
+            WITH cur AS (
+              SELECT date_trunc('day', ts) AS d,
+                     CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bucket,
+                     count(*) AS n_cur
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+                AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+              GROUP BY 1, 2
+            ), spine AS (
+              SELECT d, CAST(b AS INT) AS bucket
+              FROM (SELECT DISTINCT d FROM cur), range(10) t(b)
+            ), cd AS (
+              SELECT spine.d, spine.bucket, coalesce(n_cur, 0) AS n_cur
+              FROM spine LEFT JOIN cur ON spine.d = cur.d AND spine.bucket = cur.bucket
+            ), base AS (
+              SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bucket,
+                     count(*) AS n_base
+              FROM events
+              WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-08 00:00:00'
+              GROUP BY 1
+            ), j AS (
+              SELECT d, cd.bucket, coalesce(n_base, 0) AS n_base, n_cur
+              FROM cd LEFT JOIN base ON cd.bucket = base.bucket
+            ), p AS (
+              SELECT d, bucket, n_base, n_cur,
+                     greatest(CAST(n_base AS DOUBLE) / sum(n_base) OVER (PARTITION BY d), 1e-6) AS pe,
+                     greatest(CAST(n_cur AS DOUBLE) / sum(n_cur) OVER (PARTITION BY d), 1e-6) AS pa
+              FROM j
+            )
+            SELECT CAST(d AS DATE) AS day, CAST(bucket AS BIGINT) AS bucket,
+                   n_base, n_cur,
+                   round(pe, 6) AS p_base_r, round(pa, 6) AS p_cur_r,
+                   round((pa - pe) * ln(pa / pe), 6) AS psi_term_r
+            FROM p""",
+        "containment_documents": f"""
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 4000000, substring(text, 1, 150)
+              FROM documents WHERE doc_id % 23 = 5
+            ), n AS (
+              SELECT doc_id, {_NORM_SQL.format(col='text')} AS norm
+              FROM all_docs WHERE text IS NOT NULL
+            ), t AS (
+              SELECT doc_id, CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+              FROM n
+            ), s AS (
+              SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+              FROM t WHERE len(toks) >= 3
+            ), j AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS shared,
+                     CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, shared, n_a, n_b,
+                   round(CAST(shared AS DOUBLE) / n_a, 4) AS cont_a_r,
+                   round(CAST(shared AS DOUBLE) / n_b, 4) AS cont_b_r
+            FROM j
+            WHERE shared > 0
+              AND greatest(CAST(shared AS DOUBLE) / n_a,
+                           CAST(shared AS DOUBLE) / n_b) >= 0.8""",
     }

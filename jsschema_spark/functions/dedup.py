@@ -1267,3 +1267,69 @@ def edit_distance_near_dups(
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "dist")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_containment: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by shingle containment
+    ``|A∩B| / |A|`` — catches a document EMBEDDED in another (quotes,
+    concatenated crawls, header-wrapped reposts), which symmetric Jaccard
+    misses: a short doc inside a long one has tiny Jaccard but containment
+    ≈ 1. Output per unordered pair: shared-shingle count, both set sizes
+    and both direction containments, filtered on
+    ``greatest(cont_a, cont_b) >= min_containment``.
+
+    Scale shape: distinct word-shingles explode once (one row per
+    (doc, shingle)); shingles with document frequency above
+    ``max_shingle_df`` are dropped FIRST (map-side-combined df count +
+    AQE-broadcast anti-join — boilerplate shingles are the quadratic
+    fan-out, and a shingle shared by >cap docs carries no containment
+    signal); the pair counts are then a shingle-keyed self-join whose
+    per-shingle fan-out is capped at df², map-side combined down to
+    (a, b) rows. Set sizes ride a doc-keyed broadcast-sized join back."""
+    from jsschema_spark.functions.text import word_shingles
+
+    if not (0.0 < min_containment <= 1.0):
+        raise ValueError("min_containment must be in (0, 1]")
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    hot = (
+        ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_shingle_df)
+        .select("g")
+    )
+    ex = ex.join(hot, "g", "left_anti")
+    shared = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.col("shared") / F.col("n_a")
+    cont_b = F.col("shared") / F.col("n_b")
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .where(F.greatest(cont_a, cont_b) >= min_containment)
+        .select(
+            "id_a", "id_b", "shared", "n_a", "n_b",
+            cont_a.alias("cont_a"), cont_b.alias("cont_b"),
+        )
+    )

@@ -631,3 +631,70 @@ def benford_report(df: DataFrame, col: str, scale: int = 2) -> DataFrame:
         )
         .withColumn("dev", F.col("p_obs") - F.col("p_exp"))
     )
+
+
+def psi_by_period(
+    df_baseline: DataFrame,
+    df_current: DataFrame,
+    col: str,
+    period_col: str,
+    period: str,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Drift TREND: per-bin PSI terms of ``col`` for every time period of
+    the current table against one static baseline — "when did the feed
+    start drifting", not just "has it". Output one row per
+    ``(period_start, bucket)``: counts, eps-floored frequencies and the
+    PSI term; ``sum(psi_term) GROUP BY period_start`` is the per-period
+    PSI a monitor alerts on.
+
+    Scale shape: the current side collapses in ONE map-side-combined
+    ``(period, bucket)`` aggregate — shuffle width = #periods × nbins,
+    never #rows; the baseline histogram (≤nbins rows) joins in via AQE
+    broadcast. Per-period totals are windows OVER THE AGGREGATED ROWS
+    (#periods × nbins), so no data row ever meets a window. Every period
+    reports all nbins buckets (zero-filled via a period×bucket spine) —
+    an empty bin is drift evidence, not an absent row."""
+    if hi <= lo or nbins <= 0:
+        raise ValueError("need hi > lo and nbins > 0")
+    from pyspark.sql import Window
+
+    w = (hi - lo) / nbins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    cur = (
+        df_current.where(F.col(col).isNotNull() & F.col(period_col).isNotNull())
+        .groupBy(
+            F.date_trunc(period, F.col(period_col)).alias("period_start"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    # dense spine: every observed period × every bucket
+    periods = cur.select("period_start").distinct()
+    spine = periods.crossJoin(
+        df_current.sparkSession.range(nbins).select(F.col("id").cast("int").alias("bucket"))
+    )
+    cur_dense = spine.join(cur, ["period_start", "bucket"], "left").select(
+        "period_start", "bucket", F.coalesce("n_cur", F.lit(0)).alias("n_cur")
+    )
+    base = histogram(df_baseline, col, lo, hi, nbins).select(
+        "bucket", F.col("n").alias("n_base")
+    )
+    j = cur_dense.join(base, "bucket", "left").select(
+        "period_start", "bucket", "n_cur",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+    )
+    per_tot = Window.partitionBy("period_start")
+    pe = F.greatest(F.col("n_base") / F.sum("n_base").over(per_tot), F.lit(eps))
+    pa = F.greatest(F.col("n_cur") / F.sum("n_cur").over(per_tot), F.lit(eps))
+    return j.select(
+        "period_start", "bucket", "n_base", "n_cur",
+        pe.alias("p_base"), pa.alias("p_cur"),
+        ((pa - pe) * F.log(pa / pe)).alias("psi_term"),
+    )

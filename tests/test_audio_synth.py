@@ -214,3 +214,61 @@ def test_clip_windows_segmentation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         clip_windows(df, win_ms=0)
+
+
+def _tone(sr, ms, amp=8000):
+    import numpy as np
+    t = np.arange(int(sr * ms / 1000.0))
+    return (amp * np.sin(2 * np.pi * 440.0 * t / sr)).astype(np.int16)
+
+
+def _silence(sr, ms):
+    import numpy as np
+    return np.zeros(int(sr * ms / 1000.0), dtype=np.int16)
+
+
+def test_vad_segments_bridge_and_drop():
+    """Short gaps bridge into one utterance; tightening min_gap splits it;
+    clicks below min_speech_ms are dropped; pure silence yields nothing."""
+    import numpy as np
+    from jsschema_spark.audio import vad_segments
+
+    sr = 16000
+    pcm = np.concatenate([
+        _silence(sr, 300), _tone(sr, 500), _silence(sr, 50),
+        _tone(sr, 300), _silence(sr, 400),
+    ])
+    merged = vad_segments(pcm, sr, min_gap_ms=150.0)
+    assert len(merged) == 1
+    s, e = merged[0]
+    assert abs(s - 300.0) <= 20.0 and abs(e - 1150.0) <= 20.0
+    split = vad_segments(pcm, sr, min_gap_ms=20.0)
+    assert len(split) == 2
+    click = np.concatenate([_silence(sr, 200), _tone(sr, 40), _silence(sr, 200)])
+    assert vad_segments(click, sr, min_speech_ms=100.0) == []
+    assert vad_segments(_silence(sr, 500), sr) == []
+
+
+def test_audio_vad_scan_file_granular(spark, tmp_path):
+    """The scan emits segment rows per clip and a seg_idx=-1 sentinel for
+    silent and undecodable clips."""
+    import numpy as np
+    import pandas as pd
+    from jsschema_spark.audio import audio_vad_scan, wav_encode
+
+    sr = 16000
+    speech = np.concatenate([_silence(sr, 200), _tone(sr, 400), _silence(sr, 200)])
+    rows = [
+        ("speech", wav_encode(speech, sr)),
+        ("silent", wav_encode(_silence(sr, 400), sr)),
+        ("broken", b"not a wav payload"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["clip_id", "bytes"])
+    d = str(tmp_path / "clips")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d)
+    out = {r.clip_id: r for r in audio_vad_scan(spark, d).collect()}
+    assert out["speech"].seg_idx == 0 and out["speech"].decode_ok
+    assert abs(out["speech"].start_ms - 200.0) <= 20.0
+    assert abs(out["speech"].end_ms - 600.0) <= 20.0
+    assert out["silent"].seg_idx == -1 and out["silent"].decode_ok
+    assert out["broken"].seg_idx == -1 and not out["broken"].decode_ok

@@ -564,3 +564,37 @@ def test_benford_report_digits(spark):
     assert abs(sum(r.p_obs for r in rows.values()) - 1.0) < 1e-12
     assert abs(rows[1].p_exp - 0.3010299956639812) < 1e-15
     assert abs(rows[1].dev - (0.5 - 0.3010299956639812)) < 1e-12
+
+
+def test_psi_by_period_dense_and_shifted(spark):
+    """Every observed period reports all nbins buckets (zero-filled); an
+    identical-distribution day has ~0 PSI, a shifted day a large one."""
+    import datetime as dt
+
+    from jsschema_spark.stats import psi_by_period
+
+    d1 = dt.datetime(2026, 1, 1)
+    d2 = dt.datetime(2026, 1, 2)
+    base = spark.createDataFrame([(float(v),) for v in (1, 1, 2, 2)], "v double")
+    cur = spark.createDataFrame(
+        [(d1, 1.0), (d1, 1.0), (d1, 2.0), (d1, 2.0),   # same mix as baseline
+         (d2, 9.0), (d2, 9.0), (d2, 9.0), (d2, 9.0)],  # all mass moved
+        "ts timestamp, v double",
+    )
+    out = psi_by_period(base, cur, "v", "ts", "day", 0.0, 10.0, nbins=5).collect()
+    assert len(out) == 10  # 2 days x 5 buckets, dense
+    psi = {}
+    for r in out:
+        psi[r.period_start.day] = psi.get(r.period_start.day, 0.0) + r.psi_term
+    assert abs(psi[1]) < 1e-9
+    assert psi[2] > 1.0
+
+
+def test_psi_by_period_validates_args(spark):
+    import pytest as _pytest
+
+    from jsschema_spark.stats import psi_by_period
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(ValueError):
+        psi_by_period(df, df, "v", "v", "day", 1.0, 1.0)

@@ -784,3 +784,47 @@ def test_incremental_fingerprint_pairs_batch(spark, tmp_path):
         for r in incremental_fingerprint_pairs(new_fp, index).collect()
     }
     assert got == {("c2", "n0"), ("n1", "n2")}
+
+
+def test_interval_join_stream_static_parity(spark, tmp_path):
+    """interval_join works unmodified with a STREAMING point side (the
+    point side is stateless: one bucket projection + an equi-join against
+    the static exploded interval table) and matches the batch result."""
+    import datetime as dt
+
+    from jsschema_spark.functions.events import interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    pts = spark.createDataFrame(
+        [(i, ts(i * 7)) for i in range(40)], "pid int, ts timestamp"
+    )
+    ivl = spark.createDataFrame(
+        [(10, ts(0), ts(60)), (20, ts(45), ts(200)), (30, ts(250), ts(260))],
+        "wid int, s timestamp, e timestamp",
+    )
+    src = str(tmp_path / "pts")
+    out = str(tmp_path / "out")
+    pts.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    q = (
+        interval_join(stream, ivl, "ts", "s", "e", granularity_s=600)
+        .select("pid", "wid")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.pid, r.wid) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        (r.pid, r.wid)
+        for r in interval_join(pts, ivl, "ts", "s", "e", granularity_s=600)
+        .select("pid", "wid")
+        .collect()
+    )
+    assert got == want and len(got) > 0

@@ -1791,3 +1791,30 @@ def test_edit_distance_near_dups(spark):
         for r in edit_distance_near_dups(df, "doc_id", "text", max_dist=3).collect()
     }
     assert out == {(1, 2): 0, (1, 3): 3, (2, 3): 3}
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A doc embedded in a longer one has containment ~1 despite low
+    Jaccard; unrelated docs never pair; the stop-shingle cap drops
+    boilerplate grams from the join."""
+    from jsschema_spark.functions.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "in the beginning of the crawl we observed that " + quote +
+        " which was widely reposted across many unrelated mirror sites"
+    )
+    rows = [
+        (1, long_doc),
+        (2, quote),
+        (3, "completely unrelated text about distributed query planning engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = containment_pairs(df, min_containment=0.8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.cont_b == 1.0          # every quote shingle is in the long doc
+    assert r.cont_a < 0.5           # but the long doc is NOT in the quote
+    # stop-shingle cap: with every shingle over-cap, nothing can pair
+    assert containment_pairs(df, min_containment=0.01, max_shingle_df=0).count() == 0
