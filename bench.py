@@ -155,6 +155,12 @@ def main() -> None:
             "fd_customer_nation_segment", "cardinality_orders_lineitem", "skew_events_user",
             "top_quality_per_lang", "weighted_sample_documents", "contamination_documents", "freshness_events",
             "leakage_split_documents", "chunked_documents", "masked_spans_documents",
+            "customer_acctbal_check", "text_profile_documents", "embedding_near_dups",
+            "clips_validation", "near_dup_canonical", "completeness_events",
+            "transcript_rate_clips", "order_total_reconciliation", "embedding_validation",
+            "violations_cube_orders", "clip_windows", "benford_totalprice",
+            "event_transitions", "incident_window_events", "edit_distance_near_dups",
+            "psi_by_day_events", "containment_documents",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose
