@@ -1565,6 +1565,102 @@ def q_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emd_drift_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Wasserstein-1 drift (stats.emd_drift): l_quantity, full table
+    vs the high-discount slice — sum(emd_r) is the earth-mover distance,
+    the "how FAR did the mass move" scalar PSI and KS can't give. Exact
+    integer cumsums over ≤nbins joined rows; both engines divide the same
+    longs, so the doubles match bit-for-bit."""
+    from jsschema_spark.stats import emd_drift
+
+    base = _t(spark, sf_dir, "lineitem")
+    cur = base.where(F.col("l_discount") > 0.02)
+    out = emd_drift(base, cur, "l_quantity", 1.0, 51.0, nbins=10)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("mass_surplus", 6).alias("surplus_r"),
+        F.round("emd_term", 6).alias("emd_r"),
+    )
+
+
+def q_chisq_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (stats.chisq_independence) between
+    l_returnflag and l_linestatus — the cross-COLUMN dependence monitor.
+    One (a,b)-cell aggregate; marginals are windows over the ≤|A|·|B|
+    cell rows; expected counts are exact integer products divided once,
+    IEEE-identical across engines."""
+    from jsschema_spark.stats import chisq_independence
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = chisq_independence(li, "l_returnflag", "l_linestatus")
+    return out.select(
+        "a", "b",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("n_exp", 4).alias("n_exp_r"),
+        F.round("chisq_term", 4).alias("chisq_r"),
+    )
+
+
+def q_rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day ingest-volume anomaly (stats.rolling_count_anomaly): daily
+    event counts z-scored against the trailing week — the "did the feed
+    double or die today" monitor. One map-side-combined per-day count;
+    the trailing window orders #days result rows only."""
+    from jsschema_spark.stats import rolling_count_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_count_anomaly(ev, "ts", "day", trailing=7, min_history=3)
+    return out.select(
+        F.col("period_start").cast("date").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round("trail_mean", 4).alias("mean_r"),
+        F.round("trail_std", 4).alias("std_r"),
+        F.round("z", 4).alias("z_r"),
+    )
+
+
+def q_unigram_kl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift (text.unigram_kl): per-token KL(cur‖ref)
+    contributions of the non-English stratum against the English one —
+    names WHICH tokens moved, not just that doc-level scores shifted.
+    Ranked by the pure-rational raw-frequency gap (engine-portable);
+    the libm-dependent kl_term is rounded payload."""
+    from jsschema_spark.functions.text import unigram_kl
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("lang") == "en")
+    cur = docs.where(F.col("lang") != "en")
+    out = unigram_kl(ref, cur, "text", k=50)
+    return out.select(
+        "token", "n_ref", "n_cur",
+        F.round("freq_gap", 6).alias("gap_r"),
+        F.round("kl_term", 6).alias("kl_r"),
+    )
+
+
+def q_dup_sizes_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup sizing report (dedup.dup_group_size_histogram): count-of-counts
+    of exact-duplicate group sizes over the injected-dup corpus — two
+    map-side-combined aggregations, no window/join/ids, the contraction
+    that stays cheap even when one boilerplate fingerprint owns half the
+    corpus."""
+    from jsschema_spark.functions.dedup import dup_group_size_histogram
+
+    df = _docs_with_dups(spark, sf_dir)
+
+    def md5_fp(c):
+        return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+    out = dup_group_size_histogram(df, "text", fingerprint_fn=md5_fp)
+    return out.select(
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1647,6 +1743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_near_dups": q_edit_distance_near_dups,
         "psi_by_day_events": q_psi_by_day_events,
         "containment_documents": q_containment_documents,
+        "emd_drift_quantity": q_emd_drift_quantity,
+        "chisq_lineitem_flags": q_chisq_lineitem_flags,
+        "rolling_anomaly_events": q_rolling_anomaly_events,
+        "unigram_kl_documents": q_unigram_kl_documents,
+        "dup_sizes_documents": q_dup_sizes_documents,
     }
 
 
@@ -3003,4 +3104,103 @@ def oracle_sql() -> dict[str, str]:
             WHERE shared > 0
               AND greatest(CAST(shared AS DOUBLE) / n_a,
                            CAST(shared AS DOUBLE) / n_b) >= 0.8""",
+        "emd_drift_quantity": """
+            WITH b AS (
+              SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
+                     count(*) AS n_base
+              FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+            ), c AS (
+              SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INT) AS bucket,
+                     count(*) AS n_cur
+              FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount > 0.02 GROUP BY 1
+            ), j AS (
+              SELECT coalesce(b.bucket, c.bucket) AS bucket,
+                     coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+              FROM b FULL OUTER JOIN c ON b.bucket = c.bucket
+            ), k AS (
+              SELECT bucket, n_base, n_cur,
+                CAST(sum(n_base) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(sum(n_base) OVER () AS DOUBLE)
+                - CAST(sum(n_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(sum(n_cur) OVER () AS DOUBLE) AS surplus
+              FROM j
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+                   round(surplus, 6) AS surplus_r,
+                   round(abs(surplus) * 5.0, 6) AS emd_r
+            FROM k""",
+        "chisq_lineitem_flags": """
+            WITH cells AS (
+              SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS n_obs
+              FROM lineitem GROUP BY 1, 2
+            ), m AS (
+              SELECT a, b, n_obs,
+                CAST(sum(n_obs) OVER (PARTITION BY a) AS DOUBLE)
+                  * CAST(sum(n_obs) OVER (PARTITION BY b) AS DOUBLE)
+                  / CAST(sum(n_obs) OVER () AS DOUBLE) AS n_exp
+              FROM cells
+            )
+            SELECT a, b, CAST(n_obs AS BIGINT) AS n_obs,
+                   round(n_exp, 4) AS n_exp_r,
+                   round((n_obs - n_exp) * (n_obs - n_exp) / n_exp, 4) AS chisq_r
+            FROM m""",
+        "rolling_anomaly_events": """
+            WITH d AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), w AS (
+              SELECT day, n,
+                avg(CAST(n AS DOUBLE)) OVER tw AS m,
+                stddev_samp(CAST(n AS DOUBLE)) OVER tw AS s,
+                count(*) OVER tw AS h
+              FROM d
+              WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT day, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN h >= 3 THEN m END, 4) AS mean_r,
+                   round(CASE WHEN h >= 3 THEN s END, 4) AS std_r,
+                   round(CASE WHEN h >= 3 AND s > 0 THEN (CAST(n AS DOUBLE) - m) / s END, 4) AS z_r
+            FROM w""",
+        "unigram_kl_documents": """
+            WITH rt AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE lang = 'en' AND trim(text) <> ''
+            ), ct AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE lang <> 'en' AND trim(text) <> ''
+            ), r AS (SELECT token, count(*) AS n_ref FROM rt GROUP BY 1),
+            c AS (SELECT token, count(*) AS n_cur FROM ct GROUP BY 1),
+            j AS (
+              SELECT coalesce(r.token, c.token) AS token,
+                     CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                     CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+              FROM r FULL OUTER JOIN c ON r.token = c.token
+            ), t AS (
+              SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur, count(*) AS v FROM j
+            ), s AS (
+              SELECT token, n_ref, n_cur,
+                abs(CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE)
+                  - CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE)) AS gap,
+                (CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + v AS DOUBLE))
+                  * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + v AS DOUBLE))
+                     / (CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + v AS DOUBLE))) AS kl
+              FROM j CROSS JOIN t
+            )
+            SELECT token, n_ref, n_cur, round(gap, 6) AS gap_r, round(kl, 6) AS kl_r
+            FROM s ORDER BY gap DESC, token ASC LIMIT 50""",
+        "dup_sizes_documents": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+            ), g AS (
+              SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     count(*) AS group_size
+              FROM all_docs GROUP BY 1
+            )
+            SELECT CAST(group_size AS BIGINT) AS group_size,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(group_size) AS BIGINT) AS n_docs
+            FROM g GROUP BY 1""",
     }

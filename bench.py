@@ -161,6 +161,8 @@ def main() -> None:
             "violations_cube_orders", "clip_windows", "benford_totalprice",
             "event_transitions", "incident_window_events", "edit_distance_near_dups",
             "psi_by_day_events", "containment_documents",
+            "emd_drift_quantity", "chisq_lineitem_flags", "rolling_anomaly_events",
+            "unigram_kl_documents", "dup_sizes_documents",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -81,6 +81,35 @@ def exact_duplicate_groups(
     )
 
 
+def dup_group_size_histogram(
+    df: DataFrame,
+    text_col: str,
+    fingerprint_fn: Callable[[Column], Column] = content_fingerprint,
+) -> DataFrame:
+    """Count-of-counts profile of exact duplication: one row per observed
+    group size with ``(group_size, n_groups, n_docs)`` — the dedup
+    REPORTING operator. A curation run reads this before deduping to size
+    the job (``sum((size−1)·n_groups)`` = rows removal will drop) and to
+    spot pathology: a heavy tail of huge groups means template/boilerplate
+    content, near-uniform size-1 means dedup isn't worth a pass.
+
+    Scale shape: two map-side-combined hash aggregations — fingerprint
+    counts (shuffle width = #distinct texts), then size counts (width =
+    #distinct sizes, ≲ hundreds) — and nothing else: no window, no join,
+    no doc ids collected. The same count-of-counts contraction that makes
+    ``skew_report`` safe on hot keys makes the boilerplate fingerprint
+    (the hottest key in the corpus) cost one row per task here."""
+    sizes = (
+        df.select(fingerprint_fn(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id doc per fingerprint (deterministic).
 

@@ -396,6 +396,67 @@ def unigram_logprob(df, text_col: str, id_col: str = "doc_id",
     return df.join(scored, id_col, "left")
 
 
+def unigram_kl(df_ref, df_cur, text_col: str, k: int = 100):
+    """Token-distribution drift between two corpora as per-token KL
+    contributions: the add-one-smoothed unigram distributions of the
+    reference and current corpus, full-outer joined on token, with each
+    token's term of ``KL(cur ‖ ref) = Σ p_cur · ln(p_cur / p_ref)``. The
+    VOCABULARY sibling of the numeric drift family — ``sum(kl_term)`` is
+    the scalar a topic/domain-shift monitor alerts on, and the top
+    contributors name WHICH tokens moved (new jargon, a language mix
+    shift, template spam), which no histogram over doc-level scores can.
+
+    Returns the ``k`` tokens with the largest absolute raw-frequency gap
+    (ties broken by token), a pure-rational rank key both engines compute
+    bit-identically — the ln-based ``kl_term`` is libm-dependent, so it
+    is payload (round it before cross-engine hashing), never the cutoff.
+
+    Scale shape: one map-side-combined token count per side (shuffle
+    width = |vocab| each, Zipf-bounded), an outer |vocab|-row join, totals
+    via a broadcast 1-row cross join, and TakeOrdered for the top-k — no
+    global sort, no data-row window."""
+    ref = (
+        df_ref.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    cur = (
+        df_cur.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    j = ref.join(cur, "token", "full_outer").select(
+        "token",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    totals = j.agg(
+        F.sum("n_ref").alias("__tot_ref"),
+        F.sum("n_cur").alias("__tot_cur"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    jt = j.crossJoin(F.broadcast(totals))
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        F.col("__tot_ref") + F.col("__v")
+    ).cast("double")
+    p_cur = (F.col("n_cur") + 1).cast("double") / (
+        F.col("__tot_cur") + F.col("__v")
+    ).cast("double")
+    gap = F.abs(
+        F.col("n_cur").cast("double") / F.col("__tot_cur").cast("double")
+        - F.col("n_ref").cast("double") / F.col("__tot_ref").cast("double")
+    )
+    return (
+        jt.select(
+            "token", "n_ref", "n_cur",
+            gap.alias("freq_gap"),
+            (p_cur * F.log(p_cur / p_ref)).alias("kl_term"),
+        )
+        .orderBy(F.desc("freq_gap"), F.asc("token"))
+        .limit(k)
+    )
+
+
 # --------------------------------------------------------------------------
 # PII detection / redaction
 

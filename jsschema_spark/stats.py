@@ -698,3 +698,120 @@ def psi_by_period(
         pe.alias("p_base"), pa.alias("p_cur"),
         ((pa - pe) * F.log(pa / pe)).alias("psi_term"),
     )
+
+
+def emd_drift(
+    df_baseline: DataFrame,
+    df_current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+) -> DataFrame:
+    """Binned Wasserstein-1 (earth mover's) drift as per-bin rows: the
+    running mass surplus ``cum(p_base − p_cur)`` and its contribution
+    ``|cum| · bin_width`` — ``sum(emd_term)`` is the 1-D EMD between the
+    two distributions. EMD complements PSI/KS in a drift suite: PSI
+    explodes on empty bins, KS sees only the worst single gap, EMD weighs
+    HOW FAR the mass moved (a 1-bin shift and a 10-bin shift have equal
+    KS but 10× different EMD), which is what a retraining trigger should
+    threshold on.
+
+    Scale shape: identical to ``ks_drift`` — two map-side-combined
+    histogram aggregations (≤nbins rows per executor cross the shuffle),
+    an nbins-row join, and windows over the ≤nbins joined rows only.
+    Doubles are exact-integer cumsums divided by totals, so both engines
+    agree bit-for-bit."""
+    j = _joined_histograms(df_baseline, df_current, col, lo, hi, nbins)
+    from pyspark.sql import Window
+
+    width = (hi - lo) / nbins
+    cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    surplus = (
+        F.sum("n_base").over(cum) / F.sum("n_base").over(tot)
+        - F.sum("n_cur").over(cum) / F.sum("n_cur").over(tot)
+    )
+    return j.select(
+        "bucket", "n_base", "n_cur",
+        surplus.alias("mass_surplus"),
+        (F.abs(surplus) * F.lit(width)).alias("emd_term"),
+    )
+
+
+def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns as
+    a contingency DataFrame: one row per observed ``(a, b)`` cell with the
+    observed count, the independence-expected count
+    ``row_total · col_total / n`` and the cell's χ² term
+    ``(obs − exp)² / exp`` — ``sum(chisq_term)`` vs the χ² quantile at
+    ``(|A|−1)(|B|−1)`` dof is the dependence verdict. The cross-COLUMN
+    sibling of the engine's cross-TABLE drift checks: a validation suite
+    uses it to detect when two fields that should be independent (shard ↔
+    label) or dependent (status ↔ priority) change their relationship.
+
+    Scale shape: ONE map-side-combined ``(a, b)`` aggregation — shuffle
+    width = #observed cells, never #rows; marginals are windows over the
+    aggregated cell rows partitioned by each side, so no data row meets a
+    window. Null categories participate as real cells (dropping them
+    would hide a null-correlated dependence)."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    row_tot = F.sum("n_obs").over(Window.partitionBy("a"))
+    col_tot = F.sum("n_obs").over(Window.partitionBy("b"))
+    grand = F.sum("n_obs").over(Window.partitionBy())
+    expected = row_tot.cast("double") * col_tot.cast("double") / grand.cast("double")
+    return cells.select(
+        "a", "b", "n_obs",
+        expected.alias("n_exp"),
+        ((F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected).alias(
+            "chisq_term"
+        ),
+    )
+
+
+def rolling_count_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    period: str = "day",
+    trailing: int = 7,
+    min_history: int = 3,
+) -> DataFrame:
+    """Volume-anomaly screen on the event feed itself: per-period row
+    counts with a trailing-window mean/stddev (the ``trailing`` periods
+    strictly BEFORE each one — the period never scores against itself)
+    and the resulting z-score. The per-PERIOD sibling of
+    ``anomalous_groups`` (which z-scores entities against the population);
+    this is the "did ingest double or halve today" monitor. Periods with
+    fewer than ``min_history`` predecessors emit a null z (cold start is
+    not evidence).
+
+    Scale shape: the input collapses in ONE map-side-combined per-period
+    count — shuffle width = #periods, never #rows; the trailing window
+    orders the #period result rows only (a year of days is 365 rows), the
+    classic agg-then-window monitor plan."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc(period, F.col(ts_col)).alias("period_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("period_start").rowsBetween(-trailing, -1)
+    mean = F.avg(F.col("n").cast("double")).over(w)
+    sd = F.stddev_samp(F.col("n").cast("double")).over(w)
+    hist = F.count(F.lit(1)).over(w)
+    return counts.select(
+        "period_start", "n",
+        F.when(hist >= min_history, mean).alias("trail_mean"),
+        F.when(hist >= min_history, sd).alias("trail_std"),
+        F.when(
+            (hist >= min_history) & (sd > 0),
+            (F.col("n").cast("double") - mean) / sd,
+        ).alias("z"),
+    )

@@ -598,3 +598,97 @@ def test_psi_by_period_validates_args(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with _pytest.raises(ValueError):
         psi_by_period(df, df, "v", "v", "day", 1.0, 1.0)
+
+
+def test_emd_drift_mass_shift(spark):
+    """A one-bin shift of all mass: EMD = bin width; per-bin surplus is the
+    running CDF gap."""
+    from jsschema_spark.stats import emd_drift
+
+    base = spark.createDataFrame([(float(v),) for v in [0.5] * 4], "x double")
+    cur = spark.createDataFrame([(float(v),) for v in [1.5] * 4], "x double")
+    rows = {r["bucket"]: r for r in emd_drift(base, cur, "x", 0.0, 4.0, nbins=4).collect()}
+    # all base mass in bucket 0, all cur mass in bucket 1: surplus 1.0 in
+    # bucket 0, 0 after; EMD = 1.0 * width(=1.0)
+    assert rows[0]["mass_surplus"] == pytest.approx(1.0)
+    assert rows[0]["emd_term"] == pytest.approx(1.0)
+    assert rows[1]["mass_surplus"] == pytest.approx(0.0)
+    total = sum(r["emd_term"] for r in rows.values())
+    assert total == pytest.approx(1.0)
+
+    # identical distributions: EMD exactly 0
+    same = emd_drift(base, base, "x", 0.0, 4.0, nbins=4).collect()
+    assert all(r["emd_term"] == 0.0 for r in same)
+
+
+def test_chisq_independence_exact_and_dependent(spark):
+    from jsschema_spark.stats import chisq_independence
+
+    # perfectly independent 2x2: chi2 = 0 in every cell
+    indep = spark.createDataFrame(
+        [("x", "p")] * 4 + [("x", "q")] * 4 + [("y", "p")] * 4 + [("y", "q")] * 4,
+        "a string, b string",
+    )
+    rows = chisq_independence(indep, "a", "b").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_exp"] == pytest.approx(4.0)
+        assert r["chisq_term"] == pytest.approx(0.0)
+
+    # perfectly dependent 2x2 (diagonal): chi2 term = expected deviation
+    dep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a string, b string"
+    )
+    out = {(r["a"], r["b"]): r for r in chisq_independence(dep, "a", "b").collect()}
+    # expected = 2.5 everywhere observed; (5-2.5)^2/2.5 = 2.5
+    assert out[("x", "p")]["chisq_term"] == pytest.approx(2.5)
+    assert out[("y", "q")]["n_exp"] == pytest.approx(2.5)
+
+    # nulls are real cells, not dropped
+    with_null = spark.createDataFrame(
+        [("x", None)] * 3 + [("x", "p")] * 3, "a string, b string"
+    )
+    cells = chisq_independence(with_null, "a", "b").collect()
+    assert len(cells) == 2
+
+
+def test_rolling_count_anomaly_cold_start_and_spike(spark):
+    from jsschema_spark.stats import rolling_count_anomaly
+
+    rows = []
+    # 9 steady days of 10 events, then a 30-event spike day
+    for d in range(1, 10):
+        rows += [(f"2024-01-{d:02d} 12:00:00",)] * 10
+    rows += [("2024-01-10 12:00:00",)] * 30
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        str(r["period_start"])[:10]: r
+        for r in rolling_count_anomaly(df, "ts", "day", trailing=7, min_history=3).collect()
+    }
+    assert len(out) == 10
+    # first 3 days: no (or too little) history -> null z
+    assert out["2024-01-01"]["z"] is None
+    assert out["2024-01-03"]["z"] is None
+    # steady day with full history: zero variance -> null z (not inf)
+    assert out["2024-01-09"]["z"] is None
+    # the spike scores against 7 steady predecessors: mean 10, std 0 -> null?
+    # no: predecessors of day 10 are days 3..9 all n=10 -> std 0 -> null z,
+    # so assert the mean is right and z stays null rather than inf
+    assert out["2024-01-10"]["trail_mean"] == pytest.approx(10.0)
+    assert out["2024-01-10"]["z"] is None
+
+    # with a varied history the spike z-scores positive
+    rows2 = []
+    counts = [8, 12, 9, 11, 10, 10, 10, 30]
+    for d, n in enumerate(counts, start=1):
+        rows2 += [(f"2024-02-{d:02d} 12:00:00",)] * n
+    df2 = spark.createDataFrame(rows2, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    out2 = {
+        str(r["period_start"])[:10]: r
+        for r in rolling_count_anomaly(df2, "ts", "day", trailing=7, min_history=3).collect()
+    }
+    assert out2["2024-02-08"]["z"] > 3.0

@@ -1818,3 +1818,39 @@ def test_containment_pairs_asymmetric(spark):
     assert r.cont_a < 0.5           # but the long doc is NOT in the quote
     # stop-shingle cap: with every shingle over-cap, nothing can pair
     assert containment_pairs(df, min_containment=0.01, max_shingle_df=0).count() == 0
+
+
+def test_unigram_kl_names_the_moved_tokens(spark):
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")], "doc_id long, text string"
+    )
+    cur = spark.createDataFrame(
+        [(3, "le chat assis"), (4, "le chien assis")], "doc_id long, text string"
+    )
+    rows = X.unigram_kl(ref, cur, "text", k=3).collect()
+    # 'the'/'sat' (ref-only, 2/6) and 'le'/'assis' (cur-only, 2/6) tie at
+    # gap 1/3; the deterministic tiebreak is token ASC
+    top = [r["token"] for r in rows]
+    assert top == ["assis", "le", "sat"]
+    by_tok = {r["token"]: r for r in rows}
+    # 'le' appears only in cur: positive KL contribution
+    assert by_tok["le"]["n_ref"] == 0 and by_tok["le"]["n_cur"] == 2
+    assert by_tok["le"]["kl_term"] > 0
+
+    # identical corpora: every gap and kl term is exactly zero
+    same = X.unigram_kl(ref, ref, "text", k=10).collect()
+    assert all(r["freq_gap"] == 0.0 for r in same)
+    assert all(abs(r["kl_term"]) < 1e-15 for r in same)
+
+
+def test_dup_group_size_histogram_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "bbb"), (6, "ccc")],
+        "doc_id long, text string",
+    )
+    out = {r["group_size"]: r for r in D.dup_group_size_histogram(df, "text").collect()}
+    assert out[3]["n_groups"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_groups"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_groups"] == 1 and out[1]["n_docs"] == 1
+    # invariant: sum(n_docs) = corpus size
+    assert sum(r["n_docs"] for r in out.values()) == 6
