@@ -346,3 +346,58 @@ def interval_join(
         .drop(*dup)
         .drop("__bkt")
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of distinct
+    ``item_col`` values, the number of entities (user, user×day, session)
+    whose event set contains BOTH — the support counts an association /
+    next-step-suggestion analysis starts from, and a feed-mixup screen
+    (two event types that should never share a user suddenly co-occurring
+    is an instrumentation bug).
+
+    Output: ``(item_a, item_b, n_entities)`` with ``item_a < item_b``,
+    support ≥ ``min_support``.
+
+    Scale shape: ONE distinct-collapse aggregation keyed by entity
+    (map-side combined, shuffle width = #entities × #distinct items per
+    entity), then a per-entity ``collect_set`` whose size is bounded by
+    the ITEM VOCABULARY (event types — tens, not millions), exploded to
+    pairs entity-locally (≤ |vocab|²/2 rows per entity, no join), and a
+    final vocabulary²-width count. No self-join ever touches the event
+    table; the quadratic step runs on the collapsed per-entity sets."""
+    keys = [F.col(c) for c in entity_cols]
+    per_entity = (
+        df.where(F.col(item_col).isNotNull())
+        .select(*keys, F.col(item_col).alias("__item"))
+        .distinct()
+        .groupBy(*entity_cols)
+        .agg(F.sort_array(F.collect_set("__item")).alias("__items"))
+        .where(F.size("__items") >= 2)
+    )
+    pairs = per_entity.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__items"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("__items"), i + 2, F.size("__items")
+                        ),
+                        lambda b: F.struct(a.alias("item_a"), b.alias("item_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+        .where(F.col("n_entities") >= F.lit(min_support))
+    )

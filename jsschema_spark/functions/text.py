@@ -396,6 +396,69 @@ def unigram_logprob(df, text_col: str, id_col: str = "doc_id",
     return df.join(scored, id_col, "left")
 
 
+def bigram_pmi(df, text_col: str, k: int = 100, min_count: int = 5):
+    """Top-k adjacent-word collocations by frequency with their pointwise
+    mutual information ``ln(p(xy) / (p(x)·p(y)))`` — the phrase detector a
+    tokenizer/vocab-building pass runs before merging multiword units, and
+    a template-spam screen (boilerplate shows as huge-count bigrams with
+    modest PMI; real collocations show high PMI at lower counts).
+
+    Ranked by ``(n_bigram DESC, bigram ASC)`` — pure integers, portable
+    across engines; the libm-dependent ``pmi`` is rounded payload.
+    ``min_count`` drops the hapax tail before the join (Zipf: most
+    distinct bigrams occur once and can never rank).
+
+    Scale shape: one bigram count and one unigram count (both map-side
+    combined, Zipf-width shuffles), two vocab-sized equi-joins (AQE
+    broadcasts the filtered bigram side), totals via a broadcast 1-row
+    cross join, TakeOrdered top-k — no window, no global sort."""
+    toks = df.select(tokens(F.col(text_col)).alias("__toks"))
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    big = (
+        toks.where(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                    lambda w, i: F.struct(
+                        w.alias("w1"), F.element_at(F.col("__toks"), i + 2).alias("w2")
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+        .where(F.col("n_bigram") >= min_count)
+    )
+    totals = uni.agg(F.sum("n_w").alias("__tot_w"))
+    n_big_total = big.agg(F.sum("n_bigram").alias("__tot_bg"))
+    j = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_big_total))
+    )
+    p_xy = F.col("n_bigram").cast("double") / F.col("__tot_bg").cast("double")
+    p_x = F.col("n_w1").cast("double") / F.col("__tot_w").cast("double")
+    p_y = F.col("n_w2").cast("double") / F.col("__tot_w").cast("double")
+    return (
+        j.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("n_bigram").cast("long").alias("n_bigram"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            F.log(p_xy / (p_x * p_y)).alias("pmi"),
+        )
+        .orderBy(F.desc("n_bigram"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
 def unigram_kl(df_ref, df_cur, text_col: str, k: int = 100):
     """Token-distribution drift between two corpora as per-token KL
     contributions: the add-one-smoothed unigram distributions of the

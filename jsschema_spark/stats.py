@@ -775,6 +775,44 @@ def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
 
 
+def categorical_entropy(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
+    """Per-group Shannon entropy of a categorical column — the balance
+    audit for training mixes: entropy ≈ 0 means a stratum (source, shard,
+    day) is single-category (e.g. one language swamped a source), entropy
+    near ``ln(k)`` means it is uniform. Output one row per group:
+    ``(group, n_rows, n_cats, entropy, entropy_norm)`` with
+    ``entropy_norm = entropy / ln(n_cats)`` ∈ [0,1] comparable across
+    groups with different category counts (single-category groups get 0).
+
+    Scale shape: ONE map-side-combined (group, cat) aggregation — shuffle
+    width = #observed cells — then a second #cells → #groups aggregation;
+    no window ever sees a data row. Nulls count as a real category."""
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per = cells.groupBy("grp").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cats"),
+        # sum(n ln n) lets entropy come out of ONE pass over the cells:
+        # H = ln(N) − Σ n·ln(n) / N
+        F.sum(F.col("n").cast("double") * F.log(F.col("n").cast("double"))).alias(
+            "__sum_nlogn"
+        ),
+    )
+    ent = F.log(F.col("n_rows").cast("double")) - F.col("__sum_nlogn") / F.col(
+        "n_rows"
+    ).cast("double")
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_cats").cast("long").alias("n_cats"),
+        ent.alias("entropy"),
+        F.when(F.col("n_cats") > 1, ent / F.log(F.col("n_cats").cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("entropy_norm"),
+    )
+
+
 def rolling_count_anomaly(
     df: DataFrame,
     ts_col: str,
