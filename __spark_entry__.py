@@ -1661,6 +1661,53 @@ def q_dup_sizes_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix balance audit (stats.categorical_entropy): per-source
+    Shannon entropy of the lang column — entropy ≈ 0 flags a source one
+    language swamped. Two tiny aggregations (cells → groups); entropy
+    falls out of one Σ n·ln n pass."""
+    from jsschema_spark.stats import categorical_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = categorical_entropy(docs, "source", "lang")
+    return out.select(
+        "source",
+        "n_rows",
+        "n_cats",
+        F.round("entropy", 6).alias("entropy_r"),
+        F.round("entropy_norm", 6).alias("norm_r"),
+    )
+
+
+def q_bigram_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (text.bigram_pmi): top adjacent-word bigrams
+    with PMI — the phrase detector a vocab-building pass runs, and a
+    template-spam screen. Ranked by (count DESC, bigram ASC) — pure
+    integers, engine-portable; the ln-based PMI is rounded payload."""
+    from jsschema_spark.functions.text import bigram_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_pmi(docs, "text", k=40, min_count=5)
+    return out.select(
+        "bigram", "n_bigram", "n_w1", "n_w2",
+        F.round("pmi", 6).alias("pmi_r"),
+    )
+
+
+def q_cooccurrence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence (events.cooccurrence_counts): for every
+    unordered pair of event types, how many (user, day) entities saw
+    both — association supports + instrumentation-mixup screen. The
+    quadratic step runs on per-entity collapsed type SETS (bounded by
+    the event-type vocabulary), never on event rows."""
+    from jsschema_spark.functions.events import cooccurrence_counts
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    return cooccurrence_counts(ev, ["user_id", "day"], "event_type", min_support=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1748,6 +1795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly_events": q_rolling_anomaly_events,
         "unigram_kl_documents": q_unigram_kl_documents,
         "dup_sizes_documents": q_dup_sizes_documents,
+        "entropy_by_source": q_entropy_by_source,
+        "bigram_pmi_documents": q_bigram_pmi_documents,
+        "cooccurrence_events": q_cooccurrence_events,
     }
 
 
@@ -3203,4 +3253,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_groups,
                    CAST(sum(group_size) AS BIGINT) AS n_docs
             FROM g GROUP BY 1""",
+        "entropy_by_source": """
+            WITH cells AS (
+              SELECT source AS grp, lang AS cat, count(*) AS n
+              FROM documents GROUP BY 1, 2
+            ), per AS (
+              SELECT grp, sum(n) AS n_rows, count(*) AS n_cats,
+                     sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snl
+              FROM cells GROUP BY 1
+            )
+            SELECT grp AS source,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_cats AS BIGINT) AS n_cats,
+                   round(ln(CAST(n_rows AS DOUBLE)) - snl / CAST(n_rows AS DOUBLE), 6) AS entropy_r,
+                   round(CASE WHEN n_cats > 1
+                              THEN (ln(CAST(n_rows AS DOUBLE)) - snl / CAST(n_rows AS DOUBLE))
+                                   / ln(CAST(n_cats AS DOUBLE))
+                              ELSE 0.0 END, 6) AS norm_r
+            FROM per""",
+        "bigram_pmi_documents": """
+            WITH t AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ), uni AS (
+              SELECT w, count(*) AS n_w FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+            ), bg AS (
+              SELECT bg.w1, bg.w2, count(*) AS n_bigram FROM (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                              i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+                FROM t WHERE len(toks) >= 2
+              ) GROUP BY 1, 2 HAVING count(*) >= 5
+            ), tot AS (
+              SELECT sum(n_w) AS tot_w FROM uni
+            ), tb AS (
+              SELECT sum(n_bigram) AS tot_bg FROM bg
+            )
+            SELECT bg.w1 || ' ' || bg.w2 AS bigram,
+                   CAST(n_bigram AS BIGINT) AS n_bigram,
+                   CAST(u1.n_w AS BIGINT) AS n_w1,
+                   CAST(u2.n_w AS BIGINT) AS n_w2,
+                   round(ln((CAST(n_bigram AS DOUBLE) / CAST(tot_bg AS DOUBLE))
+                          / ((CAST(u1.n_w AS DOUBLE) / CAST(tot_w AS DOUBLE))
+                           * (CAST(u2.n_w AS DOUBLE) / CAST(tot_w AS DOUBLE)))), 6) AS pmi_r
+            FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+            CROSS JOIN tot CROSS JOIN tb
+            ORDER BY n_bigram DESC, bigram ASC LIMIT 40""",
+        "cooccurrence_events": """
+            WITH e AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+              FROM events WHERE event_type IS NOT NULL
+            )
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_entities
+            FROM e a JOIN e b
+              ON a.user_id IS NOT DISTINCT FROM b.user_id
+             AND a.day IS NOT DISTINCT FROM b.day
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2 HAVING count(*) >= 5""",
     }

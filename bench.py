@@ -163,6 +163,7 @@ def main() -> None:
             "psi_by_day_events", "containment_documents",
             "emd_drift_quantity", "chisq_lineitem_flags", "rolling_anomaly_events",
             "unigram_kl_documents", "dup_sizes_documents",
+            "entropy_by_source", "bigram_pmi_documents", "cooccurrence_events",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -692,3 +692,27 @@ def test_rolling_count_anomaly_cold_start_and_spike(spark):
         for r in rolling_count_anomaly(df2, "ts", "day", trailing=7, min_history=3).collect()
     }
     assert out2["2024-02-08"]["z"] > 3.0
+
+
+def test_categorical_entropy_extremes(spark):
+    import math
+
+    from jsschema_spark.stats import categorical_entropy
+
+    df = spark.createDataFrame(
+        [("pure", "en")] * 4
+        + [("uniform", "en"), ("uniform", "de"), ("uniform", "fr"), ("uniform", "es")]
+        + [("skew", "en")] * 3 + [("skew", "de")],
+        "src string, lang string",
+    )
+    out = {r["src"]: r for r in categorical_entropy(df, "src", "lang").collect()}
+    # single-category group: H = 0, normalized 0 (not NaN)
+    assert out["pure"]["entropy"] == pytest.approx(0.0)
+    assert out["pure"]["entropy_norm"] == 0.0 and out["pure"]["n_cats"] == 1
+    # uniform over 4: H = ln 4, normalized exactly 1
+    assert out["uniform"]["entropy"] == pytest.approx(math.log(4))
+    assert out["uniform"]["entropy_norm"] == pytest.approx(1.0)
+    # skewed 3:1 over 2 cats: H = ln4 - (3 ln 3)/4 between 0 and ln 2
+    h = math.log(4) - 3 * math.log(3) / 4
+    assert out["skew"]["entropy"] == pytest.approx(h)
+    assert 0 < out["skew"]["entropy_norm"] < 1

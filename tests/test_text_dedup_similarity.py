@@ -1854,3 +1854,45 @@ def test_dup_group_size_histogram_counts(spark):
     assert out[1]["n_groups"] == 1 and out[1]["n_docs"] == 1
     # invariant: sum(n_docs) = corpus size
     assert sum(r["n_docs"] for r in out.values()) == 6
+
+
+def test_bigram_pmi_collocation(spark):
+    import math
+
+    # 'new york' always adjacent; 'the' everywhere -> PMI(new york) high
+    rows = [(i, "the new york office of the company") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bigram"]: r for r in X.bigram_pmi(df, "text", k=10, min_count=5).collect()}
+    assert out["new york"]["n_bigram"] == 6
+    assert out["the new"]["n_bigram"] == 6
+    # every doc: 7 tokens, 6 bigrams; totals 42 words / 36 bigrams
+    # PMI(new york) = ln((6/36)/((6/42)*(6/42)))
+    exp = math.log((6 / 36) / ((6 / 42) * (6 / 42)))
+    assert out["new york"]["pmi"] == pytest.approx(exp)
+    # 'of the': 'the' occurs 12 times -> lower PMI than 'new york'
+    assert out["of the"]["pmi"] < out["new york"]["pmi"]
+
+
+def test_cooccurrence_counts_entities(spark):
+    from jsschema_spark.functions.events import cooccurrence_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "click"), (1, "view"), (1, "click"),   # u1: {click, view}
+            (2, "click"), (2, "purchase"),              # u2: {click, purchase}
+            (3, "view"),                                 # u3: single type -> no pair
+            (4, "click"), (4, "view"), (4, "purchase"), # u4: all three
+        ],
+        "user_id long, event_type string",
+    )
+    out = {
+        (r["item_a"], r["item_b"]): r["n_entities"]
+        for r in cooccurrence_counts(df, ["user_id"], "event_type").collect()
+    }
+    assert out[("click", "view")] == 2          # u1, u4
+    assert out[("click", "purchase")] == 2      # u2, u4
+    assert out[("purchase", "view")] == 1       # u4 only (sorted pair)
+    assert len(out) == 3
+    # min_support prunes
+    pruned = cooccurrence_counts(df, ["user_id"], "event_type", min_support=2).collect()
+    assert len(pruned) == 2
