@@ -1708,6 +1708,72 @@ def q_cooccurrence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_counts(ev, ["user_id", "day"], "event_type", min_support=5)
 
 
+def q_centroid_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (similarity.centroid_drift): per-(label, dim)
+    centroid shift between the even- and odd-id vector populations —
+    catches a model swap / poisoned feed at the class level. Two
+    (label × dim)-width averages + one cell-row join."""
+    from jsschema_spark.functions.similarity import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    out = centroid_drift(ref, cur, "label", "embedding")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "dim",
+        F.round("mean_ref", 6).alias("mean_ref_r"),
+        F.round("mean_cur", 6).alias("mean_cur_r"),
+        F.round("delta", 6).alias("delta_r"),
+    )
+
+
+def q_duplicate_charges_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge screen (checks.duplicate_charges): same customer,
+    identical amount, within 30 days — over the orders table with
+    injected resubmissions (the clean synthetic corpus has no natural
+    exact-amount repeats, so the screen's hits are provably exactly the
+    injection). Composite (key, amount) self-equi-join, no windows."""
+    from jsschema_spark.checks import duplicate_charges
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey", "o_orderdate"
+    )
+    injected = o.where(F.col("o_orderkey") % 997 == 3).select(
+        "o_custkey", "o_totalprice",
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 5 DAYS")).alias("o_orderdate"),
+    )
+    u = o.unionByName(injected)
+    out = duplicate_charges(
+        u, "o_custkey", "o_totalprice", "o_orderdate", "o_orderkey", max_gap_days=30
+    )
+    return out.select(
+        "o_custkey", "id_a", "id_b",
+        F.round("o_totalprice", 2).alias("amount_r"),
+        _EPOCH_US(F.col("ts_a")).alias("ts_a_us"),
+        _EPOCH_US(F.col("ts_b")).alias("ts_b_us"),
+        "gap_days",
+    )
+
+
+def q_time_to_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel timing (events.time_to_conversion): per-user latency from
+    first view to the first purchase at-or-after it; never-converted
+    users stay as null-latency rows. Two per-user min aggregates + one
+    user-keyed join — no windows, no history collection."""
+    from jsschema_spark.functions.events import time_to_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_to_conversion(ev, "user_id", "ts", "event_type", "view", "purchase")
+    return out.select(
+        "user_id",
+        _EPOCH_US(F.col("first_start")).alias("first_view_us"),
+        _EPOCH_US(F.col("first_conversion")).alias("first_conv_us"),
+        "secs_to_convert",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1798,6 +1864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_by_source": q_entropy_by_source,
         "bigram_pmi_documents": q_bigram_pmi_documents,
         "cooccurrence_events": q_cooccurrence_events,
+        "centroid_drift_embeddings": q_centroid_drift_embeddings,
+        "duplicate_charges_orders": q_duplicate_charges_orders,
+        "time_to_conversion_events": q_time_to_conversion_events,
     }
 
 
@@ -3310,4 +3379,56 @@ def oracle_sql() -> dict[str, str]:
              AND a.day IS NOT DISTINCT FROM b.day
              AND a.event_type < b.event_type
             GROUP BY 1, 2 HAVING count(*) >= 5""",
+        "centroid_drift_embeddings": """
+            WITH r AS (
+              SELECT label, i AS dim, avg(CAST(embedding[i + 1] AS DOUBLE)) AS m
+              FROM embeddings, range(64) t(i)
+              WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+              GROUP BY 1, 2
+            ), c AS (
+              SELECT label, i AS dim, avg(CAST(embedding[i + 1] AS DOUBLE)) AS m
+              FROM embeddings, range(64) t(i)
+              WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT CAST(r.label AS BIGINT) AS label, CAST(r.dim AS BIGINT) AS dim,
+                   round(r.m, 6) AS mean_ref_r, round(c.m, 6) AS mean_cur_r,
+                   round(c.m - r.m, 6) AS delta_r
+            FROM r JOIN c ON r.label = c.label AND r.dim = c.dim""",
+        "duplicate_charges_orders": """
+            WITH u AS (
+              SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate FROM orders
+              UNION ALL
+              SELECT o_custkey, o_totalprice, o_orderkey + 10000000,
+                     o_orderdate + INTERVAL 5 DAY
+              FROM orders WHERE o_orderkey % 997 = 3
+            )
+            SELECT a.o_custkey,
+                   a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+                   round(a.o_totalprice, 2) AS amount_r,
+                   CAST(epoch_us(a.o_orderdate) AS BIGINT) AS ts_a_us,
+                   CAST(epoch_us(b.o_orderdate) AS BIGINT) AS ts_b_us,
+                   CAST(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                                      CAST(b.o_orderdate AS DATE))) AS BIGINT) AS gap_days
+            FROM u a JOIN u b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_totalprice = b.o_totalprice
+             AND a.o_orderkey < b.o_orderkey
+            WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                                CAST(b.o_orderdate AS DATE))) <= 30""",
+        "time_to_conversion_events": """
+            WITH s AS (
+              SELECT user_id, min(ts) AS fs FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+              SELECT s.user_id, s.fs, min(e.ts) AS fc
+              FROM s JOIN events e
+                ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.fs
+              GROUP BY 1, 2
+            )
+            SELECT s.user_id,
+                   CAST(epoch_us(s.fs) AS BIGINT) AS first_view_us,
+                   CAST(epoch_us(c.fc) AS BIGINT) AS first_conv_us,
+                   CAST(epoch_us(c.fc) - epoch_us(s.fs) AS BIGINT) // 1000000 AS secs_to_convert
+            FROM s LEFT JOIN c ON s.user_id = c.user_id""",
     }

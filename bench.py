@@ -164,6 +164,8 @@ def main() -> None:
             "emd_drift_quantity", "chisq_lineitem_flags", "rolling_anomaly_events",
             "unigram_kl_documents", "dup_sizes_documents",
             "entropy_by_source", "bigram_pmi_documents", "cooccurrence_events",
+            "centroid_drift_embeddings", "duplicate_charges_orders",
+            "time_to_conversion_events",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -511,3 +511,57 @@ def vector_violations(
     return (
         df.select(F.col(id_col).alias("id"), F.explode(reasons).alias("reason"))
     )
+
+
+def duplicate_charges(
+    df: DataFrame,
+    key_col: str,
+    amount_col: str,
+    ts_col: str,
+    id_col: str,
+    max_gap_days: int = 30,
+) -> DataFrame:
+    """Double-charge screen: pairs of DISTINCT records with the same key
+    (customer/account), the IDENTICAL amount, within ``max_gap_days`` of
+    each other — the classic duplicate-payment / double-submission audit
+    a ledger validation suite runs. Amount equality is exact (DECIMAL or
+    string-rendered, never float-rounded upstream). Output one row per
+    unordered pair: key, both ids, both timestamps, the amount and the
+    gap in days.
+
+    Scale shape: a self-equi-join on the COMPOSITE (key, amount) — far
+    finer than key alone, so per-bucket fan-out is the count of
+    same-key-same-amount records (legitimately tiny; a bucket that IS
+    huge is itself the finding) — then the gap predicate and id ordering.
+    No windows, no data-row sort; the join shuffles on a high-cardinality
+    composite, immune to single-customer hot keys unless the amounts
+    repeat too."""
+    cols = {
+        "k": F.col(key_col), "a": F.col(amount_col),
+        "t": F.col(ts_col), "i": F.col(id_col),
+    }
+    s = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(amount_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(*[v.alias(n) for n, v in cols.items()])
+    a, b = s.alias("a"), s.alias("b")
+    gap = F.abs(F.datediff(F.col("a.t"), F.col("b.t")))
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.a") == F.col("b.a"))
+            & (F.col("a.i") < F.col("b.i")),
+        )
+        .where(gap <= max_gap_days)
+        .select(
+            F.col("a.k").alias(key_col),
+            F.col("a.i").alias("id_a"),
+            F.col("b.i").alias("id_b"),
+            F.col("a.a").alias(amount_col),
+            F.col("a.t").alias("ts_a"),
+            F.col("b.t").alias("ts_b"),
+            gap.cast("long").alias("gap_days"),
+        )
+    )

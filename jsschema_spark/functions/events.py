@@ -401,3 +401,48 @@ def cooccurrence_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
         .where(F.col("n_entities") >= F.lit(min_support))
     )
+
+
+def time_to_conversion(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_event: str = "view",
+    conversion_event: str = "purchase",
+) -> DataFrame:
+    """Per-user latency from the FIRST ``start_event`` to the first
+    ``conversion_event`` AT OR AFTER it — the funnel-timing metric
+    (time-to-purchase, time-to-error, time-to-first-response). Users who
+    never start are absent; users who start and never convert carry null
+    conversion fields (an unconverted user is signal, not a dropped row).
+
+    Scale shape: two map-side-combined per-user min aggregates and one
+    user-keyed join — no windows, no event-history collection; the
+    conversion side pre-filters to conversion events before the join so
+    the join input is conversion-sized, not feed-sized."""
+    starts = (
+        df.where(F.col(type_col) == start_event)
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias("first_start"))
+    )
+    convs = df.where(F.col(type_col) == conversion_event).select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("__ct")
+    )
+    first_conv = (
+        starts.join(convs, "user")
+        .where(F.col("__ct") >= F.col("first_start"))
+        .groupBy("user", "first_start")
+        .agg(F.min("__ct").alias("first_conversion"))
+    )
+    return (
+        starts.join(first_conv.select("user", "first_conversion"), "user", "left")
+        .select(
+            F.col("user").alias(user_col),
+            "first_start",
+            "first_conversion",
+            F.timestamp_diff("SECOND", F.col("first_start"), F.col("first_conversion"))
+            .cast("long")
+            .alias("secs_to_convert"),
+        )
+    )

@@ -401,3 +401,42 @@ def mean_pool(
             lambda s: s["__m"],
         ).alias(out_col)
     )
+
+
+def centroid_drift(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label, per-dimension centroid shift between two embedding
+    populations — the EMBEDDING-space sibling of the numeric drift
+    family: a re-embedded corpus, a model swap, or a poisoned feed moves
+    class centroids long before individual-vector checks fire. Output is
+    LONG FORM, one row per ``(label, dim)``: both means and the delta;
+    ``sqrt(sum(delta²)) GROUP BY label`` is the per-label L2 shift a
+    monitor thresholds, and the per-dim rows localize WHICH components
+    moved.
+
+    Scale shape: posexplode → ONE map-side-combined (label, dim) average
+    per side — shuffle width = #labels × dim, never #vectors — then a
+    (#labels × dim)-row join. Labels present on only one side drop (no
+    drift is computable); null vectors are skipped."""
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.col(label_col).alias("label"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+            .groupBy("label", "dim")
+            .agg(F.avg(F.col("__v").cast("double")).alias(out))
+        )
+
+    r = side(df_ref, "mean_ref")
+    c = side(df_cur, "mean_cur")
+    return r.join(c, ["label", "dim"]).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        "mean_ref",
+        "mean_cur",
+        (F.col("mean_cur") - F.col("mean_ref")).alias("delta"),
+    )

@@ -716,3 +716,23 @@ def test_categorical_entropy_extremes(spark):
     h = math.log(4) - 3 * math.log(3) / 4
     assert out["skew"]["entropy"] == pytest.approx(h)
     assert 0 < out["skew"]["entropy_norm"] < 1
+
+
+def test_duplicate_charges_pairs(spark):
+    from jsschema_spark.checks import duplicate_charges
+
+    df = spark.createDataFrame(
+        [
+            (1, 100.0, "2024-01-01", 10),
+            (1, 100.0, "2024-01-15", 11),   # dup within 30d
+            (1, 100.0, "2024-03-15", 12),   # same amount, too far from 10/11
+            (1, 200.0, "2024-01-02", 13),   # different amount
+            (2, 100.0, "2024-01-03", 14),   # different key
+            (2, None, "2024-01-04", 15),    # null amount dropped
+        ],
+        "k long, amt double, d string, oid long",
+    ).select("k", "amt", F.col("d").cast("timestamp").alias("d"), "oid")
+    rows = duplicate_charges(df, "k", "amt", "d", "oid", max_gap_days=30).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["gap_days"]) == (10, 11, 14)

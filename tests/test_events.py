@@ -376,3 +376,26 @@ def test_interval_join_no_keys_and_bucket_spans(spark):
         r.wid for r in interval_join(pts, ivl, "ts", "s", "e", granularity_s=3600).collect()
     )
     assert out == [10, 20]  # 30 ends exactly at the point → excluded
+
+
+def test_time_to_conversion_semantics(spark):
+    from jsschema_spark.functions.events import time_to_conversion
+
+    df = spark.createDataFrame(
+        [
+            # u1: purchase BEFORE first view must not count; next one does
+            (1, "2024-01-01 09:00:00", "purchase"),
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:00:30", "purchase"),
+            (1, "2024-01-01 11:00:00", "purchase"),
+            # u2: views but never converts -> null latency row
+            (2, "2024-01-02 08:00:00", "view"),
+            # u3: no view at all -> absent
+            (3, "2024-01-03 08:00:00", "purchase"),
+        ],
+        "user_id long, ts string, event_type string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {r["user_id"]: r for r in time_to_conversion(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["secs_to_convert"] == 30
+    assert out[2]["first_conversion"] is None and out[2]["secs_to_convert"] is None

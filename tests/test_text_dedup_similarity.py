@@ -1896,3 +1896,22 @@ def test_cooccurrence_counts_entities(spark):
     # min_support prunes
     pruned = cooccurrence_counts(df, ["user_id"], "event_type", min_support=2).collect()
     assert len(pruned) == 2
+
+
+def test_centroid_drift_long_form(spark):
+    ref = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [3.0, 0.0]), (1, [0.0, 1.0])],
+        "label long, embedding array<float>",
+    )
+    cur = spark.createDataFrame(
+        [(0, [4.0, 2.0]), (1, [0.0, 1.0]), (2, [9.0, 9.0])],  # label 2 only in cur
+        "label long, embedding array<float>",
+    )
+    rows = {(r["label"], r["dim"]): r for r in S.centroid_drift(ref, cur).collect()}
+    # label 0 dim 0: ref mean 2.0, cur mean 4.0 -> delta 2.0
+    assert rows[(0, 0)]["delta"] == pytest.approx(2.0)
+    assert rows[(0, 1)]["delta"] == pytest.approx(2.0)
+    # identical label 1: zero drift
+    assert rows[(1, 0)]["delta"] == 0.0 and rows[(1, 1)]["delta"] == 0.0
+    # label present on only one side drops
+    assert not any(lbl == 2 for (lbl, _) in rows)
