@@ -840,6 +840,19 @@ def rolling_count_anomaly(
         .groupBy(F.date_trunc(period, F.col(ts_col)).alias("period_start"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return score_period_counts(counts, trailing, min_history)
+
+
+def score_period_counts(
+    counts: DataFrame, trailing: int = 7, min_history: int = 3
+) -> DataFrame:
+    """The scoring half of ``rolling_count_anomaly``, over an already-
+    aggregated ``(period_start, n)`` DataFrame — shared by the batch
+    operator and the streaming volume monitor (which accumulates counts
+    in a batch_id-partitioned state dir and re-scores the merged totals
+    per micro-batch). The trailing window orders #period rows only."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("period_start").rowsBetween(-trailing, -1)
     mean = F.avg(F.col("n").cast("double")).over(w)
     sd = F.stddev_samp(F.col("n").cast("double")).over(w)

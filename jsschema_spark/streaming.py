@@ -735,3 +735,59 @@ def violation_streaks(
     return validated.groupBy("key").applyInPandasWithState(
         track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def start_volume_anomaly_sink(
+    stream_df: DataFrame,
+    ts_col: str,
+    counts_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    period: str = "day",
+    trailing: int = 7,
+    min_history: int = 3,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming ingest-VOLUME monitoring: per micro-batch, (1) write the
+    batch's per-period row counts to ``counts_dir/batch_id=N`` (overwrite
+    — a replayed batch REPLACES its own contribution instead of
+    double-counting, the same idempotence contract as every other sink
+    here), (2) merge all batches' counts into per-period totals, and
+    (3) score every period with ``stats.score_period_counts`` (trailing-k
+    mean/std z-score, cold-start nulls) into ``out_dir/batch_id=N`` — the
+    full re-scored report per batch, because a new batch's counts can
+    change EARLIER periods' trailing stats downstream of a late delivery.
+
+    Scale shape per batch: one map-side-combined per-period count over
+    the batch, one #periods-wide merge of the state dir (batch files are
+    period-count sized, not data sized), and a window over #period rows.
+    The state dir grows one tiny file set per batch; compact it offline
+    if batch count gets large."""
+    from jsschema_spark.stats import score_period_counts
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.where(F.col(ts_col).isNotNull())
+            .groupBy(F.date_trunc(period, F.col(ts_col)).alias("period_start"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts.coalesce(1).write.mode("overwrite").parquet(
+            f"{counts_dir}/batch_id={int(batch_id)}"
+        )
+        totals = (
+            spark.read.parquet(counts_dir)
+            .groupBy("period_start")
+            .agg(F.sum("n").alias("n"))
+        )
+        report = score_period_counts(totals, trailing, min_history)
+        report.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={int(batch_id)}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -828,3 +828,64 @@ def test_interval_join_stream_static_parity(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_volume_anomaly_sink(spark, tmp_path):
+    """Streaming volume monitor: batch parity with rolling_count_anomaly,
+    and replayed batches replace (not double-count) their contribution."""
+    import datetime as dt
+
+    from jsschema_spark.stats import rolling_count_anomaly
+    from jsschema_spark.streaming import start_volume_anomaly_sink
+
+    t0 = dt.datetime(2026, 3, 1, 12, 0, 0)
+    rows = []
+    counts = [8, 12, 9, 11, 10, 10, 10, 30]  # day 8 spikes
+    for d, n in enumerate(counts):
+        rows += [(t0 + dt.timedelta(days=d),)] * n
+    src = str(tmp_path / "vol_src")
+    spark.createDataFrame(rows, "ts timestamp").coalesce(1).write.parquet(src)
+
+    counts_dir = str(tmp_path / "vol_counts")
+    out_dir = str(tmp_path / "vol_out")
+    stream = spark.readStream.schema("ts timestamp").parquet(src)
+    q = start_volume_anomaly_sink(
+        stream, "ts", counts_dir, out_dir, str(tmp_path / "vol_ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r["period_start"]: r for r in spark.read.parquet(out_dir).collect()}
+    batch = {
+        r["period_start"]: r
+        for r in rolling_count_anomaly(
+            spark.read.parquet(src), "ts", "day"
+        ).collect()
+    }
+    assert len(got) == len(batch) == 8
+    for k, b in batch.items():
+        g = got[k]
+        assert g["n"] == b["n"]
+        assert (g["z"] is None) == (b["z"] is None)
+        if b["z"] is not None:
+            assert abs(g["z"] - b["z"]) < 1e-12
+    spike_day = t0.replace(hour=0) + dt.timedelta(days=7)
+    assert got[spike_day]["z"] > 3.0
+
+    # replay idempotence: re-running batch 0's processor must REPLACE its
+    # counts contribution, leaving totals and scores unchanged
+    import jsschema_spark.streaming as STRM
+
+    batch0 = spark.read.parquet(src)
+    from jsschema_spark.stats import score_period_counts
+    from pyspark.sql import functions as F
+
+    c2 = (
+        batch0.groupBy(F.date_trunc("day", F.col("ts")).alias("period_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c2.coalesce(1).write.mode("overwrite").parquet(f"{counts_dir}/batch_id=0")
+    totals = (
+        spark.read.parquet(counts_dir).groupBy("period_start").agg(F.sum("n").alias("n"))
+    )
+    rescored = {r["period_start"]: r for r in score_period_counts(totals).collect()}
+    assert {k: v["n"] for k, v in rescored.items()} == {k: v["n"] for k, v in got.items()}
