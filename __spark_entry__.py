@@ -1774,6 +1774,30 @@ def q_time_to_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-level contract (stats.quantile_range_check): per-flag
+    p50/p95/p99 of l_extendedprice against declared SLO-style bounds —
+    exact mode here because Spark's interpolated percentile is verified
+    bit-identical to DuckDB's quantile_cont (R-7); production uses the
+    percentile_approx sketch."""
+    from jsschema_spark.stats import quantile_range_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = quantile_range_check(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        bounds={0.5: (20000.0, 60000.0), 0.95: (None, 80000.0), 0.99: (None, 110000.0)},
+        exact=True,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("quantile", 2).alias("q"),
+        F.round("value", 4).alias("value_r"),
+        "lo", "hi", "ok",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1867,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift_embeddings": q_centroid_drift_embeddings,
         "duplicate_charges_orders": q_duplicate_charges_orders,
         "time_to_conversion_events": q_time_to_conversion_events,
+        "quantile_check_lineitem": q_quantile_check_lineitem,
     }
 
 
@@ -3431,4 +3456,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(c.fc) AS BIGINT) AS first_conv_us,
                    CAST(epoch_us(c.fc) - epoch_us(s.fs) AS BIGINT) // 1000000 AS secs_to_convert
             FROM s LEFT JOIN c ON s.user_id = c.user_id""",
+        "quantile_check_lineitem": """
+            WITH p AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.5) AS p50,
+                     quantile_cont(l_extendedprice, 0.95) AS p95,
+                     quantile_cont(l_extendedprice, 0.99) AS p99
+              FROM lineitem GROUP BY 1
+            ), long AS (
+              SELECT l_returnflag, 0.50 AS q, p50 AS v,
+                     CAST(20000.0 AS DOUBLE) AS lo, CAST(60000.0 AS DOUBLE) AS hi FROM p
+              UNION ALL
+              SELECT l_returnflag, 0.95, p95, NULL, 80000.0 FROM p
+              UNION ALL
+              SELECT l_returnflag, 0.99, p99, NULL, 110000.0 FROM p
+            )
+            SELECT l_returnflag, CAST(round(q, 2) AS DOUBLE) AS q, round(v, 4) AS value_r, lo, hi,
+                   ((lo IS NULL OR v >= lo) AND (hi IS NULL OR v <= hi)) AS ok
+            FROM long""",
     }

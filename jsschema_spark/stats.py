@@ -775,6 +775,68 @@ def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
 
 
+def quantile_range_check(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    col: str,
+    bounds: "dict[float, tuple[Optional[float], Optional[float]]]",
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The draft-04 ``minimum``/``maximum`` keywords lifted from VALUES to
+    DISTRIBUTION quantiles — the SLO-style contract ("p99 latency ≤ 2s",
+    "median price in [lo, hi]") per group. ``bounds`` maps each quantile
+    to its ``(lo, hi)`` (either side None = unbounded). Output one row per
+    (group, quantile): the measured value, both bounds, and ``ok``.
+
+    ``exact=True`` uses Spark's interpolated ``percentile`` — verified
+    bit-identical to DuckDB's ``quantile_cont`` (both R-7), which is what
+    lets the driver oracle hash-match; it buffers each group's values on
+    its reducer, so reserve it for oracle parity and bounded groups. The
+    default is the ``percentile_approx`` KLL-style sketch (bounded memory
+    at any group size) — rank error ≤ 1/accuracy, the 100-TB path.
+
+    Scale shape: ONE aggregation (map-side combined in sketch mode),
+    shuffle width = #groups; the per-quantile explosion happens on the
+    #groups result rows."""
+    qs = sorted(bounds)
+    if not qs:
+        raise ValueError("bounds must name at least one quantile")
+    q_arr = "array(" + ", ".join(str(q) for q in qs) + ")"
+    agg = (
+        F.expr(f"percentile({col}, {q_arr})")
+        if exact
+        else F.expr(f"percentile_approx({col}, {q_arr}, {accuracy})")
+    ).alias("__vals")
+    per = df.groupBy(*group_cols).agg(agg)
+    rows = per.select(
+        *group_cols,
+        F.posexplode("__vals").alias("__i", "value"),
+    ).select(
+        *group_cols,
+        F.element_at(
+            F.array(*[F.lit(q) for q in qs]), F.col("__i") + 1
+        ).alias("quantile"),
+        "value",
+    )
+    lo_arr = F.array(*[F.lit(bounds[q][0]).cast("double") for q in qs])
+    hi_arr = F.array(*[F.lit(bounds[q][1]).cast("double") for q in qs])
+    idx = F.array_position(F.array(*[F.lit(q) for q in qs]), F.col("quantile"))
+    lo = F.element_at(lo_arr, idx.cast("int"))
+    hi = F.element_at(hi_arr, idx.cast("int"))
+    return rows.select(
+        *group_cols,
+        "quantile",
+        "value",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        (
+            (lo.isNull() | (F.col("value") >= lo))
+            & (hi.isNull() | (F.col("value") <= hi))
+        ).alias("ok"),
+    )
+
+
 def categorical_entropy(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
     """Per-group Shannon entropy of a categorical column — the balance
     audit for training mixes: entropy ≈ 0 means a stratum (source, shard,

@@ -736,3 +736,34 @@ def test_duplicate_charges_pairs(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["id_a"], r["id_b"], r["gap_days"]) == (10, 11, 14)
+
+
+def test_quantile_range_check_modes(spark):
+    from jsschema_spark.stats import quantile_range_check
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "grp string, x double"
+    )
+    out = {
+        r["quantile"]: r
+        for r in quantile_range_check(
+            df, ["grp"], "x", {0.5: (40.0, 60.0), 0.99: (None, 95.0)}, exact=True
+        ).collect()
+    }
+    # exact interpolated median of 1..100 = 50.5, inside [40, 60]
+    assert out[0.5]["value"] == pytest.approx(50.5)
+    assert out[0.5]["ok"] is True
+    # p99 = 99.01 > 95 -> violation
+    assert out[0.99]["value"] == pytest.approx(99.01)
+    assert out[0.99]["ok"] is False
+    # one-sided bound: lo is null, only hi enforced
+    assert out[0.99]["lo"] is None
+
+    # sketch mode agrees within rank tolerance
+    approx = {
+        r["quantile"]: r["value"]
+        for r in quantile_range_check(
+            df, ["grp"], "x", {0.5: (40.0, 60.0)}, exact=False
+        ).collect()
+    }
+    assert abs(approx[0.5] - 50.5) <= 1.0
