@@ -1798,6 +1798,40 @@ def q_quantile_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-order integrity (checks.order_violations): users whose first
+    purchase precedes their first signup — or who purchased without ever
+    signing up. Two per-user conditional mins + one filter, no windows."""
+    from jsschema_spark.checks import order_violations
+
+    ev = _t(spark, sf_dir, "events")
+    out = order_violations(ev, "user_id", "ts", "event_type", "signup", "purchase")
+    return out.select(
+        "user_id",
+        _EPOCH_US(F.col("first_before")).alias("first_signup_us"),
+        _EPOCH_US(F.col("first_after")).alias("first_purchase_us"),
+        "reason",
+    )
+
+
+def q_winsorized_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier capping (stats.winsorize): l_extendedprice clamped to the
+    per-flag [p01, p99] band (exact R-7 mode for oracle parity; production
+    uses the sketch). Only the clamped tail rows surface — the rows the
+    treatment actually changed."""
+    from jsschema_spark.stats import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = winsorize(
+        li, "l_extendedprice", ["l_returnflag"], lo_q=0.01, hi_q=0.99, exact=True
+    )
+    return out.where(F.col("l_extendedprice_w") != F.col("l_extendedprice")).select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.round("l_extendedprice", 2).alias("price_r"),
+        F.round("l_extendedprice_w", 4).alias("capped_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1892,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_charges_orders": q_duplicate_charges_orders,
         "time_to_conversion_events": q_time_to_conversion_events,
         "quantile_check_lineitem": q_quantile_check_lineitem,
+        "order_violations_events": q_order_violations_events,
+        "winsorized_lineitem": q_winsorized_lineitem,
     }
 
 
@@ -3474,4 +3510,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, CAST(round(q, 2) AS DOUBLE) AS q, round(v, 4) AS value_r, lo, hi,
                    ((lo IS NULL OR v >= lo) AND (hi IS NULL OR v <= hi)) AS ok
             FROM long""",
+        "order_violations_events": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END) AS fb,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS fa
+              FROM events WHERE event_type IN ('signup', 'purchase') GROUP BY 1
+            )
+            SELECT user_id,
+                   CAST(epoch_us(fb) AS BIGINT) AS first_signup_us,
+                   CAST(epoch_us(fa) AS BIGINT) AS first_purchase_us,
+                   CASE WHEN fb IS NULL THEN 'missing_prerequisite'
+                        ELSE 'out_of_order' END AS reason
+            FROM f WHERE fa IS NOT NULL AND (fb IS NULL OR fa < fb)""",
+        "winsorized_lineitem": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.01) AS lo,
+                     quantile_cont(l_extendedprice, 0.99) AS hi
+              FROM lineitem GROUP BY 1
+            ), j AS (
+              SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                     l.l_extendedprice,
+                     least(greatest(l.l_extendedprice, b.lo), b.hi) AS w
+              FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(l_extendedprice, 2) AS price_r,
+                   round(w, 4) AS capped_r
+            FROM j WHERE w <> l_extendedprice""",
     }

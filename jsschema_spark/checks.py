@@ -565,3 +565,53 @@ def duplicate_charges(
             gap.cast("long").alias("gap_days"),
         )
     )
+
+
+def order_violations(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    before_event: str,
+    after_event: str,
+) -> DataFrame:
+    """Causal-order integrity: entities whose first ``after_event``
+    precedes their first ``before_event`` (purchase before signup,
+    shipment before order, response before request) or who have the
+    ``after_event`` with NO ``before_event`` at all — both are
+    impossible-history findings an event-feed validation suite must
+    surface (clock skew, id reuse, backfill bugs). Output one row per
+    violating entity: both first-timestamps and the reason
+    (``'out_of_order'`` / ``'missing_prerequisite'``).
+
+    Scale shape: two map-side-combined per-entity min aggregates and one
+    entity-keyed join — no windows, no event-history collection."""
+    firsts = (
+        df.where(F.col(type_col).isin(before_event, after_event))
+        .groupBy(F.col(entity_col).alias("entity"))
+        .agg(
+            F.min(F.when(F.col(type_col) == before_event, F.col(ts_col))).alias(
+                "first_before"
+            ),
+            F.min(F.when(F.col(type_col) == after_event, F.col(ts_col))).alias(
+                "first_after"
+            ),
+        )
+    )
+    return (
+        firsts.where(
+            F.col("first_after").isNotNull()
+            & (
+                F.col("first_before").isNull()
+                | (F.col("first_after") < F.col("first_before"))
+            )
+        )
+        .select(
+            F.col("entity").alias(entity_col),
+            "first_before",
+            "first_after",
+            F.when(F.col("first_before").isNull(), F.lit("missing_prerequisite"))
+            .otherwise(F.lit("out_of_order"))
+            .alias("reason"),
+        )
+    )

@@ -928,3 +928,50 @@ def score_period_counts(
             (F.col("n").cast("double") - mean) / sd,
         ).alias("z"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    group_cols: "Optional[Sequence[str]]" = None,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    exact: bool = False,
+    accuracy: int = 10000,
+    out_col: "Optional[str]" = None,
+) -> DataFrame:
+    """Outlier capping: clamp ``col`` into its per-group ``[lo_q, hi_q]``
+    quantile band — the standard pre-training / pre-aggregation tail
+    treatment (a fat-finger price or a sensor spike should dent, not
+    dominate, downstream statistics). Returns the input rows plus the
+    clamped column (``out_col``, default ``<col>_w``) and the applied
+    ``__lo``/``__hi`` bounds; rows in-band pass through bit-unchanged.
+
+    Same exactness contract as ``quantile_range_check``: the default is
+    the ``percentile_approx`` sketch (map-side-combined, bounded memory —
+    the 100-TB path); ``exact=True`` is R-7 interpolated, bit-identical
+    to external SQL engines for oracle parity.
+
+    Scale shape: one bounds aggregation (shuffle width = #groups), one
+    AQE-broadcast join of the #groups bounds table back onto the stream,
+    one codegen clamp — the data is scanned twice and never shuffled."""
+    gcols = list(group_cols or [])
+    out_col = out_col or f"{col}_w"
+    q_arr = f"array({lo_q}, {hi_q})"
+    agg = (
+        F.expr(f"percentile({col}, {q_arr})")
+        if exact
+        else F.expr(f"percentile_approx({col}, {q_arr}, {accuracy})")
+    ).alias("__b")
+    bounds = df.groupBy(*gcols).agg(agg).select(
+        *gcols,
+        F.element_at("__b", 1).alias("__lo"),
+        F.element_at("__b", 2).alias("__hi"),
+    )
+    joined = df.join(F.broadcast(bounds), gcols) if gcols else df.crossJoin(
+        F.broadcast(bounds)
+    )
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+    )

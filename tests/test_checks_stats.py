@@ -767,3 +767,42 @@ def test_quantile_range_check_modes(spark):
         ).collect()
     }
     assert abs(approx[0.5] - 50.5) <= 1.0
+
+
+def test_order_violations_reasons(spark):
+    from jsschema_spark.checks import order_violations
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-02", "signup"), (1, "2024-01-03", "purchase"),  # fine
+            (2, "2024-01-05", "purchase"), (2, "2024-01-06", "signup"),  # out of order
+            (3, "2024-01-07", "purchase"),                                # no signup
+            (4, "2024-01-08", "signup"),                                  # never bought
+        ],
+        "user_id long, ts string, event_type string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {r["user_id"]: r for r in order_violations(
+        df, "user_id", "ts", "event_type", "signup", "purchase").collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["reason"] == "out_of_order"
+    assert out[3]["reason"] == "missing_prerequisite" and out[3]["first_before"] is None
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from jsschema_spark.stats import winsorize
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "grp string, x double"
+    )
+    out = winsorize(df, "x", ["grp"], lo_q=0.05, hi_q=0.95, exact=True).collect()
+    # exact p05 of 1..100 = 5.95, p95 = 95.05
+    lo, hi = 5.95, 95.05
+    for r in out:
+        if r["x"] < lo:
+            assert r["x_w"] == pytest.approx(lo)
+        elif r["x"] > hi:
+            assert r["x_w"] == pytest.approx(hi)
+        else:
+            assert r["x_w"] == r["x"]  # in-band rows bit-unchanged
+    n_clamped = sum(1 for r in out if r["x_w"] != r["x"])
+    assert n_clamped == 10  # 5 on each tail
