@@ -1832,6 +1832,23 @@ def q_winsorized_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_payload_size_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation screen without decoding (audio.payload_size_check):
+    metadata-derived expected WAV byte size vs actual payload length over
+    the oracle-reproducible clips table — pure Catalyst, only length()
+    touches the payload. Grouped to (codec, size_status) counts with the
+    summed expectation as the hash signal."""
+    from jsschema_spark.audio import payload_size_check
+
+    df = _clips_from_documents(spark, sf_dir)
+    out = payload_size_check(df)
+    return out.groupBy("codec", "size_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("expected_bytes").cast("long").alias("total_expected"),
+        F.sum("actual_bytes").cast("long").alias("total_actual"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1928,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_check_lineitem": q_quantile_check_lineitem,
         "order_violations_events": q_order_violations_events,
         "winsorized_lineitem": q_winsorized_lineitem,
+        "payload_size_clips": q_payload_size_clips,
     }
 
 
@@ -3539,4 +3557,36 @@ def oracle_sql() -> dict[str, str]:
                    round(l_extendedprice, 2) AS price_r,
                    round(w, 4) AS capped_r
             FROM j WHERE w <> l_extendedprice""",
+        "payload_size_clips": """
+            WITH clips AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 50 = 0 THEN 96001
+                     WHEN doc_id % 50 = 25 THEN 0
+                     ELSE [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] END AS sr_hz,
+                CASE WHEN doc_id % 47 = 0 THEN 70000
+                     WHEN doc_id % 47 = 23 THEN 0
+                     ELSE 200 + (doc_id * 37) % 14800 END AS dur_ms,
+                CASE WHEN doc_id % 41 = 0 THEN 'unknown_codec'
+                     ELSE ['pcm_s16le', 'flac', 'opus'][CAST(doc_id % 3 AS INT) + 1] END AS codec
+              FROM documents
+            ),
+            s AS (
+              SELECT codec,
+                CAST(octet_length(unhex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))) AS BIGINT) AS actual,
+                CASE WHEN sr_hz <= 0 OR dur_ms <= 0 THEN NULL
+                     WHEN codec <> 'pcm_s16le' THEN NULL
+                     ELSE 44 + CAST(floor(CAST(sr_hz AS BIGINT) * CAST(dur_ms AS BIGINT) / 1000) AS BIGINT) * 2 END AS expected,
+                CASE WHEN sr_hz <= 0 OR dur_ms <= 0 THEN 'invalid_metadata'
+                     WHEN codec <> 'pcm_s16le' THEN 'not_applicable'
+                     WHEN octet_length(unhex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)))
+                          = 44 + CAST(floor(CAST(sr_hz AS BIGINT) * CAST(dur_ms AS BIGINT) / 1000) AS BIGINT) * 2
+                       THEN 'ok'
+                     ELSE 'size_mismatch' END AS size_status
+              FROM clips
+            )
+            SELECT codec, size_status,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(expected) AS BIGINT) AS total_expected,
+                   CAST(sum(actual) AS BIGINT) AS total_actual
+            FROM s GROUP BY 1, 2""",
     }

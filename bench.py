@@ -166,7 +166,7 @@ def main() -> None:
             "entropy_by_source", "bigram_pmi_documents", "cooccurrence_events",
             "centroid_drift_embeddings", "duplicate_charges_orders",
             "time_to_conversion_events", "quantile_check_lineitem",
-            "order_violations_events", "winsorized_lineitem",
+            "order_violations_events", "winsorized_lineitem", "payload_size_clips",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -991,3 +991,50 @@ def audio_vad_scan(
                 yield _vad_rows(cids, payloads, **vad_kw)
 
     return files_df.mapInPandas(gen, VAD_ROW_SCHEMA)
+
+
+def payload_size_check(
+    df: "DataFrame",
+    bytes_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+    codec_col: str = "codec",
+) -> "DataFrame":
+    """Truncated/corrupt-payload screen WITHOUT decoding a single sample:
+    for PCM-s16le mono WAV clips the byte length is fully determined by
+    the metadata (44-byte RIFF header + ⌊sr·dur/1000⌋·2 data bytes — the
+    exact layout ``wav_encode`` writes), so a cheap codegen comparison
+    catches truncated uploads, doubled writes and header/metadata lies
+    before any Arrow decode stage spends cycles on them. Compressed
+    codecs have no metadata-derivable size → ``not_applicable`` (decode-
+    stage checks own them); non-positive sr/dur → ``invalid_metadata``.
+
+    Adds ``expected_bytes``, ``actual_bytes``, ``size_status`` ∈
+    {ok, size_mismatch, not_applicable, invalid_metadata, null_payload}.
+    Pure Catalyst projection: zero shuffle, zero Python, payloads never
+    leave the JVM (only ``length()`` touches them)."""
+    sr = F.col(sr_col)
+    dur = F.col(dur_col)
+    expected = (
+        F.lit(44)
+        + F.floor(sr.cast("long") * dur.cast("long") / F.lit(1000)) * F.lit(2)
+    ).cast("long")
+    actual = F.length(F.col(bytes_col)).cast("long")
+    bad_meta = (
+        sr.isNull() | dur.isNull() | (sr <= 0) | (dur <= 0)
+    )
+    status = (
+        F.when(F.col(bytes_col).isNull(), F.lit("null_payload"))
+        .when(bad_meta, F.lit("invalid_metadata"))
+        .when(F.col(codec_col) != "pcm_s16le", F.lit("not_applicable"))
+        .when(actual == expected, F.lit("ok"))
+        .otherwise(F.lit("size_mismatch"))
+    )
+    applicable = ~bad_meta & (F.col(codec_col) == "pcm_s16le")
+    return df.withColumns(
+        {
+            "expected_bytes": F.when(applicable, expected),
+            "actual_bytes": actual,
+            "size_status": status,
+        }
+    )

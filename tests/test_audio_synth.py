@@ -272,3 +272,38 @@ def test_audio_vad_scan_file_granular(spark, tmp_path):
     assert abs(out["speech"].end_ms - 600.0) <= 20.0
     assert out["silent"].seg_idx == -1 and out["silent"].decode_ok
     assert out["broken"].seg_idx == -1 and not out["broken"].decode_ok
+
+
+def test_payload_size_check_on_real_wavs(spark, tmp_path):
+    """The metadata-derived expected size must match wav_encode's actual
+    layout on the engine's own synthesized corpus (modulo the injected
+    corrupt/mismatch rows, which the check must CATCH)."""
+    from pyspark.sql import functions as F
+
+    from jsschema_spark.audio import payload_size_check
+    from jsschema_spark.synth import clips_audio_to_parquet
+
+    src = str(tmp_path / "wavs")
+    clips_audio_to_parquet(spark, 400, src, n_files=4)
+    df = spark.read.parquet(src).withColumn("codec", F.lit("pcm_s16le"))
+    out = payload_size_check(df)
+    by = {r["size_status"]: r["n"] for r in out.groupBy("size_status").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # the generator injects ~1/200 truncated payloads and ~1/211 sr
+    # mismatches; everything else must be byte-exact
+    assert by.get("ok", 0) >= 390
+    assert by.get("ok", 0) + by.get("size_mismatch", 0) == 400
+    # a mismatch row reports both numbers
+    bad = out.where(F.col("size_status") == "size_mismatch").limit(1).collect()
+    if bad:
+        assert bad[0]["expected_bytes"] != bad[0]["actual_bytes"]
+
+    # codec gating and metadata gating
+    gated = payload_size_check(
+        df.withColumn("codec", F.lit("opus"))
+    ).select("size_status").distinct().collect()
+    assert [r["size_status"] for r in gated] == ["not_applicable"]
+    badmeta = payload_size_check(
+        df.withColumn("sr_hz", F.lit(0))
+    ).select("size_status").distinct().collect()
+    assert [r["size_status"] for r in badmeta] == ["invalid_metadata"]
