@@ -1849,6 +1849,32 @@ def q_payload_size_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen (stats.robust_outliers) per
+    returnflag on l_extendedprice, exact mode for oracle parity, with a
+    planted 100× fat-finger stripe (%1009) the screen must catch while
+    flagging zero organic rows. Grouped summary keeps the hash signal
+    tight: group medians/MADs + outlier counts."""
+    from jsschema_spark.stats import robust_outliers
+
+    base = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    spiked = base.withColumn(
+        "price",
+        F.when(
+            F.col("l_orderkey") % 1009 == 0, F.col("l_extendedprice") * 100
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    out = robust_outliers(spiked, "price", ["l_returnflag"], k=3.5, exact=True)
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.first("__med"), 4).alias("med_r"),
+        F.round(F.first("__mad"), 4).alias("mad_r"),
+        F.sum(F.col("is_outlier").cast("long")).cast("long").alias("n_outliers"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1946,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_violations_events": q_order_violations_events,
         "winsorized_lineitem": q_winsorized_lineitem,
         "payload_size_clips": q_payload_size_clips,
+        "mad_outliers_lineitem": q_mad_outliers_lineitem,
     }
 
 
@@ -3589,4 +3616,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(expected) AS BIGINT) AS total_expected,
                    CAST(sum(actual) AS BIGINT) AS total_actual
             FROM s GROUP BY 1, 2""",
+        "mad_outliers_lineitem": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     CASE WHEN l_orderkey % 1009 = 0
+                          THEN l_extendedprice * 100
+                          ELSE l_extendedprice END AS price
+              FROM lineitem
+            ),
+            m AS (
+              SELECT l_returnflag, median(price) AS med
+              FROM s GROUP BY 1
+            ),
+            d AS (
+              SELECT s.l_returnflag, s.price, m.med
+              FROM s JOIN m USING (l_returnflag)
+            ),
+            md AS (
+              SELECT l_returnflag, med,
+                     median(abs(price - med)) AS mad
+              FROM d GROUP BY 1, 2
+            )
+            SELECT d.l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(md.med, 4) AS med_r,
+                   round(md.mad, 4) AS mad_r,
+                   CAST(sum(CASE WHEN abs(d.price - md.med)
+                                      > 3.5 * 1.4826 * md.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM d JOIN md USING (l_returnflag, med)
+            GROUP BY 1, md.med, md.mad""",
     }

@@ -167,6 +167,7 @@ def main() -> None:
             "centroid_drift_embeddings", "duplicate_charges_orders",
             "time_to_conversion_events", "quantile_check_lineitem",
             "order_violations_events", "winsorized_lineitem", "payload_size_clips",
+            "mad_outliers_lineitem",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -806,3 +806,27 @@ def test_winsorize_clamps_tails_only(spark):
             assert r["x_w"] == r["x"]  # in-band rows bit-unchanged
     n_clamped = sum(1 for r in out if r["x_w"] != r["x"])
     assert n_clamped == 10  # 5 on each tail
+
+
+def test_robust_outliers_mad_screen(spark):
+    """Median/MAD flags the planted spike; a mean/std z at the same k
+    would be dragged by it far less — and the degenerate MAD=0 group
+    flags exactly the deviating row."""
+    from jsschema_spark.stats import robust_outliers
+
+    base = [("a", float(v)) for v in range(1, 100)]  # 1..99
+    rows = base + [("a", 1e6)]  # the fat finger
+    rows += [("c", 5.0)] * 9 + [("c", 7.0)]  # constant group + one deviant
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = robust_outliers(df, "x", ["grp"], k=3.5, exact=True).collect()
+
+    a = {r["x"]: r for r in out if r["grp"] == "a"}
+    # median of a = 50.5, MAD = median(|x-50.5|) = 25.0
+    assert a[50.0]["__med"] == pytest.approx(50.5)
+    assert a[50.0]["__mad"] == pytest.approx(25.0)
+    assert a[1e6]["is_outlier"] and a[1e6]["robust_z"] > 1000
+    assert not any(r["is_outlier"] for v, r in a.items() if v <= 99)
+
+    c = {r["x"]: r for r in out if r["grp"] == "c"}
+    assert c[5.0]["__mad"] == 0.0 and c[5.0]["robust_z"] is None
+    assert not c[5.0]["is_outlier"] and c[7.0]["is_outlier"]
