@@ -1875,6 +1875,61 @@ def q_mad_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy screen (checks.k_anonymity_report) over the
+    (nation, market-segment) quasi-identifier at k=8: every QI group with
+    its size and at-risk flag — min(group_n) is the dataset's anonymity
+    parameter, the at_risk rows are what suppression would drop (the
+    k_anonymize path is pytest-covered incl. null-safe semantics)."""
+    from jsschema_spark.checks import k_anonymity_report
+
+    df = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(df, ["c_nationkey", "c_mktsegment"], k=8).select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+        "group_n",
+        "at_risk",
+    )
+
+
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pairwise Pearson matrix (stats.correlation_matrix) over
+    the four lineitem numerics — C(4,2)=6 pairs from ONE aggregation; the
+    quantity↔extendedprice pair is the strong-positive canary whose drop
+    would flag a broken price join. DuckDB corr is the oracle (identical
+    pairwise-complete semantics)."""
+    from jsschema_spark.stats import correlation_matrix
+
+    df = _t(spark, sf_dir, "lineitem")
+    out = correlation_matrix(
+        df, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr_r"), "n"
+    )
+
+
+def q_price_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority least-squares trend (stats.group_trend) of order value
+    over the order-date day number — drift as a direction, one regression
+    aggregation. Day number = datediff from a fixed epoch so both engines
+    compute the identical integer x (no timezone in sight)."""
+    from jsschema_spark.stats import group_trend
+
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "day_no",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("double"),
+    )
+    out = group_trend(df, "o_totalprice", "day_no", ["o_orderpriority"])
+    return out.select(
+        "o_orderpriority",
+        F.round("slope", 6).alias("slope_r"),
+        F.round("intercept", 4).alias("intercept_r"),
+        F.round("r2", 8).alias("r2_r"),
+        "n_pairs",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -1973,6 +2028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_lineitem": q_winsorized_lineitem,
         "payload_size_clips": q_payload_size_clips,
         "mad_outliers_lineitem": q_mad_outliers_lineitem,
+        "k_anonymity_customer": q_k_anonymity_customer,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "price_trend_orders": q_price_trend_orders,
     }
 
 
@@ -3646,4 +3704,57 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
             FROM d JOIN md USING (l_returnflag, med)
             GROUP BY 1, md.med, md.mad""",
+        "k_anonymity_customer": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS group_n,
+                   count(*) < 8 AS at_risk
+            FROM customer GROUP BY 1, 2""",
+        "corr_matrix_lineitem": """
+            WITH p(col_a, col_b) AS (
+              VALUES ('l_discount', 'l_extendedprice'),
+                     ('l_discount', 'l_quantity'),
+                     ('l_discount', 'l_tax'),
+                     ('l_extendedprice', 'l_quantity'),
+                     ('l_extendedprice', 'l_tax'),
+                     ('l_quantity', 'l_tax')
+            ),
+            w AS (
+              SELECT corr(l_discount, l_extendedprice) AS c1, count(*) AS n1,
+                     corr(l_discount, l_quantity) AS c2, count(*) AS n2,
+                     corr(l_discount, l_tax) AS c3, count(*) AS n3,
+                     corr(l_extendedprice, l_quantity) AS c4, count(*) AS n4,
+                     corr(l_extendedprice, l_tax) AS c5, count(*) AS n5,
+                     corr(l_quantity, l_tax) AS c6, count(*) AS n6
+              FROM lineitem
+            )
+            SELECT p.col_a, p.col_b,
+                   round(CASE p.col_a || '|' || p.col_b
+                     WHEN 'l_discount|l_extendedprice' THEN w.c1
+                     WHEN 'l_discount|l_quantity' THEN w.c2
+                     WHEN 'l_discount|l_tax' THEN w.c3
+                     WHEN 'l_extendedprice|l_quantity' THEN w.c4
+                     WHEN 'l_extendedprice|l_tax' THEN w.c5
+                     ELSE w.c6 END, 6) AS corr_r,
+                   CAST(CASE p.col_a || '|' || p.col_b
+                     WHEN 'l_discount|l_extendedprice' THEN w.n1
+                     WHEN 'l_discount|l_quantity' THEN w.n2
+                     WHEN 'l_discount|l_tax' THEN w.n3
+                     WHEN 'l_extendedprice|l_quantity' THEN w.n4
+                     WHEN 'l_extendedprice|l_tax' THEN w.n5
+                     ELSE w.n6 END AS BIGINT) AS n
+            FROM p, w""",
+        "price_trend_orders": """
+            WITH s AS (
+              SELECT o_orderpriority,
+                     o_totalprice,
+                     CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) AS day_no
+              FROM orders
+            )
+            SELECT o_orderpriority,
+                   round(regr_slope(o_totalprice, day_no), 6) AS slope_r,
+                   round(regr_intercept(o_totalprice, day_no), 4) AS intercept_r,
+                   round(regr_r2(o_totalprice, day_no), 8) AS r2_r,
+                   CAST(regr_count(o_totalprice, day_no) AS BIGINT) AS n_pairs
+            FROM s GROUP BY 1""",
     }

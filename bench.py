@@ -167,7 +167,8 @@ def main() -> None:
             "centroid_drift_embeddings", "duplicate_charges_orders",
             "time_to_conversion_events", "quantile_check_lineitem",
             "order_violations_events", "winsorized_lineitem", "payload_size_clips",
-            "mad_outliers_lineitem",
+            "mad_outliers_lineitem", "k_anonymity_customer",
+            "corr_matrix_lineitem", "price_trend_orders",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -615,3 +615,53 @@ def order_violations(
             .alias("reason"),
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Privacy QA for training-data release: a row is re-identifiable
+    when its quasi-identifier combination (zip + age + segment …) is
+    shared by fewer than ``k`` rows — the k-anonymity criterion. Returns
+    one row per quasi-identifier group: the group columns, ``group_n``
+    and ``at_risk`` (group_n < k). ``min(group_n)`` is the dataset's
+    anonymity parameter; ``sum(group_n) where at_risk`` is the number of
+    rows that must be suppressed or generalized before release.
+
+    Scale shape: ONE hash aggregation, shuffle width = #distinct QI
+    combinations (map-side partial counts absorb the row volume); no
+    joins, no windows. Nulls group together (SQL GROUP BY semantics),
+    matching the attacker model — "field missing" is itself a visible
+    attribute value."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n")
+    ).withColumn("at_risk", F.col("group_n") < F.lit(k))
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Enforcement sibling of ``k_anonymity_report``: drop every row
+    whose quasi-identifier group is smaller than ``k`` (suppression —
+    the release-safe subset). The surviving table is k-anonymous by
+    construction.
+
+    Scale shape: the #groups-wide report table is AQE-broadcast back
+    onto the stream — data scanned twice, rows never shuffled. The semi
+    join is null-SAFE on every QI column: a large all-null group is
+    release-safe and must survive (a plain equi-join would silently drop
+    it)."""
+    safe = (
+        k_anonymity_report(df, quasi_cols, k)
+        .where(~F.col("at_risk"))
+        .select([F.col(c).alias(f"__safe_{c}") for c in quasi_cols])
+    )
+    cond = None
+    for c in quasi_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"__safe_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    return df.join(F.broadcast(safe), cond, "left_semi")

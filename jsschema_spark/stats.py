@@ -1032,3 +1032,85 @@ def robust_outliers(
             "is_outlier": dev > F.lit(k) * scale,
         }
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    null_indicators: bool = False,
+) -> DataFrame:
+    """All pairwise Pearson correlations in ONE aggregation — the
+    multivariate extension of ``column_stats``: a correlation that jumps
+    between snapshots signals a broken upstream join or a unit change
+    even when every per-column marginal looks healthy. Returns long form
+    ``(col_a, col_b, corr, n)`` for the C(k,2) unordered pairs
+    (``col_a < col_b`` lexicographically); ``corr`` is null for a
+    degenerate (zero-variance) side, ``n`` counts rows where BOTH sides
+    are non-null — exactly SQL ``corr`` semantics, so the DuckDB oracle
+    is the same function name.
+
+    ``null_indicators=True`` correlates the is-null FLAGS instead of the
+    values (any column type): structurally-linked missingness — two
+    fields that go null together point at one upstream failure, not two.
+
+    Scale shape: one map-side-combined agg producing a single 2·C(k,2)-
+    value row (corr + count per pair), unpivoted driver-side via a
+    literal stack — zero joins, zero windows, one scan; k is schema-
+    sized (tens), never data-sized."""
+    cs = sorted(cols)
+    src = [
+        F.col(c).isNull().cast("double").alias(c) if null_indicators else F.col(c).cast("double").alias(c)
+        for c in cs
+    ]
+    base = df.select(*src)
+    pairs = [
+        (a, b) for i, a in enumerate(cs) for b in cs[i + 1:]
+    ]
+    aggs = []
+    for a, b in pairs:
+        # pairwise-complete Pearson r, null (not an ANSI divide-by-zero
+        # error, and not a marginal-stddev mismatch) on degenerate sides:
+        # restrict BOTH columns to rows where both are non-null, exactly
+        # SQL corr semantics
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        av = F.when(both, F.col(a))
+        bv = F.when(both, F.col(b))
+        aggs.append(
+            F.try_divide(
+                F.covar_samp(av, bv),
+                F.stddev_samp(av) * F.stddev_samp(bv),
+            ).alias(f"__c_{a}_{b}")
+        )
+        aggs.append(F.count(F.when(both, 1)).cast("long").alias(f"__n_{a}_{b}"))
+    wide = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `__c_{a}_{b}`, `__n_{a}_{b}`" for a, b in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr, n)"
+    )
+
+
+def group_trend(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_cols: "Optional[Sequence[str]]" = None,
+) -> DataFrame:
+    """Per-group least-squares trend of ``y`` over ``x`` (typically a
+    day number): slope, intercept, r², and the pair count — drift as a
+    DIRECTION, complementing the distribution detectors (PSI/KS/EMD flag
+    that a column moved; the slope says which way and how fast, e.g. a
+    per-segment revenue decay or a sensor baseline creeping up). All
+    four are SQL regression aggregates, so the whole screen is ONE
+    map-side-combined aggregation — shuffle width = #groups, no joins,
+    no windows, one scan; slope/intercept are null for a degenerate
+    group (zero x-variance or < 2 pairs), never an error."""
+    gcols = list(group_cols or [])
+    y, x = F.col(y_col), F.col(x_col)
+    return df.groupBy(*gcols).agg(
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n_pairs"),
+    )

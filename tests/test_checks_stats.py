@@ -830,3 +830,68 @@ def test_robust_outliers_mad_screen(spark):
     c = {r["x"]: r for r in out if r["grp"] == "c"}
     assert c[5.0]["__mad"] == 0.0 and c[5.0]["robust_z"] is None
     assert not c[5.0]["is_outlier"] and c[7.0]["is_outlier"]
+
+
+def test_k_anonymity_report_and_enforce(spark):
+    from jsschema_spark.checks import k_anonymity_report, k_anonymize
+
+    rows = (
+        [("10001", "F")] * 6          # safe group
+        + [("10001", "M")] * 2        # at risk
+        + [("99999", "X")]            # singleton
+        + [(None, "F")] * 5           # all-null-ish QI, large -> safe
+    )
+    df = spark.createDataFrame(rows, "zip string, seg string")
+    rep = {(r["zip"], r["seg"]): r for r in k_anonymity_report(df, ["zip", "seg"], k=5).collect()}
+    assert rep[("10001", "F")]["group_n"] == 6 and not rep[("10001", "F")]["at_risk"]
+    assert rep[("10001", "M")]["at_risk"] and rep[("99999", "X")]["at_risk"]
+    assert rep[(None, "F")]["group_n"] == 5 and not rep[(None, "F")]["at_risk"]
+
+    out = k_anonymize(df, ["zip", "seg"], k=5).collect()
+    assert len(out) == 11  # 6 + 5 survive; suppressed 3
+    kept = {(r["zip"], r["seg"]) for r in out}
+    assert kept == {("10001", "F"), (None, "F")}  # null QI group survives
+
+
+def test_correlation_matrix_values_and_null_mode(spark):
+    import math
+
+    from jsschema_spark.stats import correlation_matrix
+
+    rows = [
+        (1.0, 2.0, 5.0, None),
+        (2.0, 4.0, 5.0, None),
+        (3.0, 6.0, 5.0, 1.0),
+        (4.0, 8.0, 5.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r["col_a"], r["col_b"]): r for r in
+           correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert len(out) == 6
+    assert out[("a", "b")]["corr"] == pytest.approx(1.0) and out[("a", "b")]["n"] == 4
+    assert out[("a", "c")]["corr"] is None  # zero-variance side
+    assert out[("a", "d")]["n"] == 2  # both-non-null count
+    assert out[("a", "d")]["corr"] == pytest.approx(1.0)
+
+    # null-indicator mode: d's missingness tracks a<=2 exactly
+    flags = correlation_matrix(
+        df.withColumn("e", F.when(F.col("a") <= 2, None).otherwise(F.lit(9.0))),
+        ["d", "e"], null_indicators=True,
+    ).collect()
+    assert len(flags) == 1 and flags[0]["corr"] == pytest.approx(1.0)
+    assert flags[0]["n"] == 4  # indicator columns are never null
+
+
+def test_group_trend_slopes(spark):
+    from jsschema_spark.stats import group_trend
+
+    rows = [("up", float(i), 2.0 * i + 5.0) for i in range(10)]
+    rows += [("flat", float(i), 7.0) for i in range(10)]
+    rows += [("deg", 3.0, 1.0), ("deg", 3.0, 9.0)]  # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in group_trend(df, "y", "x", ["g"]).collect()}
+    assert out["up"]["slope"] == pytest.approx(2.0)
+    assert out["up"]["intercept"] == pytest.approx(5.0)
+    assert out["up"]["r2"] == pytest.approx(1.0)
+    assert out["flat"]["slope"] == pytest.approx(0.0)
+    assert out["deg"]["slope"] is None and out["deg"]["n_pairs"] == 2
