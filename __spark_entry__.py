@@ -1930,6 +1930,87 @@ def q_price_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_actives_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users (events.rolling_distinct_actives)
+    in exact mode for oracle parity — per-period dedupe, broadcast anchor
+    range-join, COUNT(DISTINCT) per anchor. The default HLL-sketch path
+    (windowing over per-day sketches, never row-scale data) is
+    pytest-equal on this cardinality."""
+    from jsschema_spark.functions.events import rolling_distinct_actives
+
+    df = _t(spark, sf_dir, "events")
+    out = rolling_distinct_actives(df, "ts", "user_id", 7, exact=True)
+    return out.select(F.col("period").cast("date").alias("day"), "n_active")
+
+
+def q_audio_bandwidth_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsample-fraud screen over REAL WAVs synthesized in-Spark: each
+    doc_id deterministically becomes a sine clip (or silence / garbage),
+    is wav_encode'd, decoded back, FFT'd (audio._spectral_rows — the
+    production spectral scan kernel) and classified by
+    audio.bandwidth_check. The oracle never sees a byte: every status is
+    an arithmetic consequence of the doc_id formulas (a 0.8-2.6 kHz tone
+    in a 44.1 kHz container is band-limited with ratio ≤ 0.12 vs the 0.25
+    threshold; a 2.4-6 kHz tone at 16 kHz is full-band at ≥ 0.3), so a
+    hash match certifies the entire encode→decode→FFT→classify path."""
+    from jsschema_spark.audio import _spectral_rows, bandwidth_check, wav_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    kind = (i % 10).cast("int")
+    sr = (
+        F.when(kind == 0, F.lit(16000))
+        .when(kind == 1, F.lit(44100))
+        .when(kind <= 5, F.lit(44100))
+        .otherwise(F.lit(16000))
+    )
+    freq = F.when(kind <= 5, F.lit(800) + (i % 7) * 300).otherwise(
+        F.lit(2400) + (i % 5) * 900
+    )
+    params = docs.select(
+        F.format_string("clip-%012d", i).alias("clip_id"),
+        kind.alias("kind"),
+        sr.cast("int").alias("sr_hz"),
+        freq.cast("int").alias("freq_hz"),
+        (F.lit(300) + (i % 5) * 100).cast("int").alias("dur_ms"),
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for k, s, f_hz, d in zip(
+                pdf["kind"], pdf["sr_hz"], pdf["freq_hz"], pdf["dur_ms"]
+            ):
+                if k == 1:
+                    payloads.append(b"corrupt payload")
+                    continue
+                n = int(s) * int(d) // 1000
+                if k == 0:
+                    pcm = np.zeros(n, dtype=np.int16)
+                else:
+                    t = np.arange(n, dtype=np.float64) / float(s)
+                    pcm = (8000.0 * np.sin(2.0 * np.pi * float(f_hz) * t)).astype(
+                        np.int16
+                    )
+                payloads.append(wav_encode(pcm, int(s)))
+            feat = _spectral_rows(list(pdf["clip_id"]), payloads)
+            feat["sr_hz"] = pdf["sr_hz"].to_numpy()
+            yield feat
+
+    feats = params.mapInPandas(
+        gen,
+        "clip_id string, decode_ok boolean, zcr_hz double, centroid_hz double, "
+        "rolloff85_hz double, active_ratio double, leading_silence_ms double, "
+        "trailing_silence_ms double, sr_hz int",
+    )
+    out = bandwidth_check(feats)
+    return out.groupBy("sr_hz", "band_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2031,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_customer": q_k_anonymity_customer,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
         "price_trend_orders": q_price_trend_orders,
+        "rolling_actives_events": q_rolling_actives_events,
+        "audio_bandwidth_clips": q_audio_bandwidth_clips,
     }
 
 
@@ -3757,4 +3840,24 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(o_totalprice, day_no), 8) AS r2_r,
                    CAST(regr_count(o_totalprice, day_no) AS BIGINT) AS n_pairs
             FROM s GROUP BY 1""",
+        "rolling_actives_events": """
+            WITH daily AS (
+              SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events
+            ),
+            anchors AS (SELECT DISTINCT d FROM daily)
+            SELECT anchors.d AS day,
+                   CAST(count(DISTINCT daily.user_id) AS BIGINT) AS n_active
+            FROM anchors
+            JOIN daily ON daily.d BETWEEN anchors.d - 6 AND anchors.d
+            GROUP BY 1""",
+        "audio_bandwidth_clips": """
+            SELECT CASE WHEN doc_id % 10 IN (1, 2, 3, 4, 5) THEN 44100
+                        ELSE 16000 END AS sr_hz,
+                   CASE WHEN doc_id % 10 = 0 THEN 'silent'
+                        WHEN doc_id % 10 = 1 THEN 'undecodable'
+                        WHEN doc_id % 10 <= 5 THEN 'band_limited'
+                        ELSE 'full_band' END AS band_status,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM documents GROUP BY 1, 2""",
     }

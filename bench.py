@@ -169,6 +169,7 @@ def main() -> None:
             "order_violations_events", "winsorized_lineitem", "payload_size_clips",
             "mad_outliers_lineitem", "k_anonymity_customer",
             "corr_matrix_lineitem", "price_trend_orders",
+            "rolling_actives_events", "audio_bandwidth_clips",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -1038,3 +1038,46 @@ def payload_size_check(
             "size_status": status,
         }
     )
+
+
+def bandwidth_check(
+    df: "DataFrame",
+    sr_col: str = "sr_hz",
+    rolloff_col: str = "rolloff85_hz",
+    active_col: str = "active_ratio",
+    decode_ok_col: str = "decode_ok",
+    frac: float = 0.25,
+    min_active: float = 0.05,
+) -> "DataFrame":
+    """Upsampled / fake-sample-rate detection: a clip whose 85%-energy
+    rolloff sits far below the Nyquist frequency its header claims was
+    band-limited at some lower native rate and resampled up — the audio
+    twin of a decimal column stored as "high precision" zeros. Classic
+    training-corpus fraud: "48 kHz studio audio" that is an 8 kHz
+    telephone recording upsampled 6×.
+
+    Consumes spectral-scan output (``audio_spectral_scan`` /
+    ``_spectral_rows``) joined with the claimed sample rate; adds
+    ``bandwidth_ratio`` = rolloff / (sr/2) and ``band_status`` ∈
+    {undecodable, silent, band_limited, full_band} (silence is excluded
+    first — an empty spectrum is not evidence of upsampling).
+
+    Pure Catalyst over the already-reduced feature rows: the FFT cost
+    lives in the one Arrow scan that produced them; this classifier adds
+    zero Python and zero shuffle."""
+    nyquist = F.col(sr_col).cast("double") / F.lit(2.0)
+    ratio = F.col(rolloff_col) / nyquist
+    status = (
+        F.when(~F.col(decode_ok_col), F.lit("undecodable"))
+        .when(F.col(active_col) < F.lit(min_active), F.lit("silent"))
+        .when(ratio < F.lit(frac), F.lit("band_limited"))
+        .otherwise(F.lit("full_band"))
+    )
+    return df.withColumns(
+        {
+            "bandwidth_ratio": F.when(
+                F.col(decode_ok_col) & (nyquist > 0), ratio
+            ),
+            "band_status": status,
+        }
+    )

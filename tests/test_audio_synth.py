@@ -307,3 +307,37 @@ def test_payload_size_check_on_real_wavs(spark, tmp_path):
         df.withColumn("sr_hz", F.lit(0))
     ).select("size_status").distinct().collect()
     assert [r["size_status"] for r in badmeta] == ["invalid_metadata"]
+
+
+def test_bandwidth_check_flags_upsampled_clips(spark, tmp_path):
+    """A 2 kHz tone in a 44.1 kHz container is band-limited (upsample
+    fraud); a 6 kHz tone at 16 kHz is full-band; silence and garbage get
+    their own statuses, never 'band_limited'."""
+    import numpy as np
+    import pandas as pd
+    from jsschema_spark.audio import audio_spectral_scan, bandwidth_check, wav_encode
+
+    def tone(sr, f, ms=400):
+        t = np.arange(int(sr * ms / 1000)) / sr
+        return (8000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+
+    rows = [
+        ("fake_hires", wav_encode(tone(44100, 2000), 44100), 44100),
+        ("genuine", wav_encode(tone(16000, 6000), 16000), 16000),
+        ("silent", wav_encode(np.zeros(6400, dtype=np.int16), 16000), 16000),
+        ("broken", b"xx", 44100),
+    ]
+    pdf = pd.DataFrame(rows, columns=["clip_id", "bytes", "sr_hz"])
+    d = str(tmp_path / "clips")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d)
+
+    feats = audio_spectral_scan(spark, d)
+    meta = spark.read.parquet(d).select("clip_id", "sr_hz")
+    out = {r.clip_id: r for r in
+           bandwidth_check(feats.join(meta, "clip_id")).collect()}
+    assert out["fake_hires"].band_status == "band_limited"
+    assert out["fake_hires"].bandwidth_ratio == pytest.approx(2000 / 22050, rel=0.05)
+    assert out["genuine"].band_status == "full_band"
+    assert out["genuine"].bandwidth_ratio == pytest.approx(6000 / 8000, rel=0.05)
+    assert out["silent"].band_status == "silent"
+    assert out["broken"].band_status == "undecodable"

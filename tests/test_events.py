@@ -399,3 +399,27 @@ def test_time_to_conversion_semantics(spark):
     assert set(out) == {1, 2}
     assert out[1]["secs_to_convert"] == 30
     assert out[2]["first_conversion"] is None and out[2]["secs_to_convert"] is None
+
+
+def test_rolling_distinct_actives_exact_and_sketch(spark):
+    from jsschema_spark.functions.events import rolling_distinct_actives
+
+    # user u repeats daily; extra users appear on specific days
+    rows = []
+    for d in range(1, 11):  # Jan 1..10
+        rows.append((f"2024-01-{d:02d} 08:00:00", "u"))
+    rows += [("2024-01-01 09:00:00", "a"), ("2024-01-05 09:00:00", "b"),
+             ("2024-01-05 10:00:00", "b"), ("2024-01-09 23:00:00", "c")]
+    df = spark.createDataFrame(rows, "ts_s string, user_id string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id"
+    )
+    exact = {r["period"].day: r["n_active"] for r in
+             rolling_distinct_actives(df, "ts", "user_id", 3, exact=True).collect()}
+    # day 1: {u,a}; day 3: window 1-3 -> {u,a}; day 5: 3-5 {u,b};
+    # day 7: 5-7 {u,b}; day 8: 6-8 {u}; day 10: 8-10 {u,c}
+    assert exact[1] == 2 and exact[3] == 2 and exact[5] == 2
+    assert exact[7] == 2 and exact[8] == 1 and exact[10] == 2
+
+    est = {r["period"].day: r["n_active"] for r in
+           rolling_distinct_actives(df, "ts", "user_id", 3).collect()}
+    assert est == exact  # HLL is exact at tiny cardinalities
