@@ -2011,6 +2011,112 @@ def q_audio_bandwidth_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_profile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join explosion diagnostic (checks.join_profile): key overlap +
+    exact predicted inner-join size for orders⋈lineitem computed from the
+    per-key COUNT tables only — the row-scale sides are scanned once each
+    and never joined."""
+    from jsschema_spark.checks import join_profile
+
+    return join_profile(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
+def q_mi_documents_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information lang↔source (stats.mutual_information): how many
+    nats of the language does the source leak — the label-leakage screen.
+    One row-scale agg to the contingency cells; everything after runs over
+    #cells rows."""
+    from jsschema_spark.stats import mutual_information
+
+    df = _t(spark, sf_dir, "documents")
+    out = mutual_information(df, "lang", "source")
+    return out.select(
+        F.round("mi_nats", 8).alias("mi_r"),
+        F.round("h_a", 8).alias("h_lang_r"),
+        F.round("h_b", 8).alias("h_source_r"),
+        F.round("nmi", 8).alias("nmi_r"),
+        "n_rows",
+        "n_cells",
+    )
+
+
+def q_heartbeat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap screen (events.heartbeat_gaps) at a 1-day
+    SLA: max gap, gaps-over count, and the trailing gap to the stream's
+    latest event — the dead-sensor signal. Gap values are timestamp
+    DIFFERENCES, so epoch-base conventions cancel across engines."""
+    from jsschema_spark.functions.events import heartbeat_gaps
+
+    df = _t(spark, sf_dir, "events")
+    out = heartbeat_gaps(df, "ts", "user_id", 86400.0)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("max_gap_s", 3).alias("max_gap_r"),
+        "n_gaps_over",
+        F.round("trailing_gap_s", 3).alias("trailing_gap_r"),
+    )
+
+
+def q_audio_profile_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recording-quality gate over REAL WAVs synthesized in-Spark (the
+    audio_bandwidth_clips pattern): clipped captures (amp 40000 saturates
+    ~39% of samples — far over the 1% gate), DC-offset captures (+2000
+    bias ≫ the 100 gate; a pure sine's residue is <20), silence, garbage,
+    and clean sines, decoded and profiled by audio._profile_rows (the
+    production PCM kernel) then classified by audio.profile_check. The
+    oracle is pure doc_id arithmetic: a hash match certifies the
+    encode→decode→profile→classify path."""
+    from jsschema_spark.audio import _profile_rows, profile_check, wav_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    params = docs.select(
+        F.format_string("clip-%012d", i).alias("clip_id"),
+        (i % 8).cast("int").alias("kind"),
+        (F.lit(500) + (i % 5) * 400).cast("int").alias("freq_hz"),
+        (F.lit(300) + (i % 4) * 100).cast("int").alias("dur_ms"),
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        sr = 16000
+        for pdf in batches:
+            payloads = []
+            for k, f_hz, d in zip(pdf["kind"], pdf["freq_hz"], pdf["dur_ms"]):
+                if k == 1:
+                    payloads.append(b"corrupt payload")
+                    continue
+                n = sr * int(d) // 1000
+                if k == 0:
+                    pcm = np.zeros(n, dtype=np.int16)
+                else:
+                    amp = 40000.0 if k in (2, 3) else 8000.0
+                    off = 2000.0 if k in (4, 5) else 0.0
+                    t = np.arange(n, dtype=np.float64) / sr
+                    wave = amp * np.sin(2.0 * np.pi * float(f_hz) * t) + off
+                    pcm = np.clip(wave, -32768, 32767).astype(np.int16)
+                payloads.append(wav_encode(pcm, sr))
+            feat = _profile_rows(list(pdf["clip_id"]), payloads)
+            yield feat
+
+    feats = params.mapInPandas(
+        gen,
+        "clip_id string, decode_ok boolean, sr_hz int, n_samples int, "
+        "rms_dbfs double, peak int, clip_frac double, dc_offset double",
+    )
+    out = profile_check(feats)
+    return out.groupBy("profile_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2114,6 +2220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_trend_orders": q_price_trend_orders,
         "rolling_actives_events": q_rolling_actives_events,
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
+        "join_profile_orders_lineitem": q_join_profile_orders_lineitem,
+        "mi_documents_lang_source": q_mi_documents_lang_source,
+        "heartbeat_events": q_heartbeat_events,
+        "audio_profile_clips": q_audio_profile_clips,
     }
 
 
@@ -3860,4 +3970,85 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'full_band' END AS band_status,
                    CAST(count(*) AS BIGINT) AS n_clips
             FROM documents GROUP BY 1, 2""",
+        "join_profile_orders_lineitem": """
+            WITH lc AS (
+              SELECT o_orderkey AS k, count(*) AS nl FROM orders GROUP BY 1
+            ),
+            rc AS (
+              SELECT l_orderkey AS k, count(*) AS nr FROM lineitem GROUP BY 1
+            ),
+            j AS (
+              SELECT lc.nl, rc.nr
+              FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
+            )
+            SELECT CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 'both'
+                        WHEN nl IS NOT NULL THEN 'left_only'
+                        ELSE 'right_only' END AS key_status,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(coalesce(sum(nl), 0) AS BIGINT) AS rows_left,
+                   CAST(coalesce(sum(nr), 0) AS BIGINT) AS rows_right,
+                   CAST(coalesce(sum(nl * nr), 0) AS BIGINT) AS join_rows
+            FROM j GROUP BY 1""",
+        "mi_documents_lang_source": """
+            WITH cells AS (
+              SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            t AS (SELECT sum(n) AS tot FROM cells),
+            ma AS (SELECT lang, sum(n) AS na FROM cells GROUP BY 1),
+            mb AS (SELECT source, sum(n) AS nb FROM cells GROUP BY 1),
+            terms AS (
+              SELECT cells.n / t.tot AS p,
+                     ma.na / t.tot AS pa,
+                     mb.nb / t.tot AS pb,
+                     t.tot AS tot
+              FROM cells, t
+              JOIN ma ON cells.lang = ma.lang
+              JOIN mb ON cells.source = mb.source
+            ),
+            agg AS (
+              SELECT sum(p * ln(p / (pa * pb))) AS mi,
+                     sum(-p * ln(pa)) AS ha,
+                     sum(-p * ln(pb)) AS hb,
+                     CAST(max(tot) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_cells
+              FROM terms
+            )
+            SELECT round(mi, 8) AS mi_r,
+                   round(ha, 8) AS h_lang_r,
+                   round(hb, 8) AS h_source_r,
+                   round(CASE WHEN least(ha, hb) > 0
+                              THEN mi / least(ha, hb) ELSE 0 END, 8) AS nmi_r,
+                   n_rows, n_cells
+            FROM agg""",
+        "heartbeat_events": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts)) AS gap
+              FROM events
+            ),
+            pe AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     max(gap) AS max_gap,
+                     CAST(coalesce(sum(CASE WHEN gap > 86400 THEN 1 ELSE 0 END), 0)
+                          AS BIGINT) AS n_gaps_over,
+                     max(ts) AS last_ts
+              FROM g GROUP BY 1
+            ),
+            sm AS (SELECT max(ts) AS m FROM events)
+            SELECT user_id, n_events,
+                   round(max_gap, 3) AS max_gap_r,
+                   n_gaps_over,
+                   round(epoch(sm.m) - epoch(last_ts), 3) AS trailing_gap_r
+            FROM pe, sm""",
+        "audio_profile_clips": """
+            SELECT CASE WHEN doc_id % 8 = 0 THEN 'silent'
+                        WHEN doc_id % 8 = 1 THEN 'undecodable'
+                        WHEN doc_id % 8 IN (2, 3) THEN 'clipped'
+                        WHEN doc_id % 8 IN (4, 5) THEN 'dc_offset'
+                        ELSE 'ok' END AS profile_status,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM documents GROUP BY 1""",
     }

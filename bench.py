@@ -170,6 +170,8 @@ def main() -> None:
             "mad_outliers_lineitem", "k_anonymity_customer",
             "corr_matrix_lineitem", "price_trend_orders",
             "rolling_actives_events", "audio_bandwidth_clips",
+            "join_profile_orders_lineitem", "mi_documents_lang_source",
+            "heartbeat_events", "audio_profile_clips",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

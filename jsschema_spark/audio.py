@@ -1081,3 +1081,34 @@ def bandwidth_check(
             "band_status": status,
         }
     )
+
+
+def profile_check(
+    df: "DataFrame",
+    rms_col: str = "rms_dbfs",
+    clip_col: str = "clip_frac",
+    dc_col: str = "dc_offset",
+    decode_ok_col: str = "decode_ok",
+    silence_dbfs: float = -60.0,
+    max_clip_frac: float = 0.01,
+    max_dc_offset: float = 100.0,
+) -> "DataFrame":
+    """Recording-quality gate over ``audio_profile_scan`` output: classify
+    each clip from its one-pass PCM profile — ``clipped`` (saturated
+    samples above ``max_clip_frac``: the distortion no downstream
+    normalization can undo), ``dc_offset`` (mean sample magnitude above
+    ``max_dc_offset``: a miswired or unfiltered capture chain),
+    ``silent``, ``undecodable``, else ``ok``. Precedence: undecodable →
+    silent → clipped → dc_offset — a clipped clip usually also has a
+    skewed mean, and the actionable defect is the clipping.
+
+    Pure Catalyst over the already-reduced profile rows; the PCM pass
+    lives in the one Arrow scan that produced them."""
+    status = (
+        F.when(~F.col(decode_ok_col), F.lit("undecodable"))
+        .when(F.col(rms_col) < F.lit(silence_dbfs), F.lit("silent"))
+        .when(F.col(clip_col) > F.lit(max_clip_frac), F.lit("clipped"))
+        .when(F.abs(F.col(dc_col)) > F.lit(max_dc_offset), F.lit("dc_offset"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumn("profile_status", status)

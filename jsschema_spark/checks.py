@@ -665,3 +665,48 @@ def k_anonymize(
         clause = F.col(c).eqNullSafe(F.col(f"__safe_{c}"))
         cond = clause if cond is None else (cond & clause)
     return df.join(F.broadcast(safe), cond, "left_semi")
+
+
+def join_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: "Optional[str]" = None,
+) -> DataFrame:
+    """Pre-join diagnostic: will this join explode? For each side of a
+    prospective equi-join, reduce to per-key counts, full-outer-join the
+    two (small) key-count tables, and report the key-overlap and fan-out
+    structure BEFORE paying for the real join:
+
+    one row per ``key_status`` ∈ {both, left_only, right_only} with
+    ``n_keys``, ``rows_left``, ``rows_right`` and ``join_rows`` — the
+    exact inner-join output size (Σ cnt_l·cnt_r over shared keys). A
+    ``join_rows`` orders of magnitude above either input is the many-to-
+    many blowup this screen exists to catch; ``left_only``/``right_only``
+    quantify referential leakage in the same pass.
+
+    Scale shape: two map-side-combined aggs (shuffle width = #distinct
+    keys per side) + one join OF THE KEY-COUNT TABLES — the row-scale
+    data is scanned once per side and never joined; AQE picks broadcast
+    when one key table is small."""
+    rk = right_key or left_key
+    lc = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nl")
+    )
+    rc = right.groupBy(F.col(rk).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nr")
+    )
+    j = lc.join(rc, "__k", "full_outer")
+    status = (
+        F.when(F.col("__nl").isNotNull() & F.col("__nr").isNotNull(), F.lit("both"))
+        .when(F.col("__nl").isNotNull(), F.lit("left_only"))
+        .otherwise(F.lit("right_only"))
+    )
+    return j.groupBy(status.alias("key_status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.coalesce(F.sum("__nl"), F.lit(0)).cast("long").alias("rows_left"),
+        F.coalesce(F.sum("__nr"), F.lit(0)).cast("long").alias("rows_right"),
+        F.coalesce(
+            F.sum(F.col("__nl") * F.col("__nr")), F.lit(0)
+        ).cast("long").alias("join_rows"),
+    )

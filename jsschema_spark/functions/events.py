@@ -507,3 +507,57 @@ def rolling_distinct_actives(
         )
         .select(F.col(anchors_alias).alias("period"), "n_active")
     )
+
+
+def heartbeat_gaps(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    max_gap_s: float = 3600.0,
+) -> DataFrame:
+    """Dead-sensor / silent-source screen: per entity, the inter-event
+    gap structure — ``n_events``, ``max_gap_s``, ``n_gaps_over`` (gaps
+    exceeding the SLA), ``last_ts`` and ``trailing_gap_s`` (distance
+    from the entity's last event to the STREAM's latest event — the
+    "currently dead" signal; an entity whose history looks healthy but
+    whose trailing gap is huge stopped reporting). Complements
+    ``freshness_report`` (whole-table recency) and
+    ``completeness_by_period`` (volume): this one is per-entity and
+    gap-shaped.
+
+    Scale shape: one lag window partitioned by entity (shuffle on the
+    entity key — partition-local sort, the same shape as sessionize),
+    one map-side-combined agg to #entities rows, and a scalar max
+    broadcast via a window-free cross join of ONE row. The 100-TB
+    caveat is the usual one: a pathologically hot entity serializes its
+    own sort; salt the ENTITY ID upstream only if a single entity
+    exceeds an executor's sort budget."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    # timestamp_diff keeps this working for TIMESTAMP and TIMESTAMP_NTZ
+    # alike (a double cast is illegal on NTZ); µs precision, so fractional
+    # seconds survive
+    gap = (
+        F.timestamp_diff("MICROSECOND", F.col("__prev"), F.col(ts_col)).cast("double")
+        / F.lit(1e6)
+    )
+    per_entity = (
+        df.select(entity_col, F.col(ts_col), F.lag(F.col(ts_col)).over(w).alias("__prev"))
+        .withColumn("__gap", gap)
+        .groupBy(entity_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("__gap").alias("max_gap_s"),
+            F.coalesce(
+                F.sum((F.col("__gap") > F.lit(max_gap_s)).cast("long")), F.lit(0)
+            ).cast("long").alias("n_gaps_over"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+    stream_max = df.agg(F.max(ts_col).alias("__stream_max"))
+    return per_entity.crossJoin(F.broadcast(stream_max)).withColumn(
+        "trailing_gap_s",
+        F.timestamp_diff(
+            "MICROSECOND", F.col("last_ts"), F.col("__stream_max")
+        ).cast("double")
+        / F.lit(1e6),
+    ).drop("__stream_max")

@@ -1114,3 +1114,60 @@ def group_trend(
         F.regr_r2(y, x).alias("r2"),
         F.regr_count(y, x).cast("long").alias("n_pairs"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    both marginal entropies and the normalized score — the
+    strength-of-association companion to ``chisq_independence`` (χ²
+    answers "are they dependent?"; MI answers "how many bits of one does
+    the other leak?", which is the question for quasi-identifier and
+    label-leakage screens). NMI = MI / min(H_a, H_b) ∈ [0, 1]; 1 means
+    one column is a function of the other.
+
+    Output (one row): ``mi_nats, h_a, h_b, nmi, n_rows, n_cells``.
+    Nulls are categories (SQL GROUP BY semantics) — "missing" can leak
+    information too.
+
+    Scale shape: ONE row-scale aggregation to the (a, b) contingency
+    cells (map-side-combined, shuffle width = #cells); marginals and the
+    Σ p·ln(p/(pa·pb)) fold are re-aggregations OVER THE CELL TABLE
+    (windows over #cells rows, never row-scale data)."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    w_all = Window.partitionBy()
+    w_a = Window.partitionBy("__a")
+    w_b = Window.partitionBy("__b")
+    tot = F.sum("__n").over(w_all)
+    p = F.col("__n") / tot
+    pa = F.sum("__n").over(w_a) / tot
+    pb = F.sum("__n").over(w_b) / tot
+    terms = cells.select(
+        p.alias("__p"),
+        pa.alias("__pa"),
+        pb.alias("__pb"),
+        tot.alias("__tot"),
+    )
+    agg = terms.agg(
+        F.sum(F.col("__p") * F.log(F.col("__p") / (F.col("__pa") * F.col("__pb")))).alias("mi_nats"),
+        # each marginal's -Σ p log p, summed over cells with the cell's
+        # share of its marginal: Σ_cells p·(-log pa) = -Σ_a pa·log pa
+        F.sum(-F.col("__p") * F.log("__pa")).alias("h_a"),
+        F.sum(-F.col("__p") * F.log("__pb")).alias("h_b"),
+        F.first("__tot").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return agg.withColumn(
+        "nmi",
+        F.when(
+            F.least("h_a", "h_b") > 0,
+            F.col("mi_nats") / F.least("h_a", "h_b"),
+        ).otherwise(F.lit(0.0)),
+    ).select("mi_nats", "h_a", "h_b", "nmi", "n_rows", "n_cells")

@@ -341,3 +341,34 @@ def test_bandwidth_check_flags_upsampled_clips(spark, tmp_path):
     assert out["genuine"].bandwidth_ratio == pytest.approx(6000 / 8000, rel=0.05)
     assert out["silent"].band_status == "silent"
     assert out["broken"].band_status == "undecodable"
+
+
+def test_profile_check_classifies_capture_defects(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    from jsschema_spark.audio import audio_profile_scan, profile_check, wav_encode
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+
+    def wav(wave):
+        return wav_encode(np.clip(wave, -32768, 32767).astype(np.int16), sr)
+
+    rows = [
+        ("ok", wav(8000 * np.sin(2 * np.pi * 440 * t))),
+        ("clipped", wav(40000 * np.sin(2 * np.pi * 440 * t))),
+        ("dc", wav(8000 * np.sin(2 * np.pi * 440 * t) + 2000)),
+        ("silent", wav(np.zeros_like(t))),
+        ("broken", b"zz"),
+    ]
+    d = str(tmp_path / "clips")
+    spark.createDataFrame(pd.DataFrame(rows, columns=["clip_id", "bytes"])).coalesce(
+        1
+    ).write.parquet(d)
+    out = {r.clip_id: r for r in profile_check(audio_profile_scan(spark, d)).collect()}
+    assert out["ok"].profile_status == "ok"
+    assert out["clipped"].profile_status == "clipped" and out["clipped"].clip_frac > 0.3
+    assert out["dc"].profile_status == "dc_offset"
+    assert abs(out["dc"].dc_offset - 2000) < 50
+    assert out["silent"].profile_status == "silent"
+    assert out["broken"].profile_status == "undecodable"

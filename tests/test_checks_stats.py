@@ -895,3 +895,45 @@ def test_group_trend_slopes(spark):
     assert out["up"]["r2"] == pytest.approx(1.0)
     assert out["flat"]["slope"] == pytest.approx(0.0)
     assert out["deg"]["slope"] is None and out["deg"]["n_pairs"] == 2
+
+
+def test_join_profile_predicts_blowup(spark):
+    from jsschema_spark.checks import join_profile
+
+    left = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("l",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("k1",)] * 4 + [("k2",)] * 1 + [("r",)] * 5, "k string"
+    )
+    out = {r["key_status"]: r for r in join_profile(left, right, "k").collect()}
+    assert out["both"]["n_keys"] == 2
+    assert out["both"]["rows_left"] == 5 and out["both"]["rows_right"] == 5
+    assert out["both"]["join_rows"] == 3 * 4 + 2 * 1  # exact inner-join size
+    assert out["left_only"]["n_keys"] == 1 and out["left_only"]["join_rows"] == 0
+    assert out["right_only"]["rows_right"] == 5
+
+    # sanity: predicted size equals the real inner join
+    assert left.join(right, "k").count() == out["both"]["join_rows"]
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    from jsschema_spark.stats import mutual_information
+
+    # perfectly dependent: b = f(a) -> NMI = 1, MI = H(a)
+    dep = spark.createDataFrame(
+        [("x", "X")] * 2 + [("y", "Y")] * 2, "a string, b string"
+    )
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert r["mi_nats"] == pytest.approx(math.log(2))
+    assert r["nmi"] == pytest.approx(1.0)
+
+    # independent uniform 2x2 -> MI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "XY"], "a string, b string"
+    )
+    r2 = mutual_information(ind, "a", "b").collect()[0]
+    assert r2["mi_nats"] == pytest.approx(0.0, abs=1e-12)
+    assert r2["n_cells"] == 4 and r2["n_rows"] == 4

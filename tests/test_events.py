@@ -423,3 +423,24 @@ def test_rolling_distinct_actives_exact_and_sketch(spark):
     est = {r["period"].day: r["n_active"] for r in
            rolling_distinct_actives(df, "ts", "user_id", 3).collect()}
     assert est == exact  # HLL is exact at tiny cardinalities
+
+
+def test_heartbeat_gaps(spark):
+    from jsschema_spark.functions.events import heartbeat_gaps
+
+    rows = [
+        ("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:30:00"),
+        ("a", "2024-01-01 03:30:00"),  # 3h gap
+        ("b", "2024-01-01 00:00:00"),  # then silent to stream end
+        ("c", "2024-01-01 04:00:00"),  # stream max
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {r["user_id"]: r for r in heartbeat_gaps(df, "ts", "user_id", 3600).collect()}
+    assert out["a"]["n_events"] == 3 and out["a"]["max_gap_s"] == 10800.0
+    assert out["a"]["n_gaps_over"] == 1
+    assert out["a"]["trailing_gap_s"] == 1800.0
+    assert out["b"]["max_gap_s"] is None and out["b"]["n_gaps_over"] == 0
+    assert out["b"]["trailing_gap_s"] == 4 * 3600.0  # dead sensor
+    assert out["c"]["trailing_gap_s"] == 0.0
