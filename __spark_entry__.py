@@ -2117,6 +2117,112 @@ def q_audio_profile_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary power-law health check (text.zipf_fit): ln-freq ~
+    ln-rank regression over the top-500 whitespace tokens — drifting far
+    from slope ≈ −1 flags machine-generated or template-spam text."""
+    from jsschema_spark.functions.text import zipf_fit
+
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out = zipf_fit(df, "text", top_n=500)
+    return out.select(
+        F.round("zipf_slope", 6).alias("slope_r"),
+        F.round("zipf_r2", 6).alias("r2_r"),
+        "n_tokens_used",
+        "n_occurrences",
+    )
+
+
+def q_anisotropy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space collapse screen (linalg.anisotropy_report) over the
+    embeddings table — one coordinate-keyed agg, JVM-only."""
+    from jsschema_spark.functions.linalg import anisotropy_report
+
+    df = _t(spark, sf_dir, "embeddings")
+    out = anisotropy_report(df, "embedding")
+    return out.select(
+        "dim",
+        "n_vecs",
+        F.round("mean_norm", 5).alias("mean_norm_r"),
+        F.round("rms_norm", 5).alias("rms_norm_r"),
+        F.round("anisotropy", 6).alias("anisotropy_r"),
+    )
+
+
+def q_transcript_vad_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript↔audio integrity via VAD-active time
+    (audio.transcript_vad_consistency) over in-Spark synth WAVs run
+    through the production VAD kernel (audio._vad_rows): fabricated
+    transcripts over silence, dropped transcripts over speech, and rates
+    measured against the seconds someone actually talked (1 token over
+    4 s of speech = 0.25 tok/s → too_slow; 30 over 1 s → too_fast). Tone
+    spans are frame-aligned (300 ms pads, 20 ms frames) so VAD-active
+    time is arithmetically exact and the oracle is doc_id formulas
+    only."""
+    from jsschema_spark.audio import (
+        _vad_rows,
+        transcript_vad_consistency,
+        wav_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    kind = (i % 6).cast("int")
+    n_tok = (
+        F.when(kind == 1, F.lit(0))
+        .when(kind == 3, F.lit(30))
+        .when(kind == 5, F.lit(1))
+        .otherwise(F.lit(3))
+    )
+    params = docs.select(
+        F.format_string("clip-%012d", i).alias("clip_id"),
+        kind.alias("kind"),
+        n_tok.cast("int").alias("n_tokens"),
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        sr = 16000
+        sil = np.zeros(sr * 300 // 1000, dtype=np.int16)
+
+        def tone(ms, f_hz=440.0):
+            t = np.arange(sr * ms // 1000, dtype=np.float64) / sr
+            return (8000.0 * np.sin(2.0 * np.pi * f_hz * t)).astype(np.int16)
+
+        for pdf in batches:
+            payloads = []
+            for k in pdf["kind"]:
+                if k == 4:
+                    payloads.append(b"corrupt payload")
+                elif k == 0:
+                    payloads.append(wav_encode(np.zeros(sr * 16 // 10, dtype=np.int16), sr))
+                elif k == 5:
+                    payloads.append(wav_encode(np.concatenate([sil, tone(4000), sil]), sr))
+                else:
+                    payloads.append(wav_encode(np.concatenate([sil, tone(1000), sil]), sr))
+            yield _vad_rows(list(pdf["clip_id"]), payloads)
+
+    segs = params.select("clip_id", "kind").mapInPandas(
+        gen,
+        "clip_id string, seg_idx int, start_ms double, end_ms double, decode_ok boolean",
+    )
+    per_clip = segs.groupBy("clip_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("seg_idx") >= 0, F.col("end_ms") - F.col("start_ms"))
+            ),
+            F.lit(0.0),
+        ).alias("active_ms"),
+        F.first("decode_ok").alias("decode_ok"),
+    )
+    joined = per_clip.join(params, "clip_id")
+    out = transcript_vad_consistency(joined)
+    return out.groupBy("vad_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2224,6 +2330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_documents_lang_source": q_mi_documents_lang_source,
         "heartbeat_events": q_heartbeat_events,
         "audio_profile_clips": q_audio_profile_clips,
+        "zipf_documents": q_zipf_documents,
+        "anisotropy_embeddings": q_anisotropy_embeddings,
+        "transcript_vad_clips": q_transcript_vad_clips,
     }
 
 
@@ -4049,6 +4158,61 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 8 IN (2, 3) THEN 'clipped'
                         WHEN doc_id % 8 IN (4, 5) THEN 'dc_offset'
                         ELSE 'ok' END AS profile_status,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM documents GROUP BY 1""",
+        "zipf_documents": r"""
+            WITH t AS (
+              SELECT CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(trim(text), '\s+') END AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            u AS (SELECT unnest(toks) AS token FROM t),
+            c AS (
+              SELECT token, CAST(count(*) AS DOUBLE) AS n
+              FROM u GROUP BY 1
+              ORDER BY n DESC, token ASC LIMIT 500
+            ),
+            r AS (
+              SELECT n,
+                     CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                          AS DOUBLE) AS rank
+              FROM c
+            )
+            SELECT round(regr_slope(ln(n), ln(rank)), 6) AS slope_r,
+                   round(regr_r2(ln(n), ln(rank)), 6) AS r2_r,
+                   CAST(count(*) AS BIGINT) AS n_tokens_used,
+                   CAST(sum(n) AS BIGINT) AS n_occurrences
+            FROM r""",
+        "anisotropy_embeddings": """
+            WITH ex AS (
+              SELECT generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings
+            ),
+            pp AS (
+              SELECT pos, sum(val) AS s, sum(val * val) AS s2,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM ex GROUP BY 1
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS dim,
+                     max(n) AS n_vecs,
+                     sum((s / n) * (s / n)) AS mean_sq,
+                     sum(s2) / max(n) AS rms_sq
+              FROM pp
+            )
+            SELECT dim, n_vecs,
+                   round(sqrt(mean_sq), 5) AS mean_norm_r,
+                   round(sqrt(rms_sq), 5) AS rms_norm_r,
+                   round(mean_sq / rms_sq, 6) AS anisotropy_r
+            FROM agg""",
+        "transcript_vad_clips": """
+            SELECT CASE WHEN doc_id % 6 = 0 THEN 'transcript_without_speech'
+                        WHEN doc_id % 6 = 1 THEN 'speech_without_transcript'
+                        WHEN doc_id % 6 = 3 THEN 'too_fast'
+                        WHEN doc_id % 6 = 4 THEN 'undecodable'
+                        WHEN doc_id % 6 = 5 THEN 'too_slow'
+                        ELSE 'ok' END AS vad_status,
                    CAST(count(*) AS BIGINT) AS n_clips
             FROM documents GROUP BY 1""",
     }

@@ -172,6 +172,7 @@ def main() -> None:
             "rolling_actives_events", "audio_bandwidth_clips",
             "join_profile_orders_lineitem", "mi_documents_lang_source",
             "heartbeat_events", "audio_profile_clips",
+            "zipf_documents", "anisotropy_embeddings", "transcript_vad_clips",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -1112,3 +1112,47 @@ def profile_check(
         .otherwise(F.lit("ok"))
     )
     return df.withColumn("profile_status", status)
+
+
+def transcript_vad_consistency(
+    df: "DataFrame",
+    active_ms_col: str = "active_ms",
+    tokens_col: str = "n_tokens",
+    decode_ok_col: str = "decode_ok",
+    min_speech_ms: float = 100.0,
+    min_rate: float = 0.5,
+    max_rate: float = 8.0,
+) -> "DataFrame":
+    """Transcript↔audio INTEGRITY gate, rate measured against VAD-active
+    time, not container duration: a transcript over a silent clip
+    (fabricated or misaligned text), speech with an empty transcript
+    (dropped annotation), or a speech rate outside human plausibility
+    when divided by the time someone was actually talking — a 10 s clip
+    with 1 s of speech and 20 words is 2 words/s against the container
+    but 20 words/s against reality, and only the second number exposes
+    it. Complements ``transcript_rate_check`` (metadata-only, decode-
+    free): this is the decode-grade sibling.
+
+    Consumes per-clip VAD-aggregated rows; adds ``tokens_per_active_s``
+    and ``vad_status`` ∈ {undecodable, transcript_without_speech,
+    speech_without_transcript, too_slow, too_fast, ok} (silent clip with
+    empty transcript is vacuous → ok). Pure Catalyst over the reduced
+    rows; the VAD cost lives in the Arrow scan that produced them."""
+    active_s = F.col(active_ms_col) / F.lit(1000.0)
+    has_speech = F.col(active_ms_col) >= F.lit(min_speech_ms)
+    has_text = F.col(tokens_col) > 0
+    rate = F.try_divide(F.col(tokens_col), active_s)
+    status = (
+        F.when(~F.col(decode_ok_col), F.lit("undecodable"))
+        .when(~has_speech & has_text, F.lit("transcript_without_speech"))
+        .when(has_speech & ~has_text, F.lit("speech_without_transcript"))
+        .when(has_speech & (rate < F.lit(min_rate)), F.lit("too_slow"))
+        .when(has_speech & (rate > F.lit(max_rate)), F.lit("too_fast"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumns(
+        {
+            "tokens_per_active_s": F.when(has_speech, rate),
+            "vad_status": status,
+        }
+    )

@@ -103,3 +103,43 @@ def hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic hyperplane matrix — same planes on every executor."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def anisotropy_report(df, vec_col: str = "embedding") -> "DataFrame":
+    """Embedding-space collapse screen: the anisotropy score
+    ``||E[v]||² / E[||v||²]`` ∈ [0, 1]. A healthy encoder spreads
+    vectors around the origin (score near 0); a collapsed or
+    mis-normalized one points everything the same way (score → 1) — the
+    embedding-space analogue of a constant column, invisible to per-
+    component marginals (each coordinate's histogram can look fine while
+    every vector is the same). Complements ``vector_violations`` (NaN /
+    dim / norm rules) and ``centroid drift`` (shift BETWEEN snapshots):
+    this one judges the space's internal geometry in a single snapshot.
+
+    One row: ``dim, n_vecs, mean_norm, rms_norm, anisotropy``.
+
+    Scale shape: posexplode → ONE hash agg keyed by coordinate position
+    (shuffle width = dim, map-side combine absorbs the n·dim value
+    stream), then the fold runs over dim rows. JVM-only — no Python in
+    the plan."""
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("pos", "val")).select(
+        "pos", F.col("val").cast("double").alias("val")
+    )
+    per_pos = ex.groupBy("pos").agg(
+        F.sum("val").alias("__s"),
+        F.sum(F.col("val") * F.col("val")).alias("__s2"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    agg = per_pos.agg(
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.max("__n").alias("n_vecs"),
+        F.sum(F.pow(F.col("__s") / F.col("__n"), 2)).alias("__mean_sq"),
+        (F.sum("__s2") / F.max("__n")).alias("__rms_sq"),
+    )
+    return agg.select(
+        "dim",
+        "n_vecs",
+        F.sqrt("__mean_sq").alias("mean_norm"),
+        F.sqrt("__rms_sq").alias("rms_norm"),
+        F.try_divide(F.col("__mean_sq"), F.col("__rms_sq")).alias("anisotropy"),
+    )

@@ -558,3 +558,33 @@ def redact_pii(text: Column, replacement: str = "[PII]") -> Column:
     for k in _PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[k], replacement)
     return out
+
+
+def zipf_fit(df, text_col: str, top_n: int = 1000, min_count: int = 1):
+    """Power-law health check of a corpus vocabulary: natural language
+    follows Zipf's law (frequency ∝ rank^s with s ≈ −1); a corpus whose
+    fitted exponent drifts far from −1 is telling you something upstream
+    — machine-generated boilerplate flattens the curve (s → 0), while
+    template spam with a tiny effective vocabulary steepens it. Fits
+    ``ln(freq) ~ ln(rank)`` by least squares over the top-``top_n``
+    tokens (the head, where the law holds; the long tail is finite-size
+    noise). One row: ``zipf_slope, zipf_r2, n_tokens_used,
+    n_occurrences``.
+
+    Scale shape: ``top_tokens``' explode → map-side-combined agg →
+    TakeOrdered top-k; the rank window and regression then run over
+    ≤ ``top_n`` ROWS (a single bounded partition — deliberate, and
+    irrelevant to scale because top_n is a constant)."""
+    from pyspark.sql import Window
+
+    top = top_tokens(df, text_col, k=top_n, min_count=min_count)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.regr_slope(ln_n, ln_r).alias("zipf_slope"),
+        F.regr_r2(ln_n, ln_r).alias("zipf_r2"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_used"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+    )

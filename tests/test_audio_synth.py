@@ -372,3 +372,29 @@ def test_profile_check_classifies_capture_defects(spark, tmp_path):
     assert abs(out["dc"].dc_offset - 2000) < 50
     assert out["silent"].profile_status == "silent"
     assert out["broken"].profile_status == "undecodable"
+
+
+def test_transcript_vad_consistency_statuses(spark):
+    from jsschema_spark.audio import transcript_vad_consistency
+
+    rows = [
+        ("fabricated", 0.0, 5, True),
+        ("dropped", 1000.0, 0, True),
+        ("ok", 1000.0, 3, True),
+        ("gabble", 1000.0, 30, True),
+        ("mumble", 4000.0, 1, True),
+        ("vacuous", 0.0, 0, True),   # silent + empty transcript = fine
+        ("broken", 0.0, 3, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, active_ms double, n_tokens int, decode_ok boolean"
+    )
+    out = {r.clip_id: r for r in transcript_vad_consistency(df).collect()}
+    assert out["fabricated"].vad_status == "transcript_without_speech"
+    assert out["dropped"].vad_status == "speech_without_transcript"
+    assert out["ok"].vad_status == "ok"
+    assert out["ok"].tokens_per_active_s == pytest.approx(3.0)
+    assert out["gabble"].vad_status == "too_fast"
+    assert out["mumble"].vad_status == "too_slow"
+    assert out["vacuous"].vad_status == "ok"
+    assert out["broken"].vad_status == "undecodable"

@@ -1915,3 +1915,42 @@ def test_centroid_drift_long_form(spark):
     assert rows[(1, 0)]["delta"] == 0.0 and rows[(1, 1)]["delta"] == 0.0
     # label present on only one side drops
     assert not any(lbl == 2 for (lbl, _) in rows)
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    """A corpus built with exact Zipf counts (freq = 1000/rank) must fit
+    slope -1 with r² ≈ 1."""
+    import pytest
+
+    from jsschema_spark.functions.text import zipf_fit
+
+    words = [f"w{i:03d}" for i in range(1, 21)]
+    docs = []
+    for r, w in enumerate(words, start=1):
+        docs.extend([w] * (1000 // r))
+    df = spark.createDataFrame([(" ".join(docs),)], "text string")
+    out = zipf_fit(df, "text", top_n=20).collect()[0]
+    # counts are floor(1000/r) -> tiny deviation from the pure law
+    assert out["zipf_slope"] == pytest.approx(-1.0, abs=0.02)
+    assert out["zipf_r2"] > 0.999
+    assert out["n_tokens_used"] == 20
+
+
+def test_anisotropy_report_extremes(spark):
+    import pytest
+
+    from jsschema_spark.functions.linalg import anisotropy_report
+
+    # collapsed: every vector identical -> anisotropy 1
+    col = spark.createDataFrame([([1.0, 2.0, 2.0],)] * 8, "embedding array<double>")
+    r = anisotropy_report(col).collect()[0]
+    assert r["anisotropy"] == pytest.approx(1.0)
+    assert r["dim"] == 3 and r["n_vecs"] == 8
+    assert r["mean_norm"] == pytest.approx(3.0) and r["rms_norm"] == pytest.approx(3.0)
+
+    # centered pairs: +v and -v -> mean vector 0 -> anisotropy 0
+    cen = spark.createDataFrame(
+        [([1.0, -2.0],), ([-1.0, 2.0],)] * 4, "embedding array<double>"
+    )
+    r2 = anisotropy_report(cen).collect()[0]
+    assert r2["anisotropy"] == pytest.approx(0.0, abs=1e-12)
