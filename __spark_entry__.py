@@ -2223,6 +2223,39 @@ def q_transcript_vad_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decimal_grid_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-grid integrity (stats.decimal_grid_check) per returnflag
+    with a planted price/3 corruption stripe (%97): the float-division
+    bug a range check can't see. Floor-based residual — rounding-mode
+    independent, so both engines agree to the bit."""
+    from jsschema_spark.stats import decimal_grid_check
+
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "price",
+        F.when(
+            F.col("l_orderkey") % 97 == 0, F.col("l_extendedprice") / 3.0
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    out = decimal_grid_check(df, "price", 2, ["l_returnflag"])
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        "n_off_grid",
+        F.round("off_grid_frac", 6).alias("off_frac_r"),
+        F.round("max_abs_residual", 6).alias("max_resid_r"),
+    )
+
+
+def q_mask_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-shape profile (stats.mask_profile) of customer names: the
+    top run-collapsed character-class masks — one healthy mask owns the
+    column; a second mask appearing is the format regression."""
+    from jsschema_spark.stats import mask_profile
+
+    df = _t(spark, sf_dir, "customer")
+    return mask_profile(df, "c_name", k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2333,6 +2366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_documents": q_zipf_documents,
         "anisotropy_embeddings": q_anisotropy_embeddings,
         "transcript_vad_clips": q_transcript_vad_clips,
+        "decimal_grid_lineitem": q_decimal_grid_lineitem,
+        "mask_profile_customer": q_mask_profile_customer,
     }
 
 
@@ -4215,4 +4250,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ok' END AS vad_status,
                    CAST(count(*) AS BIGINT) AS n_clips
             FROM documents GROUP BY 1""",
+        "decimal_grid_lineitem": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     CASE WHEN l_orderkey % 97 = 0
+                          THEN l_extendedprice / 3.0
+                          ELSE l_extendedprice END AS price
+              FROM lineitem
+            ),
+            r AS (
+              SELECT l_returnflag,
+                     least(price * 100 - floor(price * 100),
+                           1.0 - (price * 100 - floor(price * 100))) / 100
+                       AS resid
+              FROM s
+            )
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CASE WHEN resid > 1e-9 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_off_grid,
+                   round(sum(CASE WHEN resid > 1e-9 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS off_frac_r,
+                   round(max(resid), 6) AS max_resid_r
+            FROM r GROUP BY 1""",
+        "mask_profile_customer": """
+            WITH m AS (
+              SELECT coalesce(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                  CAST(c_name AS VARCHAR),
+                  '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g'),
+                  '9+', '9', 'g'), 'a+', 'a', 'g'), 'A+', 'A', 'g'),
+                '__NULL__') AS mask
+              FROM customer
+            )
+            SELECT mask, CAST(count(*) AS BIGINT) AS n
+            FROM m GROUP BY 1 ORDER BY n DESC, mask ASC LIMIT 20""",
     }

@@ -173,6 +173,7 @@ def main() -> None:
             "join_profile_orders_lineitem", "mi_documents_lang_source",
             "heartbeat_events", "audio_profile_clips",
             "zipf_documents", "anisotropy_embeddings", "transcript_vad_clips",
+            "decimal_grid_lineitem", "mask_profile_customer",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -1171,3 +1171,76 @@ def mutual_information(
             F.col("mi_nats") / F.least("h_a", "h_b"),
         ).otherwise(F.lit(0.0)),
     ).select("mi_nats", "h_a", "h_b", "nmi", "n_rows", "n_cells")
+
+
+def decimal_grid_check(
+    df: DataFrame,
+    col: str,
+    scale: int = 2,
+    group_cols: "Optional[Sequence[str]]" = None,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Monetary-grid integrity: a currency column must sit on the cent
+    grid — values off ``10^-scale`` multiples mean a float division or
+    unit conversion corrupted it upstream (the classic ``price / 3``
+    bug), which a min/max range check can never see. Per group:
+    ``n_rows, n_off_grid, off_grid_frac, max_abs_residual`` where the
+    residual is the distance to the nearest grid point (compared against
+    ``tol`` to ignore float representation noise: 19.99 stored as a
+    double is ~1e-15 off its grid point, not a violation).
+
+    One map-side-combined aggregation — shuffle width = #groups. The
+    residual is computed floor-based (distance to the nearest multiple of
+    the grid step), not via ``round`` — half-even vs half-up conventions
+    differ across engines and this formula is independent of both."""
+    x = F.col(col).cast("double")
+    step = float(10**scale)
+    scaled = x * F.lit(step)
+    frac = scaled - F.floor(scaled)
+    resid = F.least(frac, F.lit(1.0) - frac) / F.lit(step)
+    off = (resid > F.lit(tol)).cast("long")
+    gcols = list(group_cols or [])
+    out = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(off), F.lit(0)).cast("long").alias("n_off_grid"),
+        F.max(resid).alias("max_abs_residual"),
+    )
+    return out.withColumn(
+        "off_grid_frac", F.col("n_off_grid") / F.col("n_rows")
+    )
+
+
+def mask_profile(
+    df: DataFrame,
+    col: str,
+    k: int = 50,
+    collapse_runs: bool = True,
+) -> DataFrame:
+    """Format-shape profile of a string column: map every value to its
+    character-class mask (digits→``9``, lowercase→``a``, uppercase→``A``,
+    everything else kept verbatim) and count the top-``k`` masks — the
+    structure detector for identifier-ish columns. A phone column is
+    healthy when one or two masks own the distribution; a new mask
+    appearing between snapshots IS the format regression (the "+49
+    prefix started arriving" class of bug), long before any length or
+    null check fires. ``collapse_runs=True`` folds repeated class
+    symbols (``999-99`` → ``9-9``), profiling shape rather than width.
+
+    Output: ``(mask, n)`` ordered (n desc, mask asc), deterministic
+    cutoff. Nulls profile as the ``__NULL__`` mask.
+
+    Scale shape: three regexp projections + hash agg with map-side
+    combine (shuffle width = #masks, bounded by format diversity, not
+    rows) + TakeOrdered top-k — same shape as ``top_tokens``."""
+    m = F.regexp_replace(F.col(col).cast("string"), "[0-9]", "9")
+    m = F.regexp_replace(m, "[a-z]", "a")
+    m = F.regexp_replace(m, "[A-Z]", "A")
+    if collapse_runs:
+        m = F.regexp_replace(m, "9+", "9")
+        m = F.regexp_replace(m, "a+", "a")
+        m = F.regexp_replace(m, "A+", "A")
+    mask = F.coalesce(m, F.lit("__NULL__"))
+    counts = df.select(mask.alias("mask")).groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.orderBy(F.desc("n"), F.asc("mask")).limit(k)

@@ -937,3 +937,31 @@ def test_mutual_information_extremes(spark):
     r2 = mutual_information(ind, "a", "b").collect()[0]
     assert r2["mi_nats"] == pytest.approx(0.0, abs=1e-12)
     assert r2["n_cells"] == 4 and r2["n_rows"] == 4
+
+
+def test_decimal_grid_check_catches_division_bug(spark):
+    from jsschema_spark.stats import decimal_grid_check
+
+    rows = [("ok", 19.99), ("ok", 5.00), ("bad", 10.0 / 3.0), ("bad", 0.125)]
+    df = spark.createDataFrame(rows, "g string, price double")
+    out = {r["g"]: r for r in decimal_grid_check(df, "price", 2, ["g"]).collect()}
+    assert out["ok"]["n_off_grid"] == 0  # float noise is not a violation
+    assert out["bad"]["n_off_grid"] == 2
+    assert out["bad"]["off_grid_frac"] == pytest.approx(1.0)
+    # 10/3 is 0.00333 off the grid; 0.125 rounds to 0.13 -> 0.005 off
+    assert out["bad"]["max_abs_residual"] == pytest.approx(0.005, abs=1e-6)
+
+
+def test_mask_profile_shapes(spark):
+    from jsschema_spark.stats import mask_profile
+
+    rows = [("Customer#0001",), ("Customer#9999",), ("+49 170 1234",), (None,)]
+    df = spark.createDataFrame(rows, "s string")
+    out = {r["mask"]: r["n"] for r in mask_profile(df, "s").collect()}
+    assert out["Aa#9"] == 2
+    assert out["+9 9 9"] == 1
+    assert out["__NULL__"] == 1
+
+    raw = {r["mask"]: r["n"] for r in
+           mask_profile(df, "s", collapse_runs=False).collect()}
+    assert raw["Aaaaaaaa#9999"] == 2
