@@ -2256,6 +2256,112 @@ def q_mask_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_profile(df, "c_name", k=20)
 
 
+def q_null_rate_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day null-rate matrix (stats.null_rate_by_period) with a planted
+    outage: value goes dark for even event_ids from Jan 15 on — row counts
+    stay healthy, only the null matrix sees it. One period-keyed agg for
+    all columns, literal unpivot after."""
+    from jsschema_spark.stats import null_rate_by_period
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(
+            (F.col("event_id") % 2 == 0)
+            & (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("value")),
+    )
+    out = null_rate_by_period(df, "ts", ["value", "props"], period="day")
+    return out.select(
+        F.col("period").cast("date").alias("day"),
+        "column",
+        "n_rows",
+        "n_null",
+        F.round("null_frac", 6).alias("null_frac_r"),
+    )
+
+
+def q_temporal_ref_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 temporal referential check
+    (checks.temporal_referential_violations): orders must reference a
+    priority rate-card VERSION valid at order time — version gaps, late
+    starts, expiries and a missing key (5-LOW) all planted in a literal
+    dim; broadcast anti-join, zero shuffle of the fact stream. Violations
+    grouped per priority."""
+    from jsschema_spark.checks import temporal_referential_violations
+
+    fact = _t(spark, sf_dir, "orders")
+    dim_rows = [
+        ("1-URGENT", "1995-01-01 00:00:00", "1999-01-01 00:00:00"),
+        ("2-HIGH", "1996-01-01 00:00:00", None),
+        ("3-MEDIUM", "1995-01-01 00:00:00", None),
+        ("4-NOT SPECIFIED", "1995-01-01 00:00:00", "1997-01-01 00:00:00"),
+        ("4-NOT SPECIFIED", "1998-01-01 00:00:00", None),
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "prio string, vf string, vt string"
+    ).select(
+        "prio",
+        F.col("vf").cast("timestamp_ntz").alias("valid_from"),
+        F.col("vt").cast("timestamp_ntz").alias("valid_to"),
+    )
+    bad = temporal_referential_violations(
+        fact, dim, {"o_orderpriority": "prio"}, "o_orderdate", broadcast_dim=True
+    )
+    return bad.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    )
+
+
+def q_duration_check_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-lie detector (audio.duration_check) over in-Spark synth
+    WAVs: catalog says 16 kHz / 1000 ms; planted defects encode at 8 kHz
+    (sr_mismatch — wrong playback speed) or for 1400 ms
+    (duration_mismatch), both invisible to the decode-free size screen
+    when the byte count happens to satisfy it. Oracle = doc_id
+    formulas."""
+    from jsschema_spark.audio import _profile_rows, duration_check, wav_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    params = docs.select(
+        F.format_string("clip-%012d", i).alias("clip_id"),
+        (i % 5).cast("int").alias("kind"),
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for k in pdf["kind"]:
+                if k == 3:
+                    payloads.append(b"corrupt payload")
+                    continue
+                sr = 8000 if k == 1 else 16000
+                ms = 1400 if k == 2 else 1000
+                n = sr * ms // 1000
+                t = np.arange(n, dtype=np.float64) / sr
+                pcm = (8000.0 * np.sin(2.0 * np.pi * 440.0 * t)).astype(np.int16)
+                payloads.append(wav_encode(pcm, sr))
+            yield _profile_rows(list(pdf["clip_id"]), payloads)
+
+    feats = params.mapInPandas(
+        gen,
+        "clip_id string, decode_ok boolean, sr_hz int, n_samples int, "
+        "rms_dbfs double, peak int, clip_frac double, dc_offset double",
+    )
+    meta = params.select(
+        "clip_id",
+        F.lit(16000).alias("sr_hz_meta"),
+        F.lit(1000).alias("dur_ms_meta"),
+    )
+    out = duration_check(feats.join(meta, "clip_id"))
+    return out.groupBy("dur_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2368,6 +2474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_vad_clips": q_transcript_vad_clips,
         "decimal_grid_lineitem": q_decimal_grid_lineitem,
         "mask_profile_customer": q_mask_profile_customer,
+        "null_rate_by_day_events": q_null_rate_by_day_events,
+        "temporal_ref_orders": q_temporal_ref_orders,
+        "duration_check_clips": q_duration_check_clips,
     }
 
 
@@ -4286,4 +4395,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT mask, CAST(count(*) AS BIGINT) AS n
             FROM m GROUP BY 1 ORDER BY n DESC, mask ASC LIMIT 20""",
+        "null_rate_by_day_events": """
+            WITH s AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CASE WHEN event_id % 2 = 0
+                               AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+                          THEN NULL ELSE value END AS value,
+                     props
+              FROM events
+            ),
+            w AS (
+              SELECT day,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0)
+                          AS BIGINT) AS nn_value,
+                     CAST(coalesce(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0)
+                          AS BIGINT) AS nn_props
+              FROM s GROUP BY 1
+            )
+            SELECT day, col AS "column", n_rows, n_null,
+                   round(CAST(n_null AS DOUBLE) / n_rows, 6) AS null_frac_r
+            FROM (
+              SELECT day, 'value' AS col, n_rows, nn_value AS n_null FROM w
+              UNION ALL
+              SELECT day, 'props', n_rows, nn_props FROM w
+            )""",
+        "temporal_ref_orders": """
+            WITH dim(prio, vf, vt) AS (
+              VALUES
+                ('1-URGENT', TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1999-01-01 00:00:00'),
+                ('2-HIGH', TIMESTAMP '1996-01-01 00:00:00', NULL),
+                ('3-MEDIUM', TIMESTAMP '1995-01-01 00:00:00', NULL),
+                ('4-NOT SPECIFIED', TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1997-01-01 00:00:00'),
+                ('4-NOT SPECIFIED', TIMESTAMP '1998-01-01 00:00:00', NULL)
+            )
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_violations
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM dim
+              WHERE dim.prio = o.o_orderpriority
+                AND o.o_orderdate >= dim.vf
+                AND (dim.vt IS NULL OR o.o_orderdate < dim.vt)
+            )
+            GROUP BY 1""",
+        "duration_check_clips": """
+            SELECT CASE WHEN doc_id % 5 = 3 THEN 'undecodable'
+                        WHEN doc_id % 5 = 1 THEN 'sr_mismatch'
+                        WHEN doc_id % 5 = 2 THEN 'duration_mismatch'
+                        ELSE 'ok' END AS dur_status,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM documents GROUP BY 1""",
     }

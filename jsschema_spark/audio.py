@@ -1156,3 +1156,52 @@ def transcript_vad_consistency(
             "vad_status": status,
         }
     )
+
+
+def duration_check(
+    df: "DataFrame",
+    meta_sr_col: str = "sr_hz_meta",
+    meta_dur_col: str = "dur_ms_meta",
+    decoded_sr_col: str = "sr_hz",
+    n_samples_col: str = "n_samples",
+    decode_ok_col: str = "decode_ok",
+    tol_ms: float = 50.0,
+) -> "DataFrame":
+    """Decode-grade metadata consistency — the header-lie detector
+    ``payload_size_check`` cannot be: byte length only pins sr×dur for
+    PCM, so a WAV whose HEADER claims a different rate than the catalog
+    (every sample plays at the wrong speed) or whose decoded duration
+    disagrees with the catalog's ``dur_ms`` passes the size screen and
+    fails here. Consumes profile-scan rows (decoded ``sr_hz``,
+    ``n_samples``) joined with catalog metadata; adds ``decoded_ms`` and
+    ``dur_status`` ∈ {undecodable, sr_mismatch, duration_mismatch, ok}.
+    Precedence: sr first — a wrong rate makes the duration comparison
+    meaningless.
+
+    Pure Catalyst over the reduced rows; decode cost lives in the Arrow
+    scan."""
+    decoded_ms = (
+        F.col(n_samples_col).cast("double")
+        * F.lit(1000.0)
+        / F.col(decoded_sr_col).cast("double")
+    )
+    status = (
+        F.when(~F.col(decode_ok_col), F.lit("undecodable"))
+        .when(
+            F.col(decoded_sr_col) != F.col(meta_sr_col), F.lit("sr_mismatch")
+        )
+        .when(
+            F.abs(decoded_ms - F.col(meta_dur_col).cast("double"))
+            > F.lit(tol_ms),
+            F.lit("duration_mismatch"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumns(
+        {
+            "decoded_ms": F.when(
+                F.col(decode_ok_col) & (F.col(decoded_sr_col) > 0), decoded_ms
+            ),
+            "dur_status": status,
+        }
+    )

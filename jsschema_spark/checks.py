@@ -710,3 +710,48 @@ def join_profile(
             F.sum(F.col("__nl") * F.col("__nr")), F.lit(0)
         ).cast("long").alias("join_rows"),
     )
+
+
+def temporal_referential_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: "Sequence[str] | dict[str, str]",
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    broadcast_dim: "Optional[bool]" = None,
+) -> DataFrame:
+    """Temporal (SCD-2) referential integrity: a fact row must reference
+    a dimension version that was VALID at the fact's own timestamp —
+    plain referential_violations answers "does the key exist?", this
+    answers "did it exist *then*?" (order priced against a not-yet- or
+    no-longer-effective rate card, a clip attributed to a decommissioned
+    recording device). A null ``valid_to`` is an open interval.
+
+    Returns the violating fact rows (LEFT ANTI on key + interval-cover,
+    so matches are never materialized). ``broadcast_dim`` as in
+    ``referential_violations``: None lets AQE decide; SCD dims (keys ×
+    versions) are usually broadcast-sized even when the fact side is
+    10^12 rows — the scale path is a broadcast anti-join with zero
+    shuffle of the fact stream. For a dim too large to broadcast, range-
+    bucket the intervals (``events.interval_join``'s scheme) instead."""
+    if isinstance(on, dict):
+        pairs = list(on.items())
+    else:
+        pairs = [(c, c) for c in on]
+    sel = [F.col(d).alias(f"__dim_{d}") for _f, d in pairs] + [
+        F.col(valid_from_col).alias("__vf"),
+        F.col(valid_to_col).alias("__vt"),
+    ]
+    d_k = dim.select(*sel)
+    cond = None
+    for f_c, d_c in pairs:
+        clause = F.col(f_c) == F.col(f"__dim_{d_c}")
+        cond = clause if cond is None else (cond & clause)
+    ts = F.col(ts_col)
+    cond = cond & (ts >= F.col("__vf")) & (
+        F.col("__vt").isNull() | (ts < F.col("__vt"))
+    )
+    if broadcast_dim is True:
+        d_k = F.broadcast(d_k)
+    return fact.join(d_k, cond, "left_anti")

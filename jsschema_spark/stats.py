@@ -1244,3 +1244,45 @@ def mask_profile(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     return counts.orderBy(F.desc("n"), F.asc("mask")).limit(k)
+
+
+def null_rate_by_period(
+    df: DataFrame,
+    ts_col: str,
+    cols: Sequence[str],
+    period: str = "day",
+) -> DataFrame:
+    """Per-period null-rate matrix: for each period and each listed
+    column, the fraction of rows where it is null — the "field X stopped
+    being populated on day D" detector. ``completeness_by_period`` sees
+    volume gaps; this sees a column going dark while row counts stay
+    perfectly healthy (the classic silent upstream-schema change).
+
+    Output: ``(period, column, n_rows, n_null, null_frac)`` long form.
+
+    Scale shape: ONE aggregation keyed by period computing every
+    column's null count in the same pass (map-side combined; shuffle
+    width = #periods), then a literal unpivot over the #periods × k
+    result rows — the row stream is scanned once regardless of how many
+    columns are profiled."""
+    p = F.date_trunc(period, F.col(ts_col))
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"__null_{c}")
+        )
+    wide = df.groupBy(p.alias("period")).agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `__null_{c}`" for c in cols)
+    return wide.selectExpr(
+        "period",
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (column, n_null)",
+    ).select(
+        "period",
+        F.col("column"),
+        "n_rows",
+        "n_null",
+        (F.col("n_null") / F.col("n_rows")).alias("null_frac"),
+    )

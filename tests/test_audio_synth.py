@@ -398,3 +398,30 @@ def test_transcript_vad_consistency_statuses(spark):
     assert out["mumble"].vad_status == "too_slow"
     assert out["vacuous"].vad_status == "ok"
     assert out["broken"].vad_status == "undecodable"
+
+
+def test_duration_check_catches_header_lies(spark):
+    import numpy as np
+    import pandas as pd
+    from jsschema_spark.audio import _profile_rows, duration_check, wav_encode
+
+    def sine(sr, ms):
+        t = np.arange(sr * ms // 1000) / sr
+        return wav_encode((8000 * np.sin(2 * np.pi * 440 * t)).astype("int16"), sr)
+
+    rows = [
+        ("ok", sine(16000, 1000)),
+        ("wrong_sr", sine(8000, 1000)),
+        ("long", sine(16000, 1400)),
+        ("broken", b"x"),
+    ]
+    prof = _profile_rows([r[0] for r in rows], [r[1] for r in rows])
+    df = spark.createDataFrame(prof).withColumns(
+        {"sr_hz_meta": F.lit(16000), "dur_ms_meta": F.lit(1000)}
+    )
+    out = {r.clip_id: r for r in duration_check(df).collect()}
+    assert out["ok"].dur_status == "ok"
+    assert out["ok"].decoded_ms == pytest.approx(1000.0)
+    assert out["wrong_sr"].dur_status == "sr_mismatch"
+    assert out["long"].dur_status == "duration_mismatch"
+    assert out["broken"].dur_status == "undecodable"

@@ -965,3 +965,53 @@ def test_mask_profile_shapes(spark):
     raw = {r["mask"]: r["n"] for r in
            mask_profile(df, "s", collapse_runs=False).collect()}
     assert raw["Aaaaaaaa#9999"] == 2
+
+
+def test_null_rate_by_period_sees_column_going_dark(spark):
+    from jsschema_spark.stats import null_rate_by_period
+
+    rows = [
+        ("2024-01-01 05:00:00", 1.0, "x"),
+        ("2024-01-01 06:00:00", 2.0, None),
+        ("2024-01-02 05:00:00", None, None),  # value went dark on day 2
+        ("2024-01-02 06:00:00", None, "y"),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, value double, tag string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value", "tag"
+    )
+    out = {(r["period"].day, r["column"]): r for r in
+           null_rate_by_period(df, "ts", ["value", "tag"]).collect()}
+    assert out[(1, "value")]["null_frac"] == 0.0
+    assert out[(2, "value")]["null_frac"] == 1.0
+    assert out[(1, "tag")]["n_null"] == 1 and out[(2, "tag")]["n_null"] == 1
+    assert all(r["n_rows"] == 2 for r in out.values())
+
+
+def test_temporal_referential_violations(spark):
+    from jsschema_spark.checks import temporal_referential_violations
+
+    fact = spark.createDataFrame(
+        [
+            ("k1", "2024-03-01"),  # covered by v1
+            ("k1", "2024-07-01"),  # gap between versions -> violation
+            ("k1", "2024-09-01"),  # covered by open v2
+            ("k2", "2024-01-01"),  # unknown key -> violation
+        ],
+        "k string, d string",
+    ).select("k", F.col("d").cast("date").alias("ts"))
+    dim = spark.createDataFrame(
+        [
+            ("k1", "2024-01-01", "2024-06-01"),
+            ("k1", "2024-08-01", None),
+        ],
+        "k string, vf string, vt string",
+    ).select(
+        "k",
+        F.col("vf").cast("date").alias("valid_from"),
+        F.col("vt").cast("date").alias("valid_to"),
+    )
+    out = temporal_referential_violations(
+        fact, dim, ["k"], "ts", broadcast_dim=True
+    ).collect()
+    bad = sorted((r["k"], str(r["ts"])) for r in out)
+    assert bad == [("k1", "2024-07-01"), ("k2", "2024-01-01")]
