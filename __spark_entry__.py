@@ -2362,6 +2362,24 @@ def q_duration_check_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_concentration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance screen (stats.concentration_report): how evenly is
+    character mass spread across sources — Gini, HHI and the share held
+    by the top 20% of sources; one row-scale agg, everything after over
+    #sources rows."""
+    from jsschema_spark.stats import concentration_report
+
+    df = _t(spark, sf_dir, "documents")
+    out = concentration_report(df, "source", "n_chars", top_frac=0.2)
+    return out.select(
+        "n_groups",
+        F.round("total_weight", 2).alias("total_w_r"),
+        F.round("gini", 8).alias("gini_r"),
+        F.round("hhi", 8).alias("hhi_r"),
+        F.round("top_share", 8).alias("top_share_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2477,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_rate_by_day_events": q_null_rate_by_day_events,
         "temporal_ref_orders": q_temporal_ref_orders,
         "duration_check_clips": q_duration_check_clips,
+        "concentration_documents": q_concentration_documents,
     }
 
 
@@ -4445,4 +4464,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ok' END AS dur_status,
                    CAST(count(*) AS BIGINT) AS n_clips
             FROM documents GROUP BY 1""",
+        "concentration_documents": """
+            WITH m AS (
+              SELECT source AS g, CAST(sum(n_chars) AS DOUBLE) AS w
+              FROM documents GROUP BY 1
+            ),
+            r AS (
+              SELECT g, w,
+                     row_number() OVER (ORDER BY w ASC, g ASC) AS i,
+                     count(*) OVER () AS k
+              FROM m
+            ),
+            agg AS (
+              SELECT max(k) AS n_groups, sum(w) AS tot,
+                     sum(i * w) AS iw, sum(w * w) AS w2,
+                     coalesce(sum(CASE WHEN i > k - greatest(CAST(ceil(0.2 * k) AS BIGINT), 1)
+                                       THEN w END), 0) AS top_w
+              FROM r
+            )
+            SELECT CAST(n_groups AS BIGINT) AS n_groups,
+                   round(tot, 2) AS total_w_r,
+                   round(2.0 * iw / (n_groups * tot) - (n_groups + 1.0) / n_groups, 8) AS gini_r,
+                   round(w2 / (tot * tot), 8) AS hhi_r,
+                   round(top_w / tot, 8) AS top_share_r
+            FROM agg""",
     }

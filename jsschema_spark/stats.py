@@ -1286,3 +1286,69 @@ def null_rate_by_period(
         "n_null",
         (F.col("n_null") / F.col("n_rows")).alias("null_frac"),
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col: "Optional[str]" = None,
+    top_frac: float = 0.01,
+) -> DataFrame:
+    """Corpus-balance screen: how concentrated is the mass (rows, or
+    ``weight_col`` — tokens, bytes, revenue) across groups (sources,
+    domains, speakers)? "80% of training tokens come from 2% of sources"
+    is a diversity failure no per-source mean can express. One row:
+
+    * ``gini`` — 0 = perfectly even, →1 = one group owns everything;
+    * ``hhi`` — Herfindahl index Σ share² (1/#groups when even, 1 when
+      monopolized);
+    * ``top_share`` — mass fraction held by the top ``top_frac`` of
+      groups (⌈top_frac·k⌉, at least 1);
+    * ``n_groups``, ``total_weight``.
+
+    Scale shape: ONE row-scale aggregation to per-group masses (map-side
+    combined, shuffle width = #groups); Gini/HHI/top-share are then
+    window math over the #groups-row table — group cardinality is the
+    bounded quantity, row count never matters. Gini uses the rank
+    formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over masses sorted
+    ascending (deterministic ties by group value)."""
+    from pyspark.sql import Window
+
+    w_expr = (
+        F.count(F.lit(1)).cast("double")
+        if weight_col is None
+        else F.coalesce(F.sum(F.col(weight_col).cast("double")), F.lit(0.0))
+    )
+    masses = df.groupBy(F.col(group_col).alias("__g")).agg(w_expr.alias("__w"))
+    w_rank = Window.orderBy(F.asc("__w"), F.asc("__g"))
+    w_all = Window.partitionBy()
+    ranked = (
+        masses.withColumn("__i", F.row_number().over(w_rank))
+        .withColumn("__k", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "__topn",
+            F.greatest(F.ceil(F.lit(float(top_frac)) * F.col("__k")), F.lit(1)),
+        )
+    )
+    agg = ranked.agg(
+        F.max("__k").cast("long").alias("n_groups"),
+        F.sum("__w").alias("__tot"),
+        F.sum(F.col("__i") * F.col("__w")).alias("__iw"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__w2"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__i") > F.col("__k") - F.col("__topn"), F.col("__w"))
+            ),
+            F.lit(0.0),
+        ).alias("__top_w"),
+    )
+    return agg.select(
+        "n_groups",
+        F.col("__tot").alias("total_weight"),
+        (
+            F.lit(2.0) * F.col("__iw") / (F.col("n_groups") * F.col("__tot"))
+            - (F.col("n_groups") + F.lit(1.0)) / F.col("n_groups")
+        ).alias("gini"),
+        (F.col("__w2") / (F.col("__tot") * F.col("__tot"))).alias("hhi"),
+        (F.col("__top_w") / F.col("__tot")).alias("top_share"),
+    )

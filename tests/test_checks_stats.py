@@ -1015,3 +1015,34 @@ def test_temporal_referential_violations(spark):
     ).collect()
     bad = sorted((r["k"], str(r["ts"])) for r in out)
     assert bad == [("k1", "2024-07-01"), ("k2", "2024-01-01")]
+
+
+def test_concentration_report_extremes(spark):
+    from jsschema_spark.stats import concentration_report
+
+    # perfectly even: 4 groups x 10 -> gini 0 (discrete formula exact), hhi 0.25
+    even = spark.createDataFrame(
+        [(g, 10.0) for g in "abcd"], "src string, w double"
+    )
+    r = concentration_report(even, "src", "w", top_frac=0.25).collect()[0]
+    assert r["gini"] == pytest.approx(0.0, abs=1e-12)
+    assert r["hhi"] == pytest.approx(0.25)
+    assert r["top_share"] == pytest.approx(0.25)  # top 1 of 4 even groups
+
+    # monopoly: one group owns ~everything
+    mono = spark.createDataFrame(
+        [("big", 9700.0)] + [(f"s{i}", 1.0) for i in range(99)],
+        "src string, w double",
+    )
+    r2 = concentration_report(mono, "src", "w", top_frac=0.01).collect()[0]
+    assert r2["n_groups"] == 100
+    assert r2["gini"] > 0.95
+    assert r2["hhi"] > 0.9
+    assert r2["top_share"] == pytest.approx(9700.0 / 9799.0, abs=1e-9)
+
+    # weight_col=None counts rows
+    rows = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)], "src string"
+    )
+    r3 = concentration_report(rows, "src", top_frac=0.5).collect()[0]
+    assert r3["total_weight"] == 10.0 and r3["top_share"] == pytest.approx(0.9)
