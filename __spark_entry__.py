@@ -2380,6 +2380,19 @@ def q_concentration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinctive_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive terms (text.distinctive_terms): tf·idf with
+    each source as one "document" — the crawler-boilerplate signature
+    detector. Top-3 per source, deterministic ties."""
+    from jsschema_spark.functions.text import distinctive_terms
+
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out = distinctive_terms(df, "source", "text", k=3, min_count=2)
+    return out.select(
+        "source", "token", "n", F.round("score", 6).alias("score_r")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2496,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_ref_orders": q_temporal_ref_orders,
         "duration_check_clips": q_duration_check_clips,
         "concentration_documents": q_concentration_documents,
+        "distinctive_terms_documents": q_distinctive_terms_documents,
     }
 
 
@@ -4488,4 +4502,32 @@ def oracle_sql() -> dict[str, str]:
                    round(w2 / (tot * tot), 8) AS hhi_r,
                    round(top_w / tot, 8) AS top_share_r
             FROM agg""",
+        "distinctive_terms_documents": r"""
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(trim(text), '\s+') END AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            u AS (SELECT source, unnest(toks) AS token FROM t),
+            gt AS (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS n
+              FROM u GROUP BY 1, 2
+              HAVING count(*) >= 2
+            ),
+            dfr AS (SELECT token, count(*) AS df FROM gt GROUP BY 1),
+            kk AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS k FROM gt),
+            scored AS (
+              SELECT gt.source, gt.token, gt.n,
+                     gt.n * ln(kk.k / dfr.df) AS score
+              FROM gt JOIN dfr USING (token), kk
+            ),
+            ranked AS (
+              SELECT source, token, n, score,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY score DESC, token ASC) AS r
+              FROM scored
+            )
+            SELECT source, token, n, round(score, 6) AS score_r
+            FROM ranked WHERE r <= 3""",
     }

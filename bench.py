@@ -175,7 +175,7 @@ def main() -> None:
             "zipf_documents", "anisotropy_embeddings", "transcript_vad_clips",
             "decimal_grid_lineitem", "mask_profile_customer",
             "null_rate_by_day_events", "temporal_ref_orders", "duration_check_clips",
-            "concentration_documents",
+            "concentration_documents", "distinctive_terms_documents",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

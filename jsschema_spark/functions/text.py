@@ -588,3 +588,52 @@ def zipf_fit(df, text_col: str, top_n: int = 1000, min_count: int = 1):
         F.count(F.lit(1)).cast("long").alias("n_tokens_used"),
         F.sum("n").cast("long").alias("n_occurrences"),
     )
+
+
+def distinctive_terms(
+    df,
+    group_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+):
+    """Source-signature detector: the tokens most DISTINCTIVE of each
+    group (source, domain, speaker) by tf·idf where each group is one
+    "document" — boilerplate injected by a single crawler source tops
+    its list immediately, while corpus-wide stopwords score zero
+    (idf = ln(K/df) with df = #groups containing the token). The
+    per-group companion of ``top_tokens`` (which profiles the corpus)
+    and ``ngram_doc_freq`` (which finds boilerplate corpus-wide).
+
+    Output: ``(group, token, n, score)`` — top-``k`` rows per group by
+    (score desc, token asc), fully deterministic.
+
+    Scale shape: explode → ONE hash agg to (group, token) counts
+    (map-side combined, shuffle width = Σ per-group vocab); token
+    document-frequency and K are re-aggregations over that vocab-sized
+    table; the rank window partitions by GROUP over each group's vocab —
+    never row-scale data."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    gt = toks.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    if min_count > 1:
+        gt = gt.where(F.col("n") >= min_count)
+    df_tok = gt.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    n_groups = gt.select("grp").distinct().count()
+    scored = gt.join(df_tok, "token").withColumn(
+        "score",
+        F.col("n").cast("double")
+        * F.log(F.lit(float(n_groups)) / F.col("__df")),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select(F.col("grp").alias(group_col), "token", "n", "score")
+    )

@@ -1954,3 +1954,25 @@ def test_anisotropy_report_extremes(spark):
     )
     r2 = anisotropy_report(cen).collect()[0]
     assert r2["anisotropy"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_distinctive_terms_finds_source_boilerplate(spark):
+    import math
+
+    import pytest
+
+    from jsschema_spark.functions.text import distinctive_terms
+
+    rows = (
+        [("crawlA", "the cat sat ADVERT ADVERT ADVERT")] * 2
+        + [("crawlB", "the dog ran")] * 2
+        + [("crawlC", "the bird flew")] * 2
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = distinctive_terms(df, "source", "text", k=1).collect()
+    top = {r["source"]: r for r in out}
+    assert top["crawlA"]["token"] == "ADVERT"
+    assert top["crawlA"]["n"] == 6
+    assert top["crawlA"]["score"] == pytest.approx(6 * math.log(3))
+    # 'the' appears in all 3 sources -> idf 0, never distinctive
+    assert all(r["token"] != "the" for r in out)
