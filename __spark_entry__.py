@@ -2393,6 +2393,37 @@ def q_distinctive_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_monotonic_counter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-monotonicity screen (checks.monotonicity_violations): a
+    per-order running-quantity counter with a planted −50 glitch on line
+    3 of every %211 order — the odometer-reset / replayed-partition bug.
+    One lag window on the entity key, violations-only output."""
+    from pyspark.sql import Window
+
+    from jsschema_spark.checks import monotonicity_violations
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("counter", F.sum("l_quantity").over(w))
+        .withColumn(
+            "counter",
+            F.when(
+                (F.col("l_orderkey") % 211 == 0) & (F.col("l_linenumber") == 3),
+                F.col("counter") - 50,
+            ).otherwise(F.col("counter")),
+        )
+    )
+    out = monotonicity_violations(df, "l_orderkey", "l_linenumber", "counter")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("prev_val", 4).alias("prev_r"),
+        F.round("value", 4).alias("value_r"),
+        F.round("drop", 4).alias("drop_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2510,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_check_clips": q_duration_check_clips,
         "concentration_documents": q_concentration_documents,
         "distinctive_terms_documents": q_distinctive_terms_documents,
+        "monotonic_counter_lineitem": q_monotonic_counter_lineitem,
     }
 
 
@@ -4530,4 +4562,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, token, n, round(score, 6) AS score_r
             FROM ranked WHERE r <= 3""",
+        "monotonic_counter_lineitem": """
+            WITH c AS (
+              SELECT l_orderkey, l_linenumber,
+                     sum(l_quantity) OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber) AS counter0
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_orderkey % 211 = 0 AND l_linenumber = 3
+                          THEN counter0 - 50 ELSE counter0 END AS counter,
+                     lag(CASE WHEN l_orderkey % 211 = 0 AND l_linenumber = 3
+                              THEN counter0 - 50 ELSE counter0 END)
+                       OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+                       AS prev_val
+              FROM c
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round(prev_val, 4) AS prev_r,
+                   round(counter, 4) AS value_r,
+                   round(prev_val - counter, 4) AS drop_r
+            FROM s WHERE prev_val > counter""",
     }

@@ -755,3 +755,42 @@ def temporal_referential_violations(
     if broadcast_dim is True:
         d_k = F.broadcast(d_k)
     return fact.join(d_k, cond, "left_anti")
+
+
+def monotonicity_violations(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Counter-integrity screen: a cumulative column (odometer, event
+    counter, offset, version number) must never decrease along an
+    entity's ordered history — a drop is a device reset, a replayed
+    partition, or an id collision stitching two histories together.
+    ``order_violations`` checks event-TYPE ordering; this checks a
+    NUMERIC column's monotone contract along the same per-entity
+    timeline.
+
+    Returns the violating transitions: ``entity, order value, prev_val,
+    value, drop`` (one row per decrease; ``strict=True`` also flags
+    plateaus). Scale shape: one lag window partitioned by entity
+    (sessionize's shuffle) + a codegen filter — output is violations
+    only, never the history."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    projected = df.select(
+        entity_col,
+        order_col,
+        F.lag(F.col(value_col)).over(w).alias("prev_val"),
+        F.col(value_col).alias("value"),
+    )
+    bad = (
+        (F.col("prev_val") > F.col("value"))
+        if not strict
+        else (F.col("prev_val") >= F.col("value"))
+    )
+    return projected.where(bad).withColumn(
+        "drop", F.col("prev_val") - F.col("value")
+    )

@@ -1046,3 +1046,19 @@ def test_concentration_report_extremes(spark):
     )
     r3 = concentration_report(rows, "src", top_frac=0.5).collect()[0]
     assert r3["total_weight"] == 10.0 and r3["top_share"] == pytest.approx(0.9)
+
+
+def test_monotonicity_violations(spark):
+    from jsschema_spark.checks import monotonicity_violations
+
+    rows = [
+        ("m1", 1, 10.0), ("m1", 2, 15.0), ("m1", 3, 12.0),  # reset at 3
+        ("m2", 1, 5.0), ("m2", 2, 5.0), ("m2", 3, 6.0),     # plateau ok
+    ]
+    df = spark.createDataFrame(rows, "meter string, seq int, reading double")
+    out = monotonicity_violations(df, "meter", "seq", "reading").collect()
+    assert len(out) == 1
+    assert out[0]["meter"] == "m1" and out[0]["seq"] == 3 and out[0]["drop"] == 3.0
+
+    strict = monotonicity_violations(df, "meter", "seq", "reading", strict=True)
+    assert strict.count() == 2  # plateau also flagged
