@@ -2424,6 +2424,25 @@ def q_monotonic_counter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-test harness (events.ab_test_report): portable-hash 50/50 user
+    split, per-arm purchase conversion, pooled two-proportion z. With no
+    treatment anywhere, |z| ≫ 2 would indict the metric pipeline itself —
+    the deterministic hash makes the whole readout bit-reproducible
+    across engines."""
+    from jsschema_spark.functions.events import ab_test_report
+
+    df = _t(spark, sf_dir, "events")
+    out = ab_test_report(df, "user_id", F.col("event_type") == "purchase")
+    return out.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round("rate_a", 8).alias("rate_a_r"),
+        F.round("rate_b", 8).alias("rate_b_r"),
+        F.round("lift", 8).alias("lift_r"),
+        F.round("z", 6).alias("z_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2542,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration_documents": q_concentration_documents,
         "distinctive_terms_documents": q_distinctive_terms_documents,
         "monotonic_counter_lineitem": q_monotonic_counter_lineitem,
+        "ab_test_events": q_ab_test_events,
     }
 
 
@@ -4584,4 +4604,32 @@ def oracle_sql() -> dict[str, str]:
                    round(counter, 4) AS value_r,
                    round(prev_val - counter, 4) AS drop_r
             FROM s WHERE prev_val > counter""",
+        "ab_test_events": """
+            WITH pe AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+              FROM events GROUP BY 1
+            ),
+            tagged AS (
+              SELECT conv,
+                     CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || 'ab1'), 1, 15))
+                          AS BIGINT) % 2 AS arm
+              FROM pe
+            ),
+            agg AS (
+              SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                     CAST(coalesce(sum(CASE WHEN arm = 0 THEN conv END), 0) AS BIGINT) AS conv_a,
+                     CAST(coalesce(sum(CASE WHEN arm = 1 THEN conv END), 0) AS BIGINT) AS conv_b
+              FROM tagged
+            )
+            SELECT n_a, n_b, conv_a, conv_b,
+                   round(CAST(conv_a AS DOUBLE) / n_a, 8) AS rate_a_r,
+                   round(CAST(conv_b AS DOUBLE) / n_b, 8) AS rate_b_r,
+                   round(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a, 8) AS lift_r,
+                   round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+                         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                                * (1.0 / n_a + 1.0 / n_b)), 6) AS z_r
+            FROM agg""",
     }

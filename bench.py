@@ -176,7 +176,7 @@ def main() -> None:
             "decimal_grid_lineitem", "mask_profile_customer",
             "null_rate_by_day_events", "temporal_ref_orders", "duration_check_clips",
             "concentration_documents", "distinctive_terms_documents",
-            "monotonic_counter_lineitem",
+            "monotonic_counter_lineitem", "ab_test_events",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -561,3 +561,57 @@ def heartbeat_gaps(
         ).cast("double")
         / F.lit(1e6),
     ).drop("__stream_max")
+
+
+def ab_test_report(
+    df: DataFrame,
+    id_col: str,
+    converted: Column,
+    hash_fn=None,
+    salt: str = "ab1",
+) -> DataFrame:
+    """Experiment-analysis primitive: deterministically hash-split
+    entities 50/50 (same entity → same arm on every run and every
+    engine), compute per-arm conversion, and the two-proportion pooled
+    z-statistic — the end-to-end shape of an A/B readout, also the
+    A/A-test harness for the pipeline itself (splitting on a hash and
+    seeing |z| ≫ 2 with NO treatment means the metric computation, not
+    the product, is broken).
+
+    ``converted`` is any boolean Column evaluated per event row; an
+    entity converts if ANY of its rows does. One row: ``n_a, n_b,
+    conv_a, conv_b, rate_a, rate_b, lift, z`` (z null when a pooled
+    variance degenerates).
+
+    Scale shape: one hash agg to entities (map-side combine), one
+    single-row agg folding both arms via conditional sums — no joins, no
+    windows. Default hash is the portable md5 (oracle-reproducible);
+    pass ``hash_fn=F.xxhash64`` on the 100-TB path."""
+    from .dedup import portable_hash64
+
+    h = hash_fn or (lambda c: portable_hash64(c))
+    per_entity = df.groupBy(F.col(id_col).alias("__id")).agg(
+        F.max(converted.cast("int")).alias("__conv")
+    )
+    arm = F.pmod(h(F.concat(F.col("__id").cast("string"), F.lit(salt))), F.lit(2))
+    tagged = per_entity.withColumn("__arm", arm)
+    agg = tagged.agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(F.col("__arm") == 0, F.col("__conv"))), F.lit(0)).cast("long").alias("conv_a"),
+        F.coalesce(F.sum(F.when(F.col("__arm") == 1, F.col("__conv"))), F.lit(0)).cast("long").alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (rb - ra).alias("lift"),
+        F.try_divide(rb - ra, se).alias("z"),
+    )

@@ -444,3 +444,23 @@ def test_heartbeat_gaps(spark):
     assert out["b"]["max_gap_s"] is None and out["b"]["n_gaps_over"] == 0
     assert out["b"]["trailing_gap_s"] == 4 * 3600.0  # dead sensor
     assert out["c"]["trailing_gap_s"] == 0.0
+
+
+def test_ab_test_report_aa_split_is_null_effect(spark):
+    import pytest
+
+    from jsschema_spark.functions.events import ab_test_report
+
+    # 2000 users, deterministic conversion INDEPENDENT of the hash arm:
+    # an A/A test — |z| must be small and the split near 50/50
+    rows = [(f"u{i}", "buy" if i % 10 < 3 else "view") for i in range(2000)]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    r = ab_test_report(df, "user_id", F.col("event_type") == "buy").collect()[0]
+    assert r["n_a"] + r["n_b"] == 2000
+    assert abs(r["n_a"] - 1000) < 100  # hash split is balanced
+    assert r["conv_a"] + r["conv_b"] == 600
+    assert abs(r["z"]) < 3.0
+
+    # deterministic: same input -> bit-identical report
+    r2 = ab_test_report(df, "user_id", F.col("event_type") == "buy").collect()[0]
+    assert r == r2
