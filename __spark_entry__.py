@@ -2443,6 +2443,63 @@ def q_ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_normalize_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-normalization TRANSFORM verified end-to-end: mixed-rate
+    (8/16/44.1 kHz), mixed-gain (quiet/hot/reference) synth WAVs are
+    resampled to 16 kHz and gain-normalized to −20 dBFS
+    (audio.resample_linear + normalize_gain — the fix path for what the
+    gates catch), then re-DECODED and re-profiled in the same Arrow
+    stage; a clip counts 'normalized' only if its re-encoded WAV decodes
+    at 16 kHz with RMS within 1 dB of target. The analytic oracle demands
+    every decodable clip make it — certifying synth→normalize→encode→
+    decode→measure round-trip."""
+    from jsschema_spark.audio import (
+        normalize_gain,
+        pcm_profile,
+        resample_linear,
+        wav_decode,
+        wav_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    params = docs.select(
+        F.format_string("clip-%012d", i).alias("clip_id"),
+        (i % 4).cast("int").alias("kind"),
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        cfg = {0: (8000, 500.0), 1: (44100, 28000.0), 2: (16000, 8000.0)}
+        for pdf in batches:
+            out = {"orig_sr": [], "status": []}
+            for k in pdf["kind"]:
+                if k == 3:
+                    out["orig_sr"].append(0)
+                    out["status"].append("undecodable")
+                    continue
+                sr, amp = cfg[int(k)]
+                t = np.arange(sr // 2, dtype=np.float64) / sr
+                pcm = (amp * np.sin(2.0 * np.pi * 440.0 * t)).astype(np.int16)
+                wav = wav_encode(pcm, sr)
+                sr_d, pcm_d = wav_decode(wav)
+                pcm_n = normalize_gain(resample_linear(pcm_d, sr_d, 16000), -20.0)
+                sr_v, pcm_v = wav_decode(wav_encode(pcm_n, 16000))
+                rms_dbfs, _, _, _ = pcm_profile(pcm_v)
+                ok = sr_v == 16000 and abs(rms_dbfs - (-20.0)) < 1.0
+                out["orig_sr"].append(sr)
+                out["status"].append("normalized" if ok else "off_target")
+            import pandas as _pd
+
+            yield _pd.DataFrame(out)
+
+    feats = params.mapInPandas(gen, "orig_sr int, status string")
+    return feats.groupBy("orig_sr", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2562,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms_documents": q_distinctive_terms_documents,
         "monotonic_counter_lineitem": q_monotonic_counter_lineitem,
         "ab_test_events": q_ab_test_events,
+        "audio_normalize_clips": q_audio_normalize_clips,
     }
 
 
@@ -4632,4 +4690,13 @@ def oracle_sql() -> dict[str, str]:
                                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                                 * (1.0 / n_a + 1.0 / n_b)), 6) AS z_r
             FROM agg""",
+        "audio_normalize_clips": """
+            SELECT CASE WHEN doc_id % 4 = 0 THEN 8000
+                        WHEN doc_id % 4 = 1 THEN 44100
+                        WHEN doc_id % 4 = 2 THEN 16000
+                        ELSE 0 END AS orig_sr,
+                   CASE WHEN doc_id % 4 = 3 THEN 'undecodable'
+                        ELSE 'normalized' END AS status,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM documents GROUP BY 1, 2""",
     }

@@ -1205,3 +1205,112 @@ def duration_check(
             "dur_status": status,
         }
     )
+
+
+def normalize_gain(
+    samples: "np.ndarray", target_dbfs: float = -20.0
+) -> "np.ndarray":
+    """Gain-normalize int16 PCM to a target RMS level (dBFS): the fix
+    path for the level spread ``audio_profile_scan`` reports — corpora
+    mixing whisper-level and hot captures train badly even when every
+    clip individually passes the gate. Pure vectorized numpy; silence
+    (zero RMS) passes through unchanged; the scale is clipped back into
+    int16 (a clip already at 0 dBFS cannot be boosted losslessly — the
+    ``clip_frac`` screen owns that case)."""
+    f = samples.astype(np.float64)
+    rms = float(np.sqrt(np.mean(np.square(f)))) if len(f) else 0.0
+    if rms <= 0.0:
+        return samples
+    target = 32768.0 * (10.0 ** (target_dbfs / 20.0))
+    out = f * (target / rms)
+    return np.clip(out, -32768, 32767).astype(np.int16)
+
+
+def resample_linear(
+    samples: "np.ndarray", sr_from: int, sr_to: int
+) -> "np.ndarray":
+    """Linear-interpolation resampler: the fix path for a rate-mixed
+    corpus (every training pipeline wants ONE rate; ``duration_check``
+    and ``bandwidth_check`` find the offenders, this converts them).
+    Output length is ⌊n·sr_to/sr_from⌋, grid-aligned at t=0; linear
+    interp is the honest container-free choice (no scipy in this
+    environment) — band-limited sinc resampling is the documented
+    upgrade where libs exist. Vectorized numpy (np.interp)."""
+    if sr_from == sr_to or len(samples) == 0:
+        return samples
+    n_out = int(len(samples) * sr_to // sr_from)
+    if n_out <= 0:
+        return samples[:0]
+    t_out = np.arange(n_out, dtype=np.float64) * (sr_from / sr_to)
+    t_in = np.arange(len(samples), dtype=np.float64)
+    out = np.interp(t_out, t_in, samples.astype(np.float64))
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+def audio_normalize_scan(
+    spark,
+    parquet_dir: str,
+    clip_id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    target_sr: int = 16000,
+    target_dbfs: float = -20.0,
+):
+    """Corpus normalization TRANSFORM (the fix-path sibling of the audio
+    gates): decode → resample to ``target_sr`` → gain-normalize to
+    ``target_dbfs`` → re-encode, file-granular mapInPandas (payload bytes
+    never cross JVM↔Python IPC — same shape as ``audio_profile_scan``).
+    Output rows: ``clip_id, bytes (normalized WAV), sr_hz, n_samples,
+    decode_ok`` — undecodable clips pass through with null bytes so the
+    caller can route them to quarantine instead of silently dropping
+    them."""
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_dir!r}")
+    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("sr_hz", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                table = pq.read_table(path, columns=[clip_id_col, bytes_col])
+                cids = table.column(clip_id_col).to_pylist()
+                payloads = (
+                    memoryview(s.as_buffer()) if s.is_valid else None
+                    for chunk in table.column(bytes_col).chunks
+                    for s in chunk
+                )
+                out = {"clip_id": [], "bytes": [], "sr_hz": [], "n_samples": [], "decode_ok": []}
+                for cid, payload in zip(cids, payloads):
+                    out["clip_id"].append(cid)
+                    try:
+                        sr, pcm = wav_decode(payload)
+                        pcm = resample_linear(pcm, sr, target_sr)
+                        pcm = normalize_gain(pcm, target_dbfs)
+                        out["bytes"].append(wav_encode(pcm, target_sr))
+                        out["sr_hz"].append(target_sr)
+                        out["n_samples"].append(len(pcm))
+                        out["decode_ok"].append(True)
+                    except (ValueError, TypeError):
+                        out["bytes"].append(None)
+                        out["sr_hz"].append(0)
+                        out["n_samples"].append(0)
+                        out["decode_ok"].append(False)
+                yield pd.DataFrame(out)
+
+    return files_df.mapInPandas(gen, out_schema)

@@ -425,3 +425,75 @@ def test_duration_check_catches_header_lies(spark):
     assert out["wrong_sr"].dur_status == "sr_mismatch"
     assert out["long"].dur_status == "duration_mismatch"
     assert out["broken"].dur_status == "undecodable"
+
+
+def test_normalize_and_resample_kernels():
+    import numpy as np
+
+    from jsschema_spark.audio import (
+        band_energy_fingerprint,
+        normalize_gain,
+        pcm_profile,
+        resample_linear,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    quiet = (800 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+
+    # gain: RMS lands on target; waveform shape (fingerprint) unchanged
+    normed = normalize_gain(quiet, target_dbfs=-20.0)
+    rms_dbfs, _, clip_frac, _ = pcm_profile(normed)
+    assert abs(rms_dbfs - (-20.0)) < 0.1 and clip_frac == 0.0
+    fp_a, _ = band_energy_fingerprint(quiet, sr)
+    fp_b, _ = band_energy_fingerprint(normed, sr)
+    assert fp_a == fp_b  # the gain-invariance the fingerprint promises
+
+    # silence passes through
+    z = np.zeros(100, dtype=np.int16)
+    assert (normalize_gain(z) == z).all()
+
+    # resample: length scales, tone frequency preserved (ZCR check)
+    from jsschema_spark.audio import spectral_profile
+
+    up = resample_linear(quiet, sr, 44100)
+    assert len(up) == sr * 44100 // 16000
+    zcr, _, _, _, _, _ = spectral_profile(up, 44100)
+    assert abs(zcr - 880) < 20  # 440 Hz tone => ~880 crossings/s
+    assert (resample_linear(quiet, sr, sr) == quiet).all()
+
+
+def test_audio_normalize_scan_end_to_end(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    from jsschema_spark.audio import (
+        audio_normalize_scan,
+        audio_profile_scan,
+        wav_decode,
+        wav_encode,
+    )
+
+    def tone(sr, amp, ms=500):
+        t = np.arange(sr * ms // 1000) / sr
+        return wav_encode((amp * np.sin(2 * np.pi * 440 * t)).astype(np.int16), sr)
+
+    rows = [
+        ("hot44", tone(44100, 28000)),
+        ("quiet8", tone(8000, 500)),
+        ("broken", b"nope"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pd.DataFrame(rows, columns=["clip_id", "bytes"])).coalesce(
+        1
+    ).write.parquet(src)
+
+    out = {r.clip_id: r for r in audio_normalize_scan(spark, src, target_sr=16000).collect()}
+    assert out["broken"].decode_ok is False and out["broken"].bytes is None
+    for cid in ("hot44", "quiet8"):
+        sr, pcm = wav_decode(bytes(out[cid].bytes))
+        assert sr == 16000
+        assert abs(len(pcm) - 8000) <= 2  # 500 ms at 16 kHz
+        rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+        import math
+
+        assert abs(20 * math.log10(rms / 32768.0) - (-20.0)) < 0.6
