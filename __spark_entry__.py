@@ -2500,6 +2500,40 @@ def q_audio_normalize_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table drift battery in ONE scan per side
+    (stats.multi_drift): lineitem split at ship-date 1998-01-01, current
+    side given a planted +5% price inflation — price drifts, quantity/
+    discount/tax stay flat, all four measured from a single (column,
+    bucket) aggregation per side."""
+    from jsschema_spark.stats import multi_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    base = li.where(F.col("l_shipdate") < cut)
+    cur = li.where(F.col("l_shipdate") >= cut).withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 1.05
+    )
+    out = multi_drift(
+        base,
+        cur,
+        {
+            "l_quantity": (0.0, 55.0),
+            "l_extendedprice": (0.0, 130000.0),
+            "l_discount": (0.0, 0.12),
+            "l_tax": (0.0, 0.1),
+        },
+        nbins=20,
+    )
+    return out.select(
+        "column",
+        "n_base",
+        "n_cur",
+        F.round("psi", 6).alias("psi_r"),
+        F.round("ks", 6).alias("ks_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2620,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_counter_lineitem": q_monotonic_counter_lineitem,
         "ab_test_events": q_ab_test_events,
         "audio_normalize_clips": q_audio_normalize_clips,
+        "multi_drift_lineitem": q_multi_drift_lineitem,
     }
 
 
@@ -4699,4 +4734,52 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'normalized' END AS status,
                    CAST(count(*) AS BIGINT) AS n_clips
             FROM documents GROUP BY 1, 2""",
+        "multi_drift_lineitem": """
+            WITH cfg(col, lo, hi) AS (
+              VALUES ('l_quantity', 0.0, 55.0),
+                     ('l_extendedprice', 0.0, 130000.0),
+                     ('l_discount', 0.0, 0.12),
+                     ('l_tax', 0.0, 0.1)
+            ),
+            src AS (
+              SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 'base' ELSE 'cur' END AS side,
+                     l_quantity,
+                     CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                          THEN l_extendedprice ELSE l_extendedprice * 1.05 END AS l_extendedprice,
+                     l_discount, l_tax
+              FROM lineitem
+            ),
+            unp AS (
+              SELECT side, 'l_quantity' AS col, CAST(l_quantity AS DOUBLE) AS v FROM src
+              UNION ALL SELECT side, 'l_extendedprice', l_extendedprice FROM src
+              UNION ALL SELECT side, 'l_discount', l_discount FROM src
+              UNION ALL SELECT side, 'l_tax', l_tax FROM src
+            ),
+            binned AS (
+              SELECT side, unp.col AS col,
+                     least(greatest(CAST(floor((v - lo) / ((hi - lo) / 20)) AS BIGINT), 0), 19) AS bucket
+              FROM unp JOIN cfg ON unp.col = cfg.col
+              WHERE v IS NOT NULL
+            ),
+            h AS (
+              SELECT col, bucket,
+                     CAST(sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS DOUBLE) AS n_base,
+                     CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS DOUBLE) AS n_cur
+              FROM binned GROUP BY 1, 2
+            ),
+            t AS (
+              SELECT col, bucket, n_base, n_cur,
+                     sum(n_base) OVER (PARTITION BY col) AS tb,
+                     sum(n_cur) OVER (PARTITION BY col) AS tc,
+                     sum(n_base) OVER (PARTITION BY col ORDER BY bucket) AS cb,
+                     sum(n_cur) OVER (PARTITION BY col ORDER BY bucket) AS cc
+              FROM h
+            )
+            SELECT col AS "column",
+                   CAST(sum(n_base) AS BIGINT) AS n_base,
+                   CAST(sum(n_cur) AS BIGINT) AS n_cur,
+                   round(sum((n_cur / tc + 1e-6 - n_base / tb - 1e-6)
+                             * ln((n_cur / tc + 1e-6) / (n_base / tb + 1e-6))), 6) AS psi_r,
+                   round(max(abs(cc / tc - cb / tb)), 6) AS ks_r
+            FROM t GROUP BY 1""",
     }

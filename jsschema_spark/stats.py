@@ -1352,3 +1352,74 @@ def concentration_report(
         (F.col("__w2") / (F.col("__tot") * F.col("__tot"))).alias("hhi"),
         (F.col("__top_w") / F.col("__tot")).alias("top_share"),
     )
+
+
+def multi_drift(
+    df_base: DataFrame,
+    df_cur: DataFrame,
+    bounds: "dict[str, tuple[float, float]]",
+    nbins: int = 32,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Whole-table drift battery in ONE scan per side: every numeric
+    column's PSI and KS against the baseline, not one aggregation per
+    column. The k-column unpivot (``stack``) runs inside the scan
+    projection, so the row stream is read once and hash-aggregated on
+    ``(column, bucket)`` — shuffle width k·nbins, independent of row
+    count; the per-column KS/PSI folds then run over the bin table.
+    ``bounds`` maps column → (lo, hi) fixed bucketing range (fixed
+    buckets are what make partial aggregation and cross-side comparison
+    valid — the same contract as ``histogram``).
+
+    Output: ``(column, n_base, n_cur, psi, ks)`` — rank by either to
+    triage which columns moved; out-of-range values clamp into the edge
+    buckets (a shifted tail lands in bucket 0/nbins−1 and still drifts).
+    """
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        parts = []
+        for c, (lo, hi) in bounds.items():
+            w = (hi - lo) / nbins
+            b = F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(w))
+            b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+            parts.append(
+                F.when(F.col(c).isNotNull(), F.struct(F.lit(c).alias("column"), b.alias("bucket")))
+            )
+        ex = df.select(F.explode(F.array(*parts)).alias("cb")).where(
+            F.col("cb").isNotNull()
+        )
+        return ex.groupBy("cb.column", "cb.bucket").agg(
+            F.count(F.lit(1)).cast("double").alias(f"n_{side}")
+        )
+    hb = binned(df_base, "base")
+    hc = binned(df_cur, "cur")
+    j = hb.join(hc, ["column", "bucket"], "full_outer").select(
+        "column",
+        "bucket",
+        F.coalesce("n_base", F.lit(0.0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0.0)).alias("n_cur"),
+    )
+    from pyspark.sql import Window
+
+    w_col = Window.partitionBy("column")
+    w_cum = Window.partitionBy("column").orderBy("bucket")
+    tot_b = F.sum("n_base").over(w_col)
+    tot_c = F.sum("n_cur").over(w_col)
+    pb = F.col("n_base") / tot_b + F.lit(eps)
+    pc = F.col("n_cur") / tot_c + F.lit(eps)
+    terms = j.select(
+        "column",
+        "bucket",
+        "n_base",
+        "n_cur",
+        ((pc - pb) * F.log(pc / pb)).alias("__psi_term"),
+        F.abs(
+            F.sum(F.col("n_cur") / tot_c).over(w_cum)
+            - F.sum(F.col("n_base") / tot_b).over(w_cum)
+        ).alias("__ks_term"),
+    )
+    return terms.groupBy("column").agg(
+        F.sum("n_base").cast("long").alias("n_base"),
+        F.sum("n_cur").cast("long").alias("n_cur"),
+        F.sum("__psi_term").alias("psi"),
+        F.max("__ks_term").alias("ks"),
+    )

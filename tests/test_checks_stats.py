@@ -1062,3 +1062,27 @@ def test_monotonicity_violations(spark):
 
     strict = monotonicity_violations(df, "meter", "seq", "reading", strict=True)
     assert strict.count() == 2  # plateau also flagged
+
+
+def test_multi_drift_one_scan_battery(spark):
+    from jsschema_spark.stats import multi_drift
+
+    base = spark.createDataFrame(
+        [(float(i % 10), float(i % 4)) for i in range(400)], "a double, b double"
+    )
+    # a shifts by +5 (half the range), b unchanged
+    cur = base.withColumn("a", F.col("a") + 5.0)
+    out = {r["column"]: r for r in
+           multi_drift(base, cur, {"a": (0.0, 10.0), "b": (0.0, 4.0)}, nbins=10).collect()}
+    assert out["a"]["psi"] > 1.0 and out["a"]["ks"] > 0.4
+    assert out["b"]["psi"] < 1e-3 and out["b"]["ks"] < 1e-9
+    assert out["a"]["n_base"] == 400 and out["a"]["n_cur"] == 400
+
+    # the whole battery is ONE scan per side: one Exchange pair for the
+    # (column, bucket) agg, not one per column
+    plan = multi_drift(
+        base, cur, {"a": (0.0, 10.0), "b": (0.0, 4.0)}
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Scan ExistingRDD", plan)) <= 4
