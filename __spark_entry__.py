@@ -2534,6 +2534,29 @@ def q_multi_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_qq_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q drift localization (stats.qq_drift, exact mode): same
+    ship-date split + planted +5% price inflation as multi_drift — here
+    every probe quantile moves by ≈5% together, the wholesale-shift
+    signature (a fattened tail would move only p95/p99)."""
+    from jsschema_spark.stats import qq_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    base = li.where(F.col("l_shipdate") < cut)
+    cur = li.where(F.col("l_shipdate") >= cut).withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 1.05
+    )
+    out = qq_drift(base, cur, "l_extendedprice", exact=True)
+    return out.select(
+        "p",
+        F.round("q_base", 4).alias("q_base_r"),
+        F.round("q_cur", 4).alias("q_cur_r"),
+        F.round("gap", 4).alias("gap_r"),
+        F.round("rel_gap", 6).alias("rel_gap_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2655,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_events": q_ab_test_events,
         "audio_normalize_clips": q_audio_normalize_clips,
         "multi_drift_lineitem": q_multi_drift_lineitem,
+        "qq_drift_lineitem": q_qq_drift_lineitem,
     }
 
 
@@ -4782,4 +4806,28 @@ def oracle_sql() -> dict[str, str]:
                              * ln((n_cur / tc + 1e-6) / (n_base / tb + 1e-6))), 6) AS psi_r,
                    round(max(abs(cc / tc - cb / tb)), 6) AS ks_r
             FROM t GROUP BY 1""",
+        "qq_drift_lineitem": """
+            WITH b AS (
+              SELECT quantile_cont(l_extendedprice,
+                       [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS qs
+              FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+            ),
+            c AS (
+              SELECT quantile_cont(l_extendedprice * 1.05,
+                       [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS qs
+              FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+            ),
+            eb AS (SELECT generate_subscripts(qs, 1) AS i, unnest(qs) AS q_base FROM b),
+            ec AS (SELECT generate_subscripts(qs, 1) AS i, unnest(qs) AS q_cur FROM c),
+            probs AS (
+              SELECT generate_subscripts(a, 1) AS i, unnest(a) AS p
+              FROM (SELECT [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99] AS a)
+            )
+            SELECT CAST(probs.p AS DOUBLE) AS p,
+                   round(q_base, 4) AS q_base_r,
+                   round(q_cur, 4) AS q_cur_r,
+                   round(q_cur - q_base, 4) AS gap_r,
+                   round(CASE WHEN q_base <> 0
+                              THEN (q_cur - q_base) / abs(q_base) END, 6) AS rel_gap_r
+            FROM eb JOIN ec USING (i) JOIN probs USING (i)""",
     }

@@ -177,7 +177,7 @@ def main() -> None:
             "null_rate_by_day_events", "temporal_ref_orders", "duration_check_clips",
             "concentration_documents", "distinctive_terms_documents",
             "monotonic_counter_lineitem", "ab_test_events",
-            "audio_normalize_clips", "multi_drift_lineitem",
+            "audio_normalize_clips", "multi_drift_lineitem", "qq_drift_lineitem",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

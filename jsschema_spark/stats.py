@@ -1423,3 +1423,50 @@ def multi_drift(
         F.sum("__psi_term").alias("psi"),
         F.max("__ks_term").alias("ks"),
     )
+
+
+def qq_drift(
+    df_base: DataFrame,
+    df_cur: DataFrame,
+    col: str,
+    probs: "Sequence[float]" = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Quantile-quantile drift localization: ``multi_drift``/``ks_drift``
+    say a column MOVED; this says WHERE — one row per probe quantile
+    with both sides' values and the gap, so a fattened upper tail (p99
+    jumped, median flat) reads differently from a wholesale shift (every
+    quantile moved together) or a unit change (all quantiles scaled).
+
+    Output: ``(p, q_base, q_cur, gap, rel_gap)`` — ``rel_gap`` null when
+    the base quantile is 0.
+
+    Same exactness contract as the quantile family: default is the
+    ``percentile_approx`` sketch (one fixed-size mergeable partial per
+    task — both sides cost one scan each at any scale); ``exact=True``
+    is R-7 interpolated for oracle parity. The quantile ARRAY comes back
+    in a single aggregation per side and is exploded driver-free with
+    posexplode over a 1-row table."""
+    parr = "array(" + ", ".join(repr(float(p)) for p in probs) + ")"
+    pfn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {accuracy}"
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        agg = df.agg(
+            F.expr(f"{pfn}({col}, {parr}{acc})").alias("__q")
+        )
+        return agg.select(F.posexplode("__q").alias("__i", f"q_{name}"))
+
+    probs_df = side(df_base, "base").join(side(df_cur, "cur"), "__i")
+    p_lit = F.element_at(
+        F.array(*[F.lit(float(p)) for p in probs]), F.col("__i") + 1
+    )
+    gap = F.col("q_cur") - F.col("q_base")
+    return probs_df.select(
+        p_lit.alias("p"),
+        "q_base",
+        "q_cur",
+        gap.alias("gap"),
+        F.when(F.col("q_base") != 0, gap / F.abs("q_base")).alias("rel_gap"),
+    )

@@ -1086,3 +1086,18 @@ def test_multi_drift_one_scan_battery(spark):
     import re
 
     assert len(re.findall(r"Scan ExistingRDD", plan)) <= 4
+
+
+def test_qq_drift_localizes_tail_fattening(spark):
+    from jsschema_spark.stats import qq_drift
+
+    base = spark.createDataFrame([(float(v),) for v in range(1, 101)], "x double")
+    # fatten ONLY the top decile 5x: median flat, p99 jumps
+    cur = base.withColumn(
+        "x", F.when(F.col("x") > 90, F.col("x") * 5).otherwise(F.col("x"))
+    )
+    out = {r["p"]: r for r in
+           qq_drift(base, cur, "x", probs=(0.5, 0.99), exact=True).collect()}
+    assert out[0.5]["gap"] == pytest.approx(0.0)
+    assert out[0.99]["gap"] > 300
+    assert out[0.99]["rel_gap"] > 3
