@@ -2557,6 +2557,59 @@ def q_qq_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_twa_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value
+    (events.time_weighted_avg): step-function weighting corrects the
+    chatty-period bias of the plain mean; both reported so the bias is
+    visible. Gap math is timestamp differences — epoch conventions
+    cancel."""
+    from jsschema_spark.functions.events import time_weighted_avg
+
+    df = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(df, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        "n_obs",
+        F.round("span_s", 3).alias("span_r"),
+        F.round("twa", 6).alias("twa_r"),
+        F.round("plain_avg", 6).alias("avg_r"),
+    )
+
+
+def q_corpus_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot provenance (dedup.corpus_overlap): current snapshot =
+    every %4==0 doc carried verbatim + every %4==1 doc rewritten — the
+    carryover fraction the re-crawl must report. md5 fingerprint mode for
+    oracle parity."""
+    from jsschema_spark.functions.dedup import corpus_overlap
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = docs.select("text")
+    cur = (
+        docs.where(F.col("doc_id") % 4 == 0)
+        .select("text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 4 == 1).select(
+                F.concat(F.col("text"), F.lit(" fresh suffix")).alias("text")
+            )
+        )
+    )
+
+    def md5_fp(c):
+        return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+    out = corpus_overlap(base, cur, "text", fingerprint_fn=md5_fp)
+    return out.select(
+        "n_base_docs",
+        "n_cur_docs",
+        "n_base_fps",
+        "n_cur_fps",
+        "n_shared_fps",
+        "cur_docs_from_base",
+        F.round("carryover_frac", 6).alias("carryover_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2679,6 +2732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_normalize_clips": q_audio_normalize_clips,
         "multi_drift_lineitem": q_multi_drift_lineitem,
         "qq_drift_lineitem": q_qq_drift_lineitem,
+        "twa_events": q_twa_events,
+        "corpus_overlap_documents": q_corpus_overlap_documents,
     }
 
 
@@ -4830,4 +4885,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN q_base <> 0
                               THEN (q_cur - q_base) / abs(q_base) END, 6) AS rel_gap_r
             FROM eb JOIN ec USING (i) JOIN probs USING (i)""",
+        "twa_events": """
+            WITH o AS (
+              SELECT user_id, value AS v,
+                     (epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                      - epoch(ts)) AS dt
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   round(coalesce(sum(dt), 0), 3) AS span_r,
+                   round(sum(v * dt) / sum(dt), 6) AS twa_r,
+                   round(avg(v), 6) AS avg_r
+            FROM o GROUP BY 1""",
+        "corpus_overlap_documents": """
+            WITH fp_base AS (
+              SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     CAST(count(*) AS BIGINT) AS nb
+              FROM documents WHERE text IS NOT NULL GROUP BY 1
+            ),
+            cur AS (
+              SELECT text FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0
+              UNION ALL
+              SELECT text || ' fresh suffix' FROM documents
+              WHERE text IS NOT NULL AND doc_id % 4 = 1
+            ),
+            fp_cur AS (
+              SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     CAST(count(*) AS BIGINT) AS nc
+              FROM cur GROUP BY 1
+            ),
+            j AS (
+              SELECT fp_base.nb, fp_cur.nc
+              FROM fp_base FULL OUTER JOIN fp_cur ON fp_base.fp = fp_cur.fp
+            )
+            SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_base_docs,
+                   CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_cur_docs,
+                   CAST(count(CASE WHEN nb IS NOT NULL THEN 1 END) AS BIGINT) AS n_base_fps,
+                   CAST(count(CASE WHEN nc IS NOT NULL THEN 1 END) AS BIGINT) AS n_cur_fps,
+                   CAST(count(CASE WHEN nb IS NOT NULL AND nc IS NOT NULL THEN 1 END) AS BIGINT) AS n_shared_fps,
+                   CAST(coalesce(sum(CASE WHEN nb IS NOT NULL THEN nc END), 0) AS BIGINT) AS cur_docs_from_base,
+                   round(CAST(coalesce(sum(CASE WHEN nb IS NOT NULL THEN nc END), 0) AS DOUBLE)
+                         / coalesce(sum(nc), 0), 6) AS carryover_r
+            FROM j""",
     }

@@ -178,6 +178,7 @@ def main() -> None:
             "concentration_documents", "distinctive_terms_documents",
             "monotonic_counter_lineitem", "ab_test_events",
             "audio_normalize_clips", "multi_drift_lineitem", "qq_drift_lineitem",
+            "twa_events", "corpus_overlap_documents",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

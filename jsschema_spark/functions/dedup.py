@@ -1432,3 +1432,48 @@ def containment_pairs(
             cont_a.alias("cont_a"), cont_b.alias("cont_b"),
         )
     )
+
+
+def corpus_overlap(
+    base: DataFrame,
+    cur: DataFrame,
+    text_col: str = "text",
+    fingerprint_fn: "Optional[Callable[[Column], Column]]" = None,
+) -> DataFrame:
+    """Snapshot-to-snapshot provenance summary: how much of the current
+    corpus is verbatim (by normalized-content fingerprint) carry-over
+    from the baseline snapshot — the number a re-crawl or vendor
+    re-delivery must report before anyone retrains on "new" data. One
+    row: ``n_base_docs, n_cur_docs, n_base_fps, n_cur_fps,
+    n_shared_fps, cur_docs_from_base, carryover_frac``.
+
+    Scale shape: one fingerprint hash-agg per side (map-side combined,
+    shuffle width = #distinct fingerprints), then ONE join of the two
+    fingerprint-count tables — document text never crosses a shuffle,
+    and the row-scale sides are scanned once each (the join-profile
+    trick applied to content identity)."""
+    fp = fingerprint_fn or content_fingerprint
+
+    def fps(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(fp(F.col(text_col)).alias("__fp")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"__n_{side}")
+        )
+
+    fb = fps(base, "base")
+    fc = fps(cur, "cur")
+    j = fb.join(fc, "__fp", "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("__n_base"), F.lit(0)).cast("long").alias("n_base_docs"),
+        F.coalesce(F.sum("__n_cur"), F.lit(0)).cast("long").alias("n_cur_docs"),
+        F.count(F.when(F.col("__n_base").isNotNull(), 1)).cast("long").alias("n_base_fps"),
+        F.count(F.when(F.col("__n_cur").isNotNull(), 1)).cast("long").alias("n_cur_fps"),
+        F.count(
+            F.when(F.col("__n_base").isNotNull() & F.col("__n_cur").isNotNull(), 1)
+        ).cast("long").alias("n_shared_fps"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n_base").isNotNull(), F.col("__n_cur"))), F.lit(0)
+        ).cast("long").alias("cur_docs_from_base"),
+    ).withColumn(
+        "carryover_frac",
+        F.try_divide(F.col("cur_docs_from_base"), F.col("n_cur_docs")),
+    )

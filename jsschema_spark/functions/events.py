@@ -615,3 +615,44 @@ def ab_test_report(
         (rb - ra).alias("lift"),
         F.try_divide(rb - ra, se).alias("z"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per entity for irregularly-sampled values
+    (sensor readings, account balances, queue depths): each observation
+    counts for the TIME it was in force (until the next observation),
+    not once per row — the arithmetic mean over-weights chatty periods
+    exactly when something interesting (hence frequently-sampled) was
+    happening. Step-function/last-observation-carried-forward semantics;
+    the final observation has no successor and gets zero weight.
+
+    Output: ``entity, n_obs, span_s, twa, plain_avg`` (``twa`` null for
+    single-observation entities — no span to weight over; ``plain_avg``
+    included so the bias the TWA corrects is visible in the output).
+
+    Scale shape: one lead window partitioned by entity (sessionize's
+    shuffle), one map-side-combined agg to #entities rows."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    dt = (
+        F.timestamp_diff("MICROSECOND", F.col(ts_col), nxt).cast("double")
+        / F.lit(1e6)
+    )
+    obs = df.select(
+        entity_col,
+        F.col(value_col).alias("__v"),
+        dt.alias("__dt"),
+    )
+    return obs.groupBy(entity_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.coalesce(F.sum("__dt"), F.lit(0.0)).alias("span_s"),
+        F.try_divide(
+            F.sum(F.col("__v") * F.col("__dt")), F.sum("__dt")
+        ).alias("twa"),
+        F.avg("__v").alias("plain_avg"),
+    )

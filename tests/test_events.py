@@ -464,3 +464,28 @@ def test_ab_test_report_aa_split_is_null_effect(spark):
     # deterministic: same input -> bit-identical report
     r2 = ab_test_report(df, "user_id", F.col("event_type") == "buy").collect()[0]
     assert r == r2
+
+
+def test_time_weighted_avg_vs_plain_mean(spark):
+    import pytest
+
+    from jsschema_spark.functions.events import time_weighted_avg
+
+    # value 10 held for 9s, then three rapid samples of 100 in the last 1s:
+    # plain mean is dragged to 77.5, TWA stays near 10
+    rows = [
+        ("s", "2024-01-01 00:00:00", 10.0),
+        ("s", "2024-01-01 00:00:09", 100.0),
+        ("s", "2024-01-01 00:00:09.5", 100.0),
+        ("s", "2024-01-01 00:00:10", 100.0),
+        ("lone", "2024-01-01 00:00:00", 42.0),
+    ]
+    df = spark.createDataFrame(rows, "sensor string, ts_s string, v double").select(
+        "sensor", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    )
+    out = {r["sensor"]: r for r in time_weighted_avg(df, "sensor", "ts", "v").collect()}
+    s = out["s"]
+    assert s["plain_avg"] == pytest.approx(77.5)
+    assert s["twa"] == pytest.approx((10 * 9 + 100 * 1) / 10.0)  # = 19
+    assert s["span_s"] == pytest.approx(10.0)
+    assert out["lone"]["twa"] is None and out["lone"]["n_obs"] == 1

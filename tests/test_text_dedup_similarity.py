@@ -1976,3 +1976,23 @@ def test_distinctive_terms_finds_source_boilerplate(spark):
     assert top["crawlA"]["score"] == pytest.approx(6 * math.log(3))
     # 'the' appears in all 3 sources -> idf 0, never distinctive
     assert all(r["token"] != "the" for r in out)
+
+
+def test_corpus_overlap_carryover(spark):
+    import pytest
+
+    from jsschema_spark.functions.dedup import corpus_overlap
+
+    base = spark.createDataFrame(
+        [("doc one",), ("doc two",), ("doc three",)], "text string"
+    )
+    # cur: two carried over (one of them twice), two genuinely new
+    cur = spark.createDataFrame(
+        [("doc one",), ("DOC   one",), ("doc two",), ("fresh a",), ("fresh b",)],
+        "text string",
+    )
+    r = corpus_overlap(base, cur).collect()[0]
+    assert r["n_base_docs"] == 3 and r["n_cur_docs"] == 5
+    assert r["n_shared_fps"] == 2  # 'doc one' (normalized) and 'doc two'
+    assert r["cur_docs_from_base"] == 3  # both spellings of doc one + doc two
+    assert r["carryover_frac"] == pytest.approx(0.6)
