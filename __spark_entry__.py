@@ -2610,6 +2610,78 @@ def q_corpus_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness (events.burstiness_report): the
+    Goh-Barabási B = (σ−μ)/(σ+μ) of gap times — a rate-limited bot hides
+    from volume screens but its metronome regularity (B → −1) gives it
+    away. Gaps are timestamp differences; moments via avg/stddev_samp on
+    both engines."""
+    from jsschema_spark.functions.events import burstiness_report
+
+    df = _t(spark, sf_dir, "events")
+    out = burstiness_report(df, "user_id", "ts")
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("mean_gap_s", 3).alias("mean_gap_r"),
+        F.round("std_gap_s", 3).alias("std_gap_r"),
+        F.round("burstiness", 6).alias("burstiness_r"),
+    )
+
+
+def q_audio_alignment_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-dup verification (audio.xcorr_offset): per doc_id a
+    deterministic noise clip is compared against a silence-padded copy of
+    itself at a known offset (0/50/100 ms) or against unrelated noise —
+    the cross-correlation peak must recover the exact planted lag with
+    score ≈ 1 (or reject the unrelated pair). Oracle = doc_id formulas;
+    a hash match certifies lag AND score behavior of the alignment
+    kernel."""
+    from jsschema_spark.audio import xcorr_offset
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id", (F.col("doc_id") % 4).cast("int").alias("kind")
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        sr = 16000
+        for pdf in batches:
+            statuses = []
+            for doc_id, k in zip(pdf["doc_id"], pdf["kind"]):
+                rng = np.random.default_rng(int(doc_id) + 1)
+                b = rng.normal(0, 3000, 4000).astype(np.int16)
+                if k == 3:
+                    a = rng.normal(0, 3000, 4800).astype(np.int16)
+                    expected = None
+                else:
+                    shift = {0: 800, 1: 1600, 2: 0}[int(k)]
+                    a = np.concatenate(
+                        [np.zeros(shift, dtype=np.int16), b]
+                    )
+                    expected = shift
+                lag, score = xcorr_offset(a, b)
+                if expected is None:
+                    statuses.append(
+                        "no_alignment" if score < 0.5 else "false_match"
+                    )
+                else:
+                    ok = lag == expected and score > 0.9
+                    statuses.append(
+                        f"aligned_{expected * 1000 // sr}ms" if ok else "missed"
+                    )
+            import pandas as _pd
+
+            yield _pd.DataFrame({"status": statuses})
+
+    feats = params.mapInPandas(gen, "status string")
+    return feats.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2734,6 +2806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qq_drift_lineitem": q_qq_drift_lineitem,
         "twa_events": q_twa_events,
         "corpus_overlap_documents": q_corpus_overlap_documents,
+        "burstiness_events": q_burstiness_events,
+        "audio_alignment_clips": q_audio_alignment_clips,
     }
 
 
@@ -4928,4 +5002,30 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(sum(CASE WHEN nb IS NOT NULL THEN nc END), 0) AS DOUBLE)
                          / coalesce(sum(nc), 0), 6) AS carryover_r
             FROM j""",
+        "burstiness_events": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts)) AS gap
+              FROM events
+            ),
+            per AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     avg(gap) AS m, stddev_samp(gap) AS s
+              FROM g GROUP BY 1
+            )
+            SELECT user_id, n_events,
+                   round(m, 3) AS mean_gap_r,
+                   round(s, 3) AS std_gap_r,
+                   round(CASE WHEN n_events >= 3 AND s + m <> 0
+                              THEN (s - m) / (s + m) END, 6) AS burstiness_r
+            FROM per""",
+        "audio_alignment_clips": """
+            SELECT CASE WHEN doc_id % 4 = 0 THEN 'aligned_50ms'
+                        WHEN doc_id % 4 = 1 THEN 'aligned_100ms'
+                        WHEN doc_id % 4 = 2 THEN 'aligned_0ms'
+                        ELSE 'no_alignment' END AS status,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM documents GROUP BY 1""",
     }

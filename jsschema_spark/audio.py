@@ -1314,3 +1314,46 @@ def audio_normalize_scan(
                 yield pd.DataFrame(out)
 
     return files_df.mapInPandas(gen, out_schema)
+
+
+def xcorr_offset(
+    a: "np.ndarray", b: "np.ndarray"
+) -> "tuple[int, float]":
+    """Time-alignment between two PCM signals by FFT cross-correlation:
+    returns ``(lag, score)`` where ``lag`` is the sample offset at which
+    ``b`` best matches inside ``a`` (positive ⇒ ``b``'s content starts
+    ``lag`` samples into ``a``) and ``score`` is the normalized peak
+    (cosine of the aligned overlap, ≈1 for a genuine shifted copy,
+    ≈0 for unrelated audio). The verification stage behind fingerprint
+    near-dup pairs: hamming says "probably the same recording", the
+    correlation peak says "same recording, offset by exactly k samples"
+    — which is what dedup-with-trimmed-silence needs to pick the
+    canonical clip.
+
+    O(n log n) via rfft (zero-padded to the full linear-correlation
+    length, so no circular aliasing); vectorized numpy end-to-end."""
+    fa64 = a.astype(np.float64)
+    fb64 = b.astype(np.float64)
+    if len(fa64) == 0 or len(fb64) == 0:
+        return 0, 0.0
+    n = len(fa64) + len(fb64) - 1
+    nfft = 1 << (n - 1).bit_length()
+    cc = np.fft.irfft(
+        np.fft.rfft(fa64, nfft) * np.conj(np.fft.rfft(fb64, nfft)), nfft
+    )
+    # linear lags: k in [-(len(b)-1), len(a)-1]; negative lags wrap to the
+    # tail of the circular buffer
+    lags = np.concatenate([cc[nfft - (len(fb64) - 1):], cc[: len(fa64)]]) if len(fb64) > 1 else cc[: len(fa64)]
+    k = int(np.argmax(lags))
+    lag = k - (len(fb64) - 1)
+    # normalize by the energies of the actually-overlapping spans
+    if lag >= 0:
+        ov_a = fa64[lag: lag + len(fb64)]
+        ov_b = fb64[: len(ov_a)]
+    else:
+        ov_b = fb64[-lag: -lag + len(fa64)]
+        ov_a = fa64[: len(ov_b)]
+    na = float(np.linalg.norm(ov_a))
+    nb = float(np.linalg.norm(ov_b))
+    score = float(lags[k] / (na * nb)) if na > 0 and nb > 0 else 0.0
+    return lag, score

@@ -656,3 +656,43 @@ def time_weighted_avg(
         ).alias("twa"),
         F.avg("__v").alias("plain_avg"),
     )
+
+
+def burstiness_report(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Bot/automation signal from inter-arrival statistics: the
+    burstiness parameter B = (σ − μ)/(σ + μ) of an entity's gaps
+    (Goh & Barabási) — B → −1 is a metronome (cron jobs, scripted
+    scrapers: near-constant gaps no human produces), B ≈ 0 is Poisson
+    (organic arrivals), B → 1 is extreme bursts. A volume screen misses
+    a bot that politely rate-limits itself; the REGULARITY of its gaps
+    is what gives it away.
+
+    Output: ``entity, n_events, mean_gap_s, std_gap_s, burstiness``
+    (null with fewer than 3 events — no meaningful gap variance).
+
+    Scale shape: one lag window partitioned by entity + one map-side-
+    combined agg to #entities rows (heartbeat_gaps' plan with a second
+    moment added)."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    gap = (
+        F.timestamp_diff(
+            "MICROSECOND", F.lag(F.col(ts_col)).over(w), F.col(ts_col)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    per = df.select(entity_col, gap.alias("__gap")).groupBy(entity_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.avg("__gap").alias("mean_gap_s"),
+        F.stddev_samp("__gap").alias("std_gap_s"),
+    )
+    b = F.try_divide(
+        F.col("std_gap_s") - F.col("mean_gap_s"),
+        F.col("std_gap_s") + F.col("mean_gap_s"),
+    )
+    return per.withColumn(
+        "burstiness", F.when(F.col("n_events") >= 3, b)
+    )

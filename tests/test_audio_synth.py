@@ -497,3 +497,23 @@ def test_audio_normalize_scan_end_to_end(spark, tmp_path):
         import math
 
         assert abs(20 * math.log10(rms / 32768.0) - (-20.0)) < 0.6
+
+
+def test_xcorr_offset_alignment():
+    import numpy as np
+    from jsschema_spark.audio import xcorr_offset
+
+    rng = np.random.default_rng(7)
+    b = rng.normal(0, 3000, 8000).astype(np.int16)
+    a = np.concatenate(
+        [np.zeros(800, dtype=np.int16), b, np.zeros(400, dtype=np.int16)]
+    )
+    lag, score = xcorr_offset(a, b)
+    assert lag == 800 and score > 0.99
+
+    # negative lag: a's content starts inside b
+    lag2, score2 = xcorr_offset(b[500:], b)
+    assert lag2 == -500 and score2 > 0.99
+
+    _, s_unrel = xcorr_offset(a, rng.normal(0, 3000, 8000).astype(np.int16))
+    assert s_unrel < 0.2

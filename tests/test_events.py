@@ -489,3 +489,31 @@ def test_time_weighted_avg_vs_plain_mean(spark):
     assert s["twa"] == pytest.approx((10 * 9 + 100 * 1) / 10.0)  # = 19
     assert s["span_s"] == pytest.approx(10.0)
     assert out["lone"]["twa"] is None and out["lone"]["n_obs"] == 1
+
+
+def test_burstiness_separates_bot_from_organic(spark):
+    import pytest
+
+    rows = []
+    # metronome bot: exactly every 60s
+    for i in range(20):
+        rows.append(("bot", i * 60.0))
+    # bursty: tight clusters separated by long silences
+    t = 0.0
+    for c in range(4):
+        for j in range(5):
+            rows.append(("bursty", t + j * 1.0))
+        t += 3600.0
+    rows.append(("lone", 0.0))
+    df = spark.createDataFrame(rows, "user_id string, off double").select(
+        "user_id",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_dt_interval(secs=F.col("off"))).alias("ts"),
+    )
+    from jsschema_spark.functions.events import burstiness_report
+
+    out = {r["user_id"]: r for r in burstiness_report(df, "user_id", "ts").collect()}
+    assert out["bot"]["burstiness"] == pytest.approx(-1.0, abs=1e-9)
+    # 4 clusters bound the attainable B well below 1; 0.4 at this shape
+    assert out["bursty"]["burstiness"] > 0.35
+    assert out["lone"]["burstiness"] is None and out["lone"]["n_events"] == 1
