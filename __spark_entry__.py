@@ -2682,6 +2682,31 @@ def q_audio_alignment_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_pack_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression rule pack (checks.rule_check): four cross-field business
+    rules over lineitem in ONE scan — the invariants no schema language
+    expresses (tax vs discount coupling, ship-before-epoch sanity,
+    quantity-price consistency). FALSE or NULL both count as violations
+    (closed world)."""
+    from jsschema_spark.checks import rule_check
+
+    df = _t(spark, sf_dir, "lineitem")
+    return rule_check(
+        df,
+        {
+            "tax_near_discount": "l_tax <= l_discount + 0.06",
+            "price_covers_qty": "l_extendedprice >= l_quantity * 900",
+            "discount_band": "l_discount BETWEEN 0.0 AND 0.1",
+            "shipdate_sane": "l_shipdate >= TIMESTAMP '1992-01-01'",
+        },
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.round("violation_frac", 6).alias("violation_frac_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2808,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_documents": q_corpus_overlap_documents,
         "burstiness_events": q_burstiness_events,
         "audio_alignment_clips": q_audio_alignment_clips,
+        "rule_pack_lineitem": q_rule_pack_lineitem,
     }
 
 
@@ -5028,4 +5054,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'no_alignment' END AS status,
                    CAST(count(*) AS BIGINT) AS n_clips
             FROM documents GROUP BY 1""",
+        "rule_pack_lineitem": """
+            WITH w AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN NOT coalesce(l_tax <= l_discount + 0.06, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                     CAST(sum(CASE WHEN NOT coalesce(l_extendedprice >= l_quantity * 900, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                     CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                     CAST(sum(CASE WHEN NOT coalesce(l_shipdate >= TIMESTAMP '1992-01-01', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4
+              FROM lineitem
+            )
+            SELECT rule, n AS n_rows, v AS n_violations,
+                   round(CAST(v AS DOUBLE) / n, 6) AS violation_frac_r
+            FROM (
+              SELECT 'tax_near_discount' AS rule, n, v1 AS v FROM w
+              UNION ALL SELECT 'price_covers_qty', n, v2 FROM w
+              UNION ALL SELECT 'discount_band', n, v3 FROM w
+              UNION ALL SELECT 'shipdate_sane', n, v4 FROM w
+            )""",
     }

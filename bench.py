@@ -179,7 +179,7 @@ def main() -> None:
             "monotonic_counter_lineitem", "ab_test_events",
             "audio_normalize_clips", "multi_drift_lineitem", "qq_drift_lineitem",
             "twa_events", "corpus_overlap_documents",
-            "burstiness_events", "audio_alignment_clips",
+            "burstiness_events", "audio_alignment_clips", "rule_pack_lineitem",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

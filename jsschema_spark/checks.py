@@ -794,3 +794,44 @@ def monotonicity_violations(
     return projected.where(bad).withColumn(
         "drop", F.col("prev_val") - F.col("value")
     )
+
+
+def rule_check(
+    df: DataFrame,
+    rules: "dict[str, str]",
+) -> DataFrame:
+    """Expression rule pack: arbitrary cross-field business rules as SQL
+    boolean expressions ("l_tax <= l_discount + 0.05", "o_totalprice >
+    0 OR o_orderstatus = 'P'"), ALL evaluated in one scan — the ad-hoc
+    complement to the draft-04 compiler (schema keywords are per-column
+    contracts; real tables also carry cross-column invariants no schema
+    language expresses). A rule passes when its expression is TRUE;
+    FALSE **or NULL** counts as a violation (SQL three-valued logic
+    would otherwise let a null sneak through every filter — the same
+    closed-world choice the keyword compiler makes).
+
+    Output: one row per rule — ``rule, n_rows, n_violations,
+    violation_frac``.
+
+    Scale shape: every rule becomes a conditional sum in ONE map-side-
+    combined aggregation (single-partial-row reduce, no groupBy
+    shuffle); k rules cost exactly one table scan."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for name, expr in rules.items():
+        ok = F.expr(expr)
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(ok.isNull() | ~ok, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', `__v_{n}`" for n in rules)
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)",
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") / F.col("n_rows")).alias("violation_frac"),
+    )

@@ -1101,3 +1101,20 @@ def test_qq_drift_localizes_tail_fattening(spark):
     assert out[0.5]["gap"] == pytest.approx(0.0)
     assert out[0.99]["gap"] > 300
     assert out[0.99]["rel_gap"] > 3
+
+
+def test_rule_check_one_scan_null_is_violation(spark):
+    from jsschema_spark.checks import rule_check
+
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (5.0, 9.0), (None, 2.0)], "price double, fee double"
+    )
+    out = {r["rule"]: r for r in rule_check(df, {
+        "fee_below_price": "fee < price",
+        "price_positive": "price > 0",
+    }).collect()}
+    # NULL price fails BOTH rules (closed world), 5<9 fails the first
+    assert out["fee_below_price"]["n_violations"] == 2
+    assert out["price_positive"]["n_violations"] == 1
+    assert out["price_positive"]["n_rows"] == 3
+    assert out["fee_below_price"]["violation_frac"] == pytest.approx(2 / 3)
