@@ -2707,6 +2707,54 @@ def q_rule_pack_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (checks.snapshot_diff): current = orders with
+    %101 rows dropped, %97 totals re-priced, %103 rows cloned under new
+    keys — the report localizes every mutation class and names the
+    changed column. One full-outer join + one single-row agg."""
+    from jsschema_spark.checks import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cur = (
+        base.where(k % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 97 == 0, F.col("o_totalprice") + 1000.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            base.where(k % 103 == 0).withColumn(
+                "o_orderkey", k + 10000000
+            )
+        )
+    )
+    return snapshot_diff(
+        base, cur, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+def q_group_normalize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-normalization transform (stats.group_normalize),
+    self-certified: after standardizing price within each returnflag, the
+    per-group mean must be 0 and sd 1 to rounding — returned alongside
+    the extreme z values. (+0.0 canonicalization keeps −0.0 off the
+    wire on both engines.)"""
+    from jsschema_spark.stats import group_normalize
+
+    df = _t(spark, sf_dir, "lineitem")
+    z = group_normalize(df, "l_extendedprice", ["l_returnflag"], method="z")
+    out = z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.round(F.avg("l_extendedprice_norm"), 6) + F.lit(0.0)).alias("mean_z_r"),
+        F.round(F.stddev_samp("l_extendedprice_norm"), 6).alias("std_z_r"),
+        F.round(F.min("l_extendedprice_norm"), 4).alias("min_z_r"),
+        F.round(F.max("l_extendedprice_norm"), 4).alias("max_z_r"),
+    )
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2834,6 +2882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness_events": q_burstiness_events,
         "audio_alignment_clips": q_audio_alignment_clips,
         "rule_pack_lineitem": q_rule_pack_lineitem,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
+        "group_normalize_lineitem": q_group_normalize_lineitem,
     }
 
 
@@ -5071,4 +5121,64 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'discount_band', n, v3 FROM w
               UNION ALL SELECT 'shipdate_sane', n, v4 FROM w
             )""",
+        "snapshot_diff_orders": """
+            WITH cur AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 97 = 0
+                          THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 101 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 103 = 0
+            ),
+            j AS (
+              SELECT b.o_orderkey AS bk, c.o_orderkey AS ck,
+                     b.o_totalprice AS bt, c.o_totalprice AS ct,
+                     b.o_orderstatus AS bs, c.o_orderstatus AS cs
+              FROM orders b FULL OUTER JOIN cur c ON b.o_orderkey = c.o_orderkey
+            ),
+            w AS (
+              SELECT CAST(sum(CASE WHEN bk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS base_rows,
+                     CAST(sum(CASE WHEN ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cur_rows,
+                     CAST(sum(CASE WHEN ck IS NOT NULL AND bk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+                     CAST(sum(CASE WHEN bk IS NOT NULL AND ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+                     CAST(sum(CASE WHEN bk IS NOT NULL AND ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS common,
+                     CAST(sum(CASE WHEN bk IS NOT NULL AND ck IS NOT NULL
+                                        AND (bt IS DISTINCT FROM ct OR bs IS DISTINCT FROM cs)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS changed_rows,
+                     CAST(sum(CASE WHEN bk IS NOT NULL AND ck IS NOT NULL
+                                        AND bt IS DISTINCT FROM ct THEN 1 ELSE 0 END) AS BIGINT) AS ch_t,
+                     CAST(sum(CASE WHEN bk IS NOT NULL AND ck IS NOT NULL
+                                        AND bs IS DISTINCT FROM cs THEN 1 ELSE 0 END) AS BIGINT) AS ch_s
+              FROM j
+            )
+            SELECT metric, n FROM (
+              SELECT 'base_rows' AS metric, base_rows AS n FROM w
+              UNION ALL SELECT 'cur_rows', cur_rows FROM w
+              UNION ALL SELECT 'added', added FROM w
+              UNION ALL SELECT 'removed', removed FROM w
+              UNION ALL SELECT 'common', common FROM w
+              UNION ALL SELECT 'changed_rows', changed_rows FROM w
+              UNION ALL SELECT 'changed:o_totalprice', ch_t FROM w
+              UNION ALL SELECT 'changed:o_orderstatus', ch_s FROM w
+            )""",
+        "group_normalize_lineitem": """
+            WITH m AS (
+              SELECT l_returnflag, avg(l_extendedprice) AS mu,
+                     stddev_samp(l_extendedprice) AS sd
+              FROM lineitem GROUP BY 1
+            ),
+            z AS (
+              SELECT l.l_returnflag,
+                     (l.l_extendedprice - m.mu) / m.sd AS zv
+              FROM lineitem l JOIN m USING (l_returnflag)
+            )
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(avg(zv), 6) + 0.0 AS mean_z_r,
+                   round(stddev_samp(zv), 6) AS std_z_r,
+                   round(min(zv), 4) AS min_z_r,
+                   round(max(zv), 4) AS max_z_r
+            FROM z GROUP BY 1""",
     }

@@ -180,6 +180,7 @@ def main() -> None:
             "audio_normalize_clips", "multi_drift_lineitem", "qq_drift_lineitem",
             "twa_events", "corpus_overlap_documents",
             "burstiness_events", "audio_alignment_clips", "rule_pack_lineitem",
+            "snapshot_diff_orders", "group_normalize_lineitem",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

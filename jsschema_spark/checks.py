@@ -835,3 +835,75 @@ def rule_check(
         "n_violations",
         (F.col("n_violations") / F.col("n_rows")).alias("violation_frac"),
     )
+
+
+def snapshot_diff(
+    base: DataFrame,
+    cur: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed diff between two table versions — the regression report for
+    a pipeline change: re-run the job, diff against yesterday's output,
+    and "0 added / 0 removed / 12 changed, all in column X" tells you
+    exactly what the code change did (while a row-count comparison says
+    nothing). Null-safe comparison per column (null → null is unchanged,
+    null → value is a change).
+
+    Output (long form): ``metric, n`` with metrics ``base_rows,
+    cur_rows, added, removed, common, changed_rows`` plus one
+    ``changed:<col>`` per compare column.
+
+    Scale shape: ONE full-outer join on the key (sort-merge under AQE,
+    skew-split if needed) + one single-partial-row aggregation; compare
+    columns are evaluated as codegen null-safe equalities inside the
+    join's projection — no second pass, no window."""
+    b = base.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_b"),
+    )
+    c_ = cur.select(
+        *[F.col(k).alias(f"__ck_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__c_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_c"),
+    )
+    cond = None
+    for k in key_cols:
+        clause = F.col(f"__bk_{k}").eqNullSafe(F.col(f"__ck_{k}"))
+        cond = clause if cond is None else (cond & clause)
+    j = b.join(c_, cond, "full_outer")
+    in_b = F.col("__in_b").isNotNull()
+    in_c = F.col("__in_c").isNotNull()
+    col_changed = {
+        c: in_b & in_c & ~F.col(f"__b_{c}").eqNullSafe(F.col(f"__c_{c}"))
+        for c in compare_cols
+    }
+    any_changed = None
+    for expr in col_changed.values():
+        any_changed = expr if any_changed is None else (any_changed | expr)
+    aggs = [
+        F.coalesce(F.sum(in_b.cast("long")), F.lit(0)).cast("long").alias("base_rows"),
+        F.coalesce(F.sum(in_c.cast("long")), F.lit(0)).cast("long").alias("cur_rows"),
+        F.coalesce(F.sum((in_c & ~in_b).cast("long")), F.lit(0)).cast("long").alias("added"),
+        F.coalesce(F.sum((in_b & ~in_c).cast("long")), F.lit(0)).cast("long").alias("removed"),
+        F.coalesce(F.sum((in_b & in_c).cast("long")), F.lit(0)).cast("long").alias("common"),
+        F.coalesce(F.sum(any_changed.cast("long")), F.lit(0)).cast("long").alias("changed_rows"),
+    ]
+    for c, expr in col_changed.items():
+        aggs.append(
+            F.coalesce(F.sum(expr.cast("long")), F.lit(0)).cast("long").alias(f"changed_{c}")
+        )
+    wide = j.agg(*aggs)
+    metrics = ["base_rows", "cur_rows", "added", "removed", "common", "changed_rows"] + [
+        f"changed_{c}" for c in compare_cols
+    ]
+    labels = ["base_rows", "cur_rows", "added", "removed", "common", "changed_rows"] + [
+        f"changed:{c}" for c in compare_cols
+    ]
+    stack_args = ", ".join(
+        f"'{lab}', `{m}`" for lab, m in zip(labels, metrics)
+    )
+    return wide.selectExpr(
+        f"stack({len(metrics)}, {stack_args}) AS (metric, n)"
+    )

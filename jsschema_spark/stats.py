@@ -1470,3 +1470,44 @@ def qq_drift(
         gap.alias("gap"),
         F.when(F.col("q_base") != 0, gap / F.abs("q_base")).alias("rel_gap"),
     )
+
+
+def group_normalize(
+    df: DataFrame,
+    col: str,
+    group_cols: "Optional[Sequence[str]]" = None,
+    method: str = "z",
+    out_col: "Optional[str]" = None,
+) -> DataFrame:
+    """Per-group feature normalization TRANSFORM — the fix path for the
+    scale problems the screens report (a price column mixing currencies
+    by region, sensor channels with different gains): ``method='z'``
+    standardizes to mean 0 / sd 1 within each group, ``'minmax'`` maps
+    into [0, 1]. Degenerate groups (zero variance / zero range) emit
+    null, never an ANSI error — the caller decides whether constant
+    features are dropped or passed through.
+
+    Scale shape: winsorize's plan — one #groups-wide moments agg, one
+    AQE-broadcast join back, one codegen expression; data scanned twice,
+    rows never shuffled."""
+    if method not in ("z", "minmax"):
+        raise ValueError(f"group_normalize: unknown method {method!r}")
+    gcols = list(group_cols or [])
+    out_col = out_col or f"{col}_norm"
+    x = F.col(col).cast("double")
+    if method == "z":
+        moments = df.groupBy(*gcols).agg(
+            F.avg(x).alias("__m"), F.stddev_samp(x).alias("__s")
+        )
+        expr = F.try_divide(x - F.col("__m"), F.col("__s"))
+    else:
+        moments = df.groupBy(*gcols).agg(
+            F.min(x).alias("__lo"), F.max(x).alias("__hi")
+        )
+        expr = F.try_divide(x - F.col("__lo"), F.col("__hi") - F.col("__lo"))
+    joined = (
+        df.join(F.broadcast(moments), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(moments))
+    )
+    return joined.withColumn(out_col, expr)

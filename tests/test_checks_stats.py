@@ -1118,3 +1118,42 @@ def test_rule_check_one_scan_null_is_violation(spark):
     assert out["price_positive"]["n_violations"] == 1
     assert out["price_positive"]["n_rows"] == 3
     assert out["fee_below_price"]["violation_frac"] == pytest.approx(2 / 3)
+
+
+def test_snapshot_diff_regression_report(spark):
+    from jsschema_spark.checks import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "id int, s string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged
+         (2, "B", 20.0),      # s changed
+         (3, "c", 30.0),      # v changed (null -> value)
+         (4, "d", 40.0)],     # added
+        "id int, s string, v double",
+    )
+    out = {r["metric"]: r["n"] for r in
+           snapshot_diff(base, cur, ["id"], ["s", "v"]).collect()}
+    assert out["base_rows"] == 3 and out["cur_rows"] == 4
+    assert out["added"] == 1 and out["removed"] == 0 and out["common"] == 3
+    assert out["changed_rows"] == 2
+    assert out["changed:s"] == 1 and out["changed:v"] == 1
+
+
+def test_group_normalize_z_and_minmax(spark):
+    import math
+
+    from jsschema_spark.stats import group_normalize
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("c", 5.0), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    z = group_normalize(df, "x", ["g"], method="z").collect()
+    za = sorted(r["x_norm"] for r in z if r["g"] == "a")
+    assert za == pytest.approx([-1.0, 0.0, 1.0])
+    assert all(r["x_norm"] is None for r in z if r["g"] == "c")  # degenerate
+
+    mm = group_normalize(df, "x", ["g"], method="minmax").collect()
+    ma = sorted(r["x_norm"] for r in mm if r["g"] == "a")
+    assert ma == pytest.approx([0.0, 0.5, 1.0])
