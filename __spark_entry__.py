@@ -2755,6 +2755,37 @@ def q_group_normalize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_json_key_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured contract discovery (infer.json_key_profile) over a
+    deterministically-enriched props column (four producer variants with
+    optional keys and mixed scalar types) — the key/type/presence-rate
+    profile a free-form JSON column actually follows."""
+    from jsschema_spark.infer import json_key_profile
+
+    i = F.col("event_id")
+    v = F.coalesce(F.col("value"), F.lit(0.0))
+    props2 = (
+        F.when(
+            i % 4 == 0,
+            F.format_string('{"k": %.1f, "device": "ios"}', v),
+        )
+        .when(
+            i % 4 == 1,
+            F.format_string('{"k": %.1f, "device": "android", "beta": true}', v),
+        )
+        .when(i % 4 == 2, F.format_string('{"k": %.1f}', v))
+        .otherwise(F.lit('{"device": "web", "ref": "ad"}'))
+    )
+    df = _t(spark, sf_dir, "events").withColumn("props2", props2)
+    out = json_key_profile(df, "props2")
+    return out.select(
+        "key",
+        "value_type",
+        "n",
+        F.round("frac_of_rows", 6).alias("frac_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2884,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_pack_lineitem": q_rule_pack_lineitem,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "group_normalize_lineitem": q_group_normalize_lineitem,
+        "json_key_profile_events": q_json_key_profile_events,
     }
 
 
@@ -5181,4 +5213,33 @@ def oracle_sql() -> dict[str, str]:
                    round(min(zv), 4) AS min_z_r,
                    round(max(zv), 4) AS max_z_r
             FROM z GROUP BY 1""",
+        "json_key_profile_events": """
+            WITH src AS (
+              SELECT CASE
+                WHEN event_id % 4 = 0 THEN
+                  '{"k": ' || format('{:.1f}', coalesce(value, 0.0)) || ', "device": "ios"}'
+                WHEN event_id % 4 = 1 THEN
+                  '{"k": ' || format('{:.1f}', coalesce(value, 0.0)) || ', "device": "android", "beta": true}'
+                WHEN event_id % 4 = 2 THEN
+                  '{"k": ' || format('{:.1f}', coalesce(value, 0.0)) || '}'
+                ELSE '{"device": "web", "ref": "ad"}' END AS props2
+              FROM events
+            ),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM src),
+            kv0 AS (
+              SELECT props2, unnest(json_keys(props2)) AS key FROM src
+            ),
+            kv AS (
+              SELECT key,
+                     CASE json_type(props2, '$.' || key)
+                       WHEN 'BOOLEAN' THEN 'boolean'
+                       WHEN 'NULL' THEN 'null'
+                       WHEN 'VARCHAR' THEN 'string'
+                       ELSE 'number' END AS value_type
+              FROM kv0
+            )
+            SELECT key, value_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(count(*) AS DOUBLE) / t.total, 6) AS frac_r
+            FROM kv, t GROUP BY key, value_type, t.total""",
     }

@@ -180,3 +180,50 @@ def contract_drift(old_report: DataFrame, new_report: DataFrame) -> DataFrame:
         .where(F.col("change") != "same")
         .select("path", "keyword", "old_num", "new_num", "old_str", "new_str", "change")
     )
+
+
+def json_key_profile(
+    df: "DataFrame",
+    col: str,
+) -> "DataFrame":
+    """Schema discovery for a semi-structured JSON column: which keys
+    appear, how often, and with what scalar type — the contract a
+    free-form ``props`` column actually follows, before anyone writes
+    the draft-04 schema for it (``infer_schema``'s sibling for the
+    column the table schema calls "just a string"). A key whose
+    presence-rate or type mix shifts between snapshots is an upstream
+    producer change.
+
+    Output: ``(key, value_type, n, frac_of_rows)`` where ``value_type``
+    ∈ {number, boolean, null, string} classified from the scalar's
+    lexical form.
+
+    Scale shape: ONE pass — ``from_json`` to ``map<string,string>``
+    evaluated JVM-side, map explode, hash agg on (key, type) with
+    map-side combine (shuffle width = #distinct keys × types, bounded by
+    producer vocabulary, not rows); the row count for the rate joins in
+    as a broadcast scalar (second, column-pruned scan)."""
+    kv = df.select(
+        F.explode(
+            F.from_json(F.col(col), "map<string,string>")
+        ).alias("key", "__v")
+    )
+    vtype = (
+        F.when(F.col("__v").isNull(), F.lit("null"))
+        .when(F.col("__v").rlike(r"^(true|false)$"), F.lit("boolean"))
+        .when(
+            F.col("__v").rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
+            F.lit("number"),
+        )
+        .otherwise(F.lit("string"))
+    )
+    counts = kv.groupBy("key", vtype.alias("value_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "key",
+        "value_type",
+        "n",
+        (F.col("n") / F.col("__total")).alias("frac_of_rows"),
+    )

@@ -153,3 +153,24 @@ def test_inferred_schema_marshal_round_trip(spark):
     out = json.loads(node.to_json())
     assert out["properties"]["o_orderkey"]["type"] == "integer"
     assert "enum" in out["properties"]["o_orderstatus"]
+
+
+def test_json_key_profile(spark):
+    import pytest
+
+    from jsschema_spark.infer import json_key_profile
+
+    rows = [
+        ('{"k": 1, "device": "ios"}',),
+        ('{"k": 2.5, "beta": true}',),
+        ('{"device": "web", "note": null}',),
+        (None,),  # unparseable/missing rows contribute no keys
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    out = {(r["key"], r["value_type"]): r for r in
+           json_key_profile(df, "props").collect()}
+    assert out[("k", "number")]["n"] == 2
+    assert out[("k", "number")]["frac_of_rows"] == pytest.approx(0.5)
+    assert out[("device", "string")]["n"] == 2
+    assert out[("beta", "boolean")]["n"] == 1
+    assert out[("note", "null")]["n"] == 1
