@@ -2786,6 +2786,44 @@ def q_json_key_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_payload_dup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical payload dedup (audio.payload_duplicates) with a
+    re-upload planted for every %40 clip — caught by one JVM-side md5
+    hash agg, zero decode; bytes never leave the JVM."""
+    from jsschema_spark.audio import payload_duplicates
+
+    base = _clips_from_documents(spark, sf_dir).select("clip_id", "bytes")
+    # derive doc_id back from the zero-padded clip id for the clone rule
+    doc_id = F.substring("clip_id", 6, 12).cast("long")
+    clones = base.where(doc_id % 40 == 0).select(
+        F.concat(F.lit("dup-"), F.col("clip_id")).alias("clip_id"), "bytes"
+    )
+    df = base.unionByName(clones)
+    out = payload_duplicates(df)
+    # DuckDB's md5 is VARCHAR-only, so the oracle can't reproduce the
+    # binary digest — the ids identify each group just as uniquely
+    return out.select(
+        "n_clips",
+        F.element_at("clip_ids", 1).alias("first_id"),
+        F.element_at("clip_ids", -1).alias("last_id"),
+    )
+
+
+def q_decade_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude profile (stats.decade_profile) with a planted
+    ×1000 unit error on %89 rows: the second hump three decades up is
+    the smoking gun no mean or range check shows."""
+    from jsschema_spark.stats import decade_profile
+
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "price",
+        F.when(
+            F.col("l_orderkey") % 89 == 0, F.col("l_extendedprice") * 1000.0
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    return decade_profile(df, "price")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2916,6 +2954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "group_normalize_lineitem": q_group_normalize_lineitem,
         "json_key_profile_events": q_json_key_profile_events,
+        "payload_dup_clips": q_payload_dup_clips,
+        "decade_profile_lineitem": q_decade_profile_lineitem,
     }
 
 
@@ -5242,4 +5282,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(CAST(count(*) AS DOUBLE) / t.total, 6) AS frac_r
             FROM kv, t GROUP BY key, value_type, t.total""",
+        "payload_dup_clips": """
+            WITH base AS (
+              SELECT printf('clip-%012d', doc_id) AS clip_id,
+                     unhex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS bytes,
+                     doc_id
+              FROM documents
+            ),
+            all_clips AS (
+              SELECT clip_id, bytes FROM base
+              UNION ALL
+              SELECT 'dup-' || clip_id, bytes FROM base WHERE doc_id % 40 = 0
+            ),
+            g AS (
+              SELECT hex(bytes) AS payload_key,
+                     CAST(count(*) AS BIGINT) AS n_clips,
+                     min(clip_id) AS first_id,
+                     max(clip_id) AS last_id
+              FROM all_clips WHERE bytes IS NOT NULL
+              GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT n_clips, first_id, last_id FROM g""",
+        "decade_profile_lineitem": """
+            WITH s AS (
+              SELECT CASE WHEN l_orderkey % 89 = 0
+                          THEN l_extendedprice * 1000.0
+                          ELSE l_extendedprice END AS price
+              FROM lineitem
+            )
+            SELECT CASE WHEN price IS NULL THEN 'null'
+                        WHEN price = 0 THEN 'zero'
+                        ELSE (CASE WHEN price < 0 THEN 'neg:e' ELSE 'e' END)
+                             || CAST(CAST(floor(log10(abs(price))) AS BIGINT) AS VARCHAR)
+                   END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s GROUP BY 1""",
     }

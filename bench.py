@@ -181,7 +181,7 @@ def main() -> None:
             "twa_events", "corpus_overlap_documents",
             "burstiness_events", "audio_alignment_clips", "rule_pack_lineitem",
             "snapshot_diff_orders", "group_normalize_lineitem",
-            "json_key_profile_events",
+            "json_key_profile_events", "payload_dup_clips", "decade_profile_lineitem",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -1357,3 +1357,32 @@ def xcorr_offset(
     nb = float(np.linalg.norm(ov_b))
     score = float(lags[k] / (na * nb)) if na > 0 and nb > 0 else 0.0
     return lag, score
+
+
+def payload_duplicates(
+    df: "DataFrame",
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> "DataFrame":
+    """Byte-identical payload dedup: group clips whose BINARY payloads
+    hash equal (md5 over the blob, JVM-side) — the cheapest rung of the
+    audio dedup ladder, below the gain-invariant fingerprint (re-encoded
+    or re-gained copies) and xcorr alignment (shifted copies): a
+    re-uploaded file is caught here for the price of one hash agg, no
+    decode at all. Output: ``payload_md5, n_clips, clip_ids`` (ids
+    sorted; only groups with n > 1). Null payloads are skipped — absent
+    bytes are a payload_size_check finding, not a duplicate.
+
+    Scale shape: one hash aggregation keyed by the 16-byte digest
+    (map-side combine collapses same-partition copies before the
+    shuffle); payload bytes never leave the JVM."""
+    h = F.md5(F.col(bytes_col))
+    return (
+        df.where(F.col(bytes_col).isNotNull())
+        .groupBy(h.alias("payload_md5"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("clip_ids"),
+        )
+        .where(F.col("n_clips") > 1)
+    )

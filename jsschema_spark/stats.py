@@ -1511,3 +1511,37 @@ def group_normalize(
         else df.crossJoin(F.broadcast(moments))
     )
     return joined.withColumn(out_col, expr)
+
+
+def decade_profile(
+    df: DataFrame,
+    col: str,
+    group_cols: "Optional[Sequence[str]]" = None,
+) -> DataFrame:
+    """Order-of-magnitude histogram: counts per decimal decade
+    (``floor(log10(|x|))``) plus zero/negative/null buckets — the
+    unit-mix detector. A length column secretly mixing meters and
+    millimeters is bimodal in LOG space three decades apart while its
+    mean, range, and even PSI against last week look plausible; two
+    humps in this profile is the smoking gun. Complements
+    ``decimal_grid_check`` (sub-unit corruption) and ``benford_report``
+    (leading-digit fraud) as the third magnitude-structure screen.
+
+    Output: ``*group_cols, bucket, n`` where bucket ∈ {null, zero,
+    negative decades…, decade k}; one map-side-combined agg, shuffle
+    width = #groups × #decades (≤ ~600 for doubles)."""
+    x = F.col(col).cast("double")
+    bucket = (
+        F.when(x.isNull(), F.lit("null"))
+        .when(x == 0, F.lit("zero"))
+        .otherwise(
+            F.concat(
+                F.when(x < 0, F.lit("neg:e")).otherwise(F.lit("e")),
+                F.floor(F.log10(F.abs(x))).cast("long").cast("string"),
+            )
+        )
+    )
+    gcols = list(group_cols or [])
+    return df.groupBy(*gcols, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -517,3 +517,21 @@ def test_xcorr_offset_alignment():
 
     _, s_unrel = xcorr_offset(a, rng.normal(0, 3000, 8000).astype(np.int16))
     assert s_unrel < 0.2
+
+
+def test_payload_duplicates_groups_reuploads(spark):
+    import numpy as np
+    from jsschema_spark.audio import payload_duplicates, wav_encode
+
+    t = np.arange(1600) / 16000
+    wav_a = wav_encode((8000 * np.sin(2 * np.pi * 440 * t)).astype("int16"), 16000)
+    wav_b = wav_encode((8000 * np.sin(2 * np.pi * 880 * t)).astype("int16"), 16000)
+    rows = [
+        ("c1", bytearray(wav_a)), ("c2", bytearray(wav_a)),  # re-upload
+        ("c3", bytearray(wav_b)),
+        ("c4", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = payload_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_clips"] == 2 and out[0]["clip_ids"] == ["c1", "c2"]

@@ -1157,3 +1157,14 @@ def test_group_normalize_z_and_minmax(spark):
     mm = group_normalize(df, "x", ["g"], method="minmax").collect()
     ma = sorted(r["x_norm"] for r in mm if r["g"] == "a")
     assert ma == pytest.approx([0.0, 0.5, 1.0])
+
+
+def test_decade_profile_sees_unit_mix(spark):
+    from jsschema_spark.stats import decade_profile
+
+    rows = [(1.5,), (2.0,), (9.9,), (1500.0,), (2500.0,), (0.0,), (-30.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["bucket"]: r["n"] for r in decade_profile(df, "x").collect()}
+    assert out["e0"] == 3        # the meters hump
+    assert out["e3"] == 2        # the millimeters hump, 3 decades away
+    assert out["zero"] == 1 and out["null"] == 1 and out["neg:e1"] == 1
