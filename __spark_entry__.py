@@ -2824,6 +2824,72 @@ def q_decade_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decade_profile(df, "price")
 
 
+def q_pitch_profile_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pitch-band profile (audio.estimate_f0) over in-Spark synth clips:
+    110/220/330 Hz tones land in their F0 bands with periodicity ≈ 1,
+    deterministic noise is unvoiced — the speech-corpus QA signal (TTS
+    farms have unnaturally tight F0; music contaminates the voice band).
+    Formula-only oracle certifies the autocorrelation pitch kernel."""
+    from jsschema_spark.audio import estimate_f0
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id", (F.col("doc_id") % 4).cast("int").alias("kind")
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        sr = 16000
+        t = np.arange(sr // 2, dtype=np.float64) / sr
+        tones = {
+            k: (8000.0 * np.sin(2.0 * np.pi * f * t)).astype(np.int16)
+            for k, f in ((0, 110.0), (1, 220.0), (2, 330.0))
+        }
+        for pdf in batches:
+            bands = []
+            for doc_id, k in zip(pdf["doc_id"], pdf["kind"]):
+                if k == 3:
+                    rng = np.random.default_rng(int(doc_id))
+                    pcm = rng.normal(0, 3000, sr // 2).astype(np.int16)
+                else:
+                    pcm = tones[int(k)]
+                f0, p = estimate_f0(pcm, sr)
+                if p < 0.5:
+                    bands.append("unvoiced")
+                elif f0 < 165.0:
+                    bands.append("low")
+                elif f0 < 275.0:
+                    bands.append("mid")
+                else:
+                    bands.append("high")
+            import pandas as _pd
+
+            yield _pd.DataFrame({"f0_band": bands})
+
+    feats = params.mapInPandas(gen, "f0_band string")
+    return feats.groupBy("f0_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips")
+    )
+
+
+def q_vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness summary (text.vocabulary_richness): hapax
+    ratio + type-token ratio, the degenerate-corpus detectors that
+    complement the Zipf fit."""
+    from jsschema_spark.functions.text import vocabulary_richness
+
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out = vocabulary_richness(df, "text")
+    return out.select(
+        "vocab_size",
+        "n_tokens",
+        "n_hapax",
+        F.round("hapax_ratio", 8).alias("hapax_r"),
+        F.round("type_token_ratio", 8).alias("ttr_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -2956,6 +3022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_profile_events": q_json_key_profile_events,
         "payload_dup_clips": q_payload_dup_clips,
         "decade_profile_lineitem": q_decade_profile_lineitem,
+        "pitch_profile_clips": q_pitch_profile_clips,
+        "vocab_richness_documents": q_vocab_richness_documents,
     }
 
 
@@ -5317,4 +5385,26 @@ def oracle_sql() -> dict[str, str]:
                    END AS bucket,
                    CAST(count(*) AS BIGINT) AS n
             FROM s GROUP BY 1""",
+        "pitch_profile_clips": """
+            SELECT CASE WHEN doc_id % 4 = 0 THEN 'low'
+                        WHEN doc_id % 4 = 1 THEN 'mid'
+                        WHEN doc_id % 4 = 2 THEN 'high'
+                        ELSE 'unvoiced' END AS f0_band,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM documents GROUP BY 1""",
+        "vocab_richness_documents": r"""
+            WITH t AS (
+              SELECT CASE WHEN trim(text) = '' THEN []
+                          ELSE string_split_regex(trim(text), '\s+') END AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            u AS (SELECT unnest(toks) AS token FROM t),
+            c AS (SELECT token, count(*) AS n FROM u GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+                   CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hapax,
+                   round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 8) AS hapax_r,
+                   round(CAST(count(*) AS DOUBLE) / sum(n), 8) AS ttr_r
+            FROM c""",
     }

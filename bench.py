@@ -182,6 +182,7 @@ def main() -> None:
             "burstiness_events", "audio_alignment_clips", "rule_pack_lineitem",
             "snapshot_diff_orders", "group_normalize_lineitem",
             "json_key_profile_events", "payload_dup_clips", "decade_profile_lineitem",
+            "pitch_profile_clips", "vocab_richness_documents",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

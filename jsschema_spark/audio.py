@@ -1386,3 +1386,37 @@ def payload_duplicates(
         )
         .where(F.col("n_clips") > 1)
     )
+
+
+def estimate_f0(
+    samples: "np.ndarray",
+    sr_hz: int,
+    f_min: float = 60.0,
+    f_max: float = 500.0,
+) -> "tuple[float, float]":
+    """Fundamental-frequency (pitch) estimate by FFT autocorrelation:
+    ``(f0_hz, periodicity)`` where periodicity ∈ [0, 1] is the
+    normalized autocorrelation peak at the chosen lag (≈1 for a clean
+    periodic signal, ≈0 for noise/silence — the voiced/unvoiced
+    decision). Search is restricted to lags for [f_min, f_max], the
+    human-voice band by default. Pitch statistics are speech-corpus QA:
+    a TTS farm shows unnaturally tight per-speaker F0 variance, a
+    mislabeled music corpus shows F0 mass outside the voice band.
+
+    O(n log n): one rfft-squared-irfft autocorrelation, vectorized
+    numpy; returns (0, 0) for signals too short for one f_min period."""
+    n = len(samples)
+    lag_max = int(sr_hz / f_min)
+    lag_min = max(1, int(sr_hz / f_max))
+    if n < 2 * lag_max or sr_hz <= 0:
+        return 0.0, 0.0
+    f = samples.astype(np.float64)
+    f = f - f.mean()
+    nfft = 1 << (2 * n - 1).bit_length()
+    spec = np.fft.rfft(f, nfft)
+    ac = np.fft.irfft(spec * np.conj(spec), nfft)[: lag_max + 1]
+    if ac[0] <= 0:
+        return 0.0, 0.0
+    window = ac[lag_min: lag_max + 1]
+    k = int(np.argmax(window)) + lag_min
+    return float(sr_hz / k), float(ac[k] / ac[0])

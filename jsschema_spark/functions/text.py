@@ -637,3 +637,32 @@ def distinctive_terms(
         .where(F.col("__r") <= k)
         .select(F.col("grp").alias(group_col), "token", "n", "score")
     )
+
+
+def vocabulary_richness(df, text_col: str):
+    """Corpus vocabulary-richness summary: hapax ratio (fraction of
+    vocabulary appearing exactly once) and type-token ratio — the
+    degenerate-corpus detectors that complement ``zipf_fit``: template
+    spam collapses TTR (few types, many tokens), while OCR noise or
+    mojibake inflates the hapax share (every garble is a new "word").
+    One row: ``vocab_size, n_tokens, n_hapax, hapax_ratio,
+    type_token_ratio``.
+
+    Scale shape: explode → ONE map-side-combined hash agg to token
+    counts (shuffle width = |vocab|), then a single-partial-row fold
+    over the vocab table — same plan family as ``top_tokens``."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum((F.col("n") == 1).cast("long")), F.lit(0)
+        ).cast("long").alias("n_hapax"),
+    ).select(
+        "vocab_size",
+        "n_tokens",
+        "n_hapax",
+        F.try_divide(F.col("n_hapax"), F.col("vocab_size")).alias("hapax_ratio"),
+        F.try_divide(F.col("vocab_size"), F.col("n_tokens")).alias("type_token_ratio"),
+    )

@@ -535,3 +535,19 @@ def test_payload_duplicates_groups_reuploads(spark):
     out = payload_duplicates(df).collect()
     assert len(out) == 1
     assert out[0]["n_clips"] == 2 and out[0]["clip_ids"] == ["c1", "c2"]
+
+
+def test_estimate_f0_pitch_and_voicing():
+    import numpy as np
+    from jsschema_spark.audio import estimate_f0
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f in (110.0, 220.0, 330.0):
+        pcm = (8000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+        f0, p = estimate_f0(pcm, sr)
+        assert abs(f0 - f) / f < 0.02 and p > 0.9
+    noise = np.random.default_rng(1).normal(0, 3000, sr).astype(np.int16)
+    _, p_noise = estimate_f0(noise, sr)
+    assert p_noise < 0.2  # unvoiced
+    assert estimate_f0(np.zeros(sr, dtype=np.int16), sr) == (0.0, 0.0)

@@ -1996,3 +1996,18 @@ def test_corpus_overlap_carryover(spark):
     assert r["n_shared_fps"] == 2  # 'doc one' (normalized) and 'doc two'
     assert r["cur_docs_from_base"] == 3  # both spellings of doc one + doc two
     assert r["carryover_frac"] == pytest.approx(0.6)
+
+
+def test_vocabulary_richness(spark):
+    import pytest
+
+    from jsschema_spark.functions.text import vocabulary_richness
+
+    df = spark.createDataFrame(
+        [("the the the cat",), ("the dog unique1 unique2",)], "text string"
+    )
+    r = vocabulary_richness(df, "text").collect()[0]
+    # vocab: the(4) cat dog unique1 unique2 -> 5 types, 8 tokens, 4 hapax
+    assert r["vocab_size"] == 5 and r["n_tokens"] == 8 and r["n_hapax"] == 4
+    assert r["hapax_ratio"] == pytest.approx(0.8)
+    assert r["type_token_ratio"] == pytest.approx(5 / 8)
