@@ -2890,6 +2890,44 @@ def q_vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_float32_safety_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float32 feature-store safety (stats.float32_safety) for the price
+    column: cent-precision values near 10^5 need more bits than a
+    float32 significand has, so most rows are lossy at the exact-round-
+    trip tolerance — the quantified warning before anyone casts this
+    column into a float32 feature store. IEEE casts are bit-identical
+    across engines."""
+    from jsschema_spark.stats import float32_safety
+
+    df = _t(spark, sf_dir, "lineitem")
+    out = float32_safety(df, "l_extendedprice")
+    return out.select(
+        "n_rows",
+        "n_lossy",
+        "n_overflow",
+        F.round("max_rel_err", 12).alias("max_rel_err_r"),
+    )
+
+
+def q_entropy_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy in one scan
+    (stats.column_entropy_profile) over three orders columns spanning
+    the cardinality range — the near-constant-column detector n_distinct
+    alone hides."""
+    from jsschema_spark.stats import column_entropy_profile
+
+    df = _t(spark, sf_dir, "orders")
+    out = column_entropy_profile(
+        df, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+    return out.select(
+        "column",
+        "n_distinct",
+        F.round("entropy_nats", 6).alias("entropy_r"),
+        F.round("norm_entropy", 6).alias("norm_entropy_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3024,6 +3062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decade_profile_lineitem": q_decade_profile_lineitem,
         "pitch_profile_clips": q_pitch_profile_clips,
         "vocab_richness_documents": q_vocab_richness_documents,
+        "float32_safety_lineitem": q_float32_safety_lineitem,
+        "entropy_profile_orders": q_entropy_profile_orders,
     }
 
 
@@ -5407,4 +5447,52 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 8) AS hapax_r,
                    round(CAST(count(*) AS DOUBLE) / sum(n), 8) AS ttr_r
             FROM c""",
+        "float32_safety_lineitem": """
+            WITH r AS (
+              SELECT l_extendedprice AS x,
+                     CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS rt
+              FROM lineitem
+            ),
+            s AS (
+              SELECT x, rt,
+                     CASE WHEN x IS NOT NULL AND x <> 0
+                               AND NOT (abs(rt) = 'inf'::DOUBLE AND abs(x) <> 'inf'::DOUBLE)
+                          THEN abs(rt - x) / abs(x) END AS rel,
+                     (x IS NOT NULL AND abs(rt) = 'inf'::DOUBLE
+                      AND abs(x) <> 'inf'::DOUBLE) AS ov
+              FROM r
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CASE WHEN rel > 1e-9 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_lossy,
+                   CAST(coalesce(sum(CASE WHEN ov THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_overflow,
+                   round(max(rel), 12) AS max_rel_err_r
+            FROM s""",
+        "entropy_profile_orders": """
+            WITH u AS (
+              SELECT 'o_orderstatus' AS col, coalesce(CAST(o_orderstatus AS VARCHAR), '__NULL__') AS v FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', coalesce(CAST(o_orderpriority AS VARCHAR), '__NULL__') FROM orders
+              UNION ALL
+              SELECT 'o_custkey', coalesce(CAST(o_custkey AS VARCHAR), '__NULL__') FROM orders
+            ),
+            c AS (
+              SELECT col, v, CAST(count(*) AS DOUBLE) AS n FROM u GROUP BY 1, 2
+            ),
+            t AS (
+              SELECT col, v, n, sum(n) OVER (PARTITION BY col) AS tot FROM c
+            ),
+            h AS (
+              SELECT col,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     sum(-(n / tot) * ln(n / tot)) AS ent
+              FROM t GROUP BY 1
+            )
+            SELECT col AS "column", n_distinct,
+                   round(ent, 6) AS entropy_r,
+                   round(CASE WHEN n_distinct > 1
+                              THEN ent / ln(CAST(n_distinct AS DOUBLE))
+                              ELSE 0.0 END, 6) AS norm_entropy_r
+            FROM h""",
     }

@@ -183,6 +183,7 @@ def main() -> None:
             "snapshot_diff_orders", "group_normalize_lineitem",
             "json_key_profile_events", "payload_dup_clips", "decade_profile_lineitem",
             "pitch_profile_clips", "vocab_richness_documents",
+            "float32_safety_lineitem", "entropy_profile_orders",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

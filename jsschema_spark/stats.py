@@ -1545,3 +1545,83 @@ def decade_profile(
     return df.groupBy(*gcols, bucket.alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+def float32_safety(
+    df: DataFrame,
+    col: str,
+    rel_tol: float = 1e-9,
+) -> DataFrame:
+    """Will this column survive a float32 feature store? Double →
+    float32 → double round-trip error per value, aggregated: values
+    outside ±~3.4e38 overflow to infinity, sub-normal magnitudes flush,
+    and anything needing more than 24 significand bits (ids stored as
+    numbers, high-precision money) silently loses digits — found HERE,
+    not after the model trained on corrupted features. One row:
+    ``n_rows, n_lossy (rel err > rel_tol), n_overflow, max_rel_err``.
+    float32 rounding error is at most ~6e-8 relative, so the default
+    tolerance of 1e-9 means "flag any value that doesn't round-trip
+    exactly (beyond noise)" — raise it to accept bounded loss.
+
+    One map-side-combined aggregation; the cast round-trip is pure
+    codegen (IEEE 754 conversion, bit-identical across engines)."""
+    x = F.col(col).cast("double")
+    rt = x.cast("float").cast("double")
+    overflow = x.isNotNull() & ~F.isnan(x) & (F.abs(rt) == float("inf")) & (F.abs(x) != float("inf"))
+    rel = F.when(
+        x.isNotNull() & (x != 0) & ~overflow, F.abs(rt - x) / F.abs(x)
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum((rel > rel_tol).cast("long")), F.lit(0)).cast("long").alias("n_lossy"),
+        F.coalesce(F.sum(overflow.cast("long")), F.lit(0)).cast("long").alias("n_overflow"),
+        F.max(rel).alias("max_rel_err"),
+    )
+
+
+def column_entropy_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Shannon entropy (nats) of every listed column in ONE scan — the
+    near-constant-column detector with more nuance than n_distinct: a
+    column with 1000 distinct values where one covers 99.9% of rows has
+    entropy ≈ 0 (it carries almost no information and a join on it will
+    skew catastrophically), which the distinct count alone hides.
+    Values are compared by their string form (works for any type; nulls
+    are a category).
+
+    Output: ``(column, n_distinct, entropy_nats, norm_entropy)`` —
+    ``norm_entropy`` = H/ln(n_distinct) ∈ [0,1] (1 = uniform).
+
+    Scale shape: the multi_drift trick — k-column stack unpivot inside
+    the scan projection, ONE hash agg on (column, value) with map-side
+    combine (shuffle width = Σ per-column cardinality), entropy folds
+    over the value-count table."""
+    parts = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.coalesce(F.col(c).cast("string"), F.lit("__NULL__")).alias("v"),
+        )
+        for c in cols
+    ]
+    ex = df.select(F.explode(F.array(*parts)).alias("cv"))
+    counts = ex.groupBy("cv.column", "cv.v").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy("column"))
+    p = F.col("n") / tot
+    terms = counts.select("column", (-p * F.log(p)).alias("__h"))
+    out = terms.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("__h").alias("entropy_nats"),
+    )
+    return out.withColumn(
+        "norm_entropy",
+        F.when(
+            F.col("n_distinct") > 1,
+            F.col("entropy_nats") / F.log(F.col("n_distinct").cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )

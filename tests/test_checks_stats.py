@@ -1168,3 +1168,36 @@ def test_decade_profile_sees_unit_mix(spark):
     assert out["e0"] == 3        # the meters hump
     assert out["e3"] == 2        # the millimeters hump, 3 decades away
     assert out["zero"] == 1 and out["null"] == 1 and out["neg:e1"] == 1
+
+
+def test_float32_safety(spark):
+    rows = [(1.5,), (1e40,), (123456789012345.0,), (None,), (0.25,)]
+    df = spark.createDataFrame(rows, "x double")
+    from jsschema_spark.stats import float32_safety
+
+    r = float32_safety(df, "x").collect()[0]
+    assert r["n_rows"] == 5
+    assert r["n_overflow"] == 1          # 1e40 > float32 max
+    assert r["n_lossy"] == 1             # 15 significant digits don't fit
+    assert 0 < r["max_rel_err"] < 6e-8   # bounded by float32 eps
+    # clean halves/quarters round-trip exactly
+    clean = spark.createDataFrame([(1.5,), (0.25,), (1024.0,)], "x double")
+    rc = float32_safety(clean, "x").collect()[0]
+    assert rc["n_lossy"] == 0 and rc["n_overflow"] == 0
+
+
+def test_column_entropy_profile(spark):
+    import math
+
+    from jsschema_spark.stats import column_entropy_profile
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "u string, w string")
+    # u and w are both uniform over 2 values -> H = ln 2, norm 1
+    out = {r["column"]: r for r in column_entropy_profile(df, ["u", "w"]).collect()}
+    assert out["u"]["entropy_nats"] == pytest.approx(math.log(2))
+    assert out["u"]["norm_entropy"] == pytest.approx(1.0)
+
+    skew = spark.createDataFrame([("k",)] * 999 + [("z",)], "c string")
+    r = column_entropy_profile(skew, ["c"]).collect()[0]
+    assert r["n_distinct"] == 2 and r["norm_entropy"] < 0.02  # near-constant
