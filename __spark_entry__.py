@@ -2928,6 +2928,25 @@ def q_entropy_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strlen_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-length profile (stats.string_length_profile) over the
+    customer text columns in one scan: truncation, padding and
+    empty-vs-null confusion all read off this table."""
+    from jsschema_spark.stats import string_length_profile
+
+    df = _t(spark, sf_dir, "customer")
+    out = string_length_profile(df, ["c_name", "c_mktsegment"])
+    return out.select(
+        "column",
+        "n_rows",
+        "n_null",
+        "n_empty",
+        "min_len",
+        F.round("avg_len", 6).alias("avg_len_r"),
+        "max_len",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3064,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness_documents": q_vocab_richness_documents,
         "float32_safety_lineitem": q_float32_safety_lineitem,
         "entropy_profile_orders": q_entropy_profile_orders,
+        "strlen_profile_customer": q_strlen_profile_customer,
     }
 
 
@@ -5495,4 +5515,18 @@ def oracle_sql() -> dict[str, str]:
                               THEN ent / ln(CAST(n_distinct AS DOUBLE))
                               ELSE 0.0 END, 6) AS norm_entropy_r
             FROM h""",
+        "strlen_profile_customer": """
+            WITH u AS (
+              SELECT 'c_name' AS col, length(CAST(c_name AS VARCHAR)) AS len FROM customer
+              UNION ALL
+              SELECT 'c_mktsegment', length(CAST(c_mktsegment AS VARCHAR)) FROM customer
+            )
+            SELECT col AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CASE WHEN len IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+                   CAST(coalesce(sum(CASE WHEN len = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty,
+                   CAST(min(len) AS BIGINT) AS min_len,
+                   round(avg(len), 6) AS avg_len_r,
+                   CAST(max(len) AS BIGINT) AS max_len
+            FROM u GROUP BY 1""",
     }

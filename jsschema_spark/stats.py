@@ -1625,3 +1625,40 @@ def column_entropy_profile(
             F.col("entropy_nats") / F.log(F.col("n_distinct").cast("double")),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def string_length_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Length structure of every string column in ONE scan (the stack
+    trick again): min/avg/max length, empty-string and null counts —
+    truncation (max pinned at a suspiciously round 255/4096), padding
+    (min == max on a free-text field) and the empty-vs-null confusion
+    (the draft-04 compiler treats them differently; upstreams mix them)
+    all read directly off this table.
+
+    Output: ``(column, n_rows, n_null, n_empty, min_len, avg_len,
+    max_len)``; one map-side-combined agg on the column tag."""
+    parts = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.length(F.col(c).cast("string")).alias("len"),
+        )
+        for c in cols
+    ]
+    ex = df.select(F.explode(F.array(*parts)).alias("cl")).select(
+        "cl.column", "cl.len"
+    )
+    return ex.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(F.col("len").isNull().cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_null"),
+        F.coalesce(F.sum((F.col("len") == 0).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_empty"),
+        F.min("len").cast("long").alias("min_len"),
+        F.avg("len").alias("avg_len"),
+        F.max("len").cast("long").alias("max_len"),
+    )

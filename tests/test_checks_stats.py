@@ -1201,3 +1201,15 @@ def test_column_entropy_profile(spark):
     skew = spark.createDataFrame([("k",)] * 999 + [("z",)], "c string")
     r = column_entropy_profile(skew, ["c"]).collect()[0]
     assert r["n_distinct"] == 2 and r["norm_entropy"] < 0.02  # near-constant
+
+
+def test_string_length_profile(spark):
+    from jsschema_spark.stats import string_length_profile
+
+    rows = [("abc", ""), ("de", None), ("fghij", "xx")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {r["column"]: r for r in string_length_profile(df, ["a", "b"]).collect()}
+    assert out["a"]["min_len"] == 2 and out["a"]["max_len"] == 5
+    assert out["a"]["avg_len"] == pytest.approx(10 / 3)
+    assert out["b"]["n_null"] == 1 and out["b"]["n_empty"] == 1
+    assert out["b"]["n_rows"] == 3
