@@ -2947,6 +2947,27 @@ def q_strlen_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_candidates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key discovery (checks.key_candidates, exact mode) over
+    lineitem: the report shows what IS — in this synthetic corpus NO
+    tested single or pair is a perfect key ((l_orderkey, l_partkey)
+    comes closest at 0.999; (l_orderkey, l_linenumber) is only 0.76
+    because the generator reuses line numbers) — exactly the discovery
+    that stops someone deduping on an assumed key."""
+    from jsschema_spark.checks import key_candidates
+
+    df = _t(spark, sf_dir, "lineitem")
+    out = key_candidates(
+        df, ["l_orderkey", "l_linenumber", "l_partkey"], exact=True
+    )
+    return out.select(
+        "candidate",
+        "n_distinct",
+        "n_rows",
+        F.round("uniqueness_ratio", 6).alias("ratio_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3084,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "float32_safety_lineitem": q_float32_safety_lineitem,
         "entropy_profile_orders": q_entropy_profile_orders,
         "strlen_profile_customer": q_strlen_profile_customer,
+        "key_candidates_lineitem": q_key_candidates_lineitem,
     }
 
 
@@ -5529,4 +5551,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(len), 6) AS avg_len_r,
                    CAST(max(len) AS BIGINT) AS max_len
             FROM u GROUP BY 1""",
+        "key_candidates_lineitem": """
+            WITH w AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d1,
+                     CAST(count(DISTINCT l_linenumber) AS BIGINT) AS d2,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT) AS d3,
+                     CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d12,
+                     CAST(count(DISTINCT (l_orderkey, l_partkey)) AS BIGINT) AS d13,
+                     CAST(count(DISTINCT (l_linenumber, l_partkey)) AS BIGINT) AS d23
+              FROM lineitem
+            )
+            SELECT candidate, n_distinct, n AS n_rows,
+                   round(CAST(n_distinct AS DOUBLE) / n, 6) AS ratio_r
+            FROM (
+              SELECT 'l_orderkey' AS candidate, d1 AS n_distinct, n FROM w
+              UNION ALL SELECT 'l_linenumber', d2, n FROM w
+              UNION ALL SELECT 'l_partkey', d3, n FROM w
+              UNION ALL SELECT 'l_orderkey+l_linenumber', d12, n FROM w
+              UNION ALL SELECT 'l_orderkey+l_partkey', d13, n FROM w
+              UNION ALL SELECT 'l_linenumber+l_partkey', d23, n FROM w
+            )""",
     }

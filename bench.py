@@ -184,7 +184,7 @@ def main() -> None:
             "json_key_profile_events", "payload_dup_clips", "decade_profile_lineitem",
             "pitch_profile_clips", "vocab_richness_documents",
             "float32_safety_lineitem", "entropy_profile_orders",
-            "strlen_profile_customer",
+            "strlen_profile_customer", "key_candidates_lineitem",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -907,3 +907,58 @@ def snapshot_diff(
     return wide.selectExpr(
         f"stack({len(metrics)}, {stack_args}) AS (metric, n)"
     )
+
+
+def key_candidates(
+    df: DataFrame,
+    cols: Sequence[str],
+    max_width: int = 2,
+    exact: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Primary-key discovery: for every candidate column and (by
+    default) every pair, the distinct-count-to-row-count ratio — ratio
+    ≈ 1 is a key candidate, and the smallest such set is the natural
+    primary key nobody documented. The inverse of ``duplicate_keys``
+    (which checks a KNOWN key): this finds the key.
+
+    Output: ``(candidate, n_distinct, n_rows, uniqueness_ratio)``,
+    candidate = '+'-joined column names.
+
+    Default path: ALL candidates measured in ONE aggregation with HLL
+    sketches (``approx_count_distinct``, rsd ~1% — fine for "is this
+    ratio near 1", and the reason one pass is possible at all).
+    ``exact=True`` swaps in exact count_distinct for oracle parity —
+    Catalyst plans multi-distinct via Expand (row multiplication ×
+    #candidates), the documented price of exactness at test scale."""
+    cands: list[list[str]] = [[c] for c in cols]
+    if max_width >= 2:
+        cands += [[a, b] for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for cand in cands:
+        name = "+".join(cand)
+        tgt = (
+            F.col(cand[0])
+            if len(cand) == 1
+            else F.struct(*[F.col(c) for c in cand])
+        )
+        aggs.append(
+            (
+                F.count_distinct(tgt)
+                if exact
+                else F.approx_count_distinct(tgt, rsd)
+            ).cast("long").alias(f"__d_{name}")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{'+'.join(c)}', `__d_{'+'.join(c)}`" for c in cands
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cands)}, {stack_args}) AS (candidate, n_distinct)",
+    ).select(
+        "candidate",
+        "n_distinct",
+        "n_rows",
+        (F.col("n_distinct") / F.col("n_rows")).alias("uniqueness_ratio"),
+    )

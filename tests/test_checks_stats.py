@@ -1213,3 +1213,20 @@ def test_string_length_profile(spark):
     assert out["a"]["avg_len"] == pytest.approx(10 / 3)
     assert out["b"]["n_null"] == 1 and out["b"]["n_empty"] == 1
     assert out["b"]["n_rows"] == 3
+
+
+def test_key_candidates_finds_composite_key(spark):
+    rows = [(d, s, f"{d}-{s}") for d in range(10) for s in range(5)]
+    df = spark.createDataFrame(rows, "dept int, seq int, label string")
+    from jsschema_spark.checks import key_candidates
+
+    out = {r["candidate"]: r for r in
+           key_candidates(df, ["dept", "seq", "label"], exact=True).collect()}
+    assert out["label"]["uniqueness_ratio"] == pytest.approx(1.0)
+    assert out["dept+seq"]["uniqueness_ratio"] == pytest.approx(1.0)
+    assert out["dept"]["uniqueness_ratio"] == pytest.approx(0.2)
+    assert out["seq"]["n_distinct"] == 5
+
+    approx = {r["candidate"]: r for r in
+              key_candidates(df, ["dept", "seq", "label"]).collect()}
+    assert abs(approx["label"]["uniqueness_ratio"] - 1.0) < 0.05  # HLL path
