@@ -2968,6 +2968,22 @@ def q_key_candidates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_circadian_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circadian concentration per event type (events.circadian_profile):
+    circular mean hour + von Mises R — the timezone-bug/bot-farm signal a
+    volume histogram hides. Pure codegen angle sums."""
+    from jsschema_spark.functions.events import circadian_profile
+
+    df = _t(spark, sf_dir, "events")
+    out = circadian_profile(df, "ts", "event_type")
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("peak_hour", 4).alias("peak_hour_r"),
+        F.round("r_concentration", 6).alias("r_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3106,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_profile_orders": q_entropy_profile_orders,
         "strlen_profile_customer": q_strlen_profile_customer,
         "key_candidates_lineitem": q_key_candidates_lineitem,
+        "circadian_events": q_circadian_events,
     }
 
 
@@ -5572,4 +5589,22 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_orderkey+l_partkey', d13, n FROM w
               UNION ALL SELECT 'l_linenumber+l_partkey', d23, n FROM w
             )""",
+        "circadian_events": """
+            WITH a AS (
+              SELECT event_type,
+                     (CAST(hour(ts) AS DOUBLE) + CAST(minute(ts) AS DOUBLE) / 60.0)
+                       * (2.0 * pi() / 24.0) AS theta
+              FROM events
+            ),
+            g AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     avg(cos(theta)) AS c, avg(sin(theta)) AS s
+              FROM a GROUP BY 1
+            )
+            SELECT event_type, n_events,
+                   round((atan2(s, c) * (24.0 / (2.0 * pi())) + 24.0) % 24.0, 4)
+                     AS peak_hour_r,
+                   round(sqrt(c * c + s * s), 6) AS r_r
+            FROM g""",
     }

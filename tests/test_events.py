@@ -517,3 +517,24 @@ def test_burstiness_separates_bot_from_organic(spark):
     # 4 clusters bound the attainable B well below 1; 0.4 at this shape
     assert out["bursty"]["burstiness"] > 0.35
     assert out["lone"]["burstiness"] is None and out["lone"]["n_events"] == 1
+
+
+def test_circadian_profile_concentration(spark):
+    import pytest
+
+    from jsschema_spark.functions.events import circadian_profile
+
+    rows = []
+    # human: all events 9-10am
+    for i in range(48):
+        rows.append(("human", f"2024-01-01 09:{i % 60:02d}:00"))
+    # bot: uniform around the clock
+    for h in range(24):
+        rows.append(("bot", f"2024-01-01 {h:02d}:30:00"))
+    df = spark.createDataFrame(rows, "src string, ts_s string").select(
+        "src", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {r["src"]: r for r in circadian_profile(df, "ts", "src").collect()}
+    assert out["human"]["r_concentration"] > 0.99
+    assert 9.0 <= out["human"]["peak_hour"] <= 10.0
+    assert out["bot"]["r_concentration"] < 0.01  # uniform -> R ~ 0
