@@ -2984,6 +2984,28 @@ def q_circadian_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_rep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-representativeness χ² (stats.sample_representativeness):
+    the planted sampler bug over-draws English (%3 extra pull for
+    lang='en') — its chi2_term dominates the table and names the starved
+    strata; a clean %7 hash sample would sum to ≈ noise."""
+    from jsschema_spark.stats import sample_representativeness
+
+    pop = _t(spark, sf_dir, "documents")
+    biased = pop.where(
+        (F.col("doc_id") % 7 == 0)
+        | ((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0))
+    )
+    out = sample_representativeness(pop, biased, "lang")
+    return out.select(
+        "category",
+        "n_pop",
+        "n_sample",
+        F.round("expected", 6).alias("expected_r"),
+        F.round("chi2_term", 6).alias("chi2_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3123,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strlen_profile_customer": q_strlen_profile_customer,
         "key_candidates_lineitem": q_key_candidates_lineitem,
         "circadian_events": q_circadian_events,
+        "sample_rep_documents": q_sample_rep_documents,
     }
 
 
@@ -5607,4 +5630,36 @@ def oracle_sql() -> dict[str, str]:
                      AS peak_hour_r,
                    round(sqrt(c * c + s * s), 6) AS r_r
             FROM g""",
+        "sample_rep_documents": """
+            WITH pop AS (
+              SELECT coalesce(CAST(lang AS VARCHAR), '__NULL__') AS category,
+                     CAST(count(*) AS BIGINT) AS n_pop
+              FROM documents GROUP BY 1
+            ),
+            samp AS (
+              SELECT coalesce(CAST(lang AS VARCHAR), '__NULL__') AS category,
+                     CAST(count(*) AS BIGINT) AS n_sample
+              FROM documents
+              WHERE doc_id % 7 = 0 OR (lang = 'en' AND doc_id % 3 = 0)
+              GROUP BY 1
+            ),
+            j AS (
+              SELECT coalesce(pop.category, samp.category) AS category,
+                     coalesce(n_pop, 0) AS n_pop,
+                     coalesce(n_sample, 0) AS n_sample
+              FROM pop FULL OUTER JOIN samp USING (category)
+            ),
+            t AS (
+              SELECT category, n_pop, n_sample,
+                     CAST(n_pop AS DOUBLE) / sum(n_pop) OVER ()
+                       * sum(n_sample) OVER () AS expected
+              FROM j
+            )
+            SELECT category, n_pop, n_sample,
+                   round(expected, 6) AS expected_r,
+                   round(CASE WHEN expected > 0
+                              THEN (n_sample - expected) * (n_sample - expected)
+                                   / expected
+                              ELSE 0.0 END, 6) AS chi2_r
+            FROM t""",
     }

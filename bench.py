@@ -185,7 +185,7 @@ def main() -> None:
             "pitch_profile_clips", "vocab_richness_documents",
             "float32_safety_lineitem", "entropy_profile_orders",
             "strlen_profile_customer", "key_candidates_lineitem",
-            "circadian_events",
+            "circadian_events", "sample_rep_documents",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -1662,3 +1662,57 @@ def string_length_profile(
         F.avg("len").alias("avg_len"),
         F.max("len").cast("long").alias("max_len"),
     )
+
+
+def sample_representativeness(
+    population: DataFrame,
+    sample: DataFrame,
+    col: str,
+    null_label: str = "__NULL__",
+) -> DataFrame:
+    """Is the sample actually representative? χ² goodness-of-fit of the
+    sample's composition over ``col`` against the population's — the QA
+    step after any sampling operator (a stratified sampler with a bug, a
+    "random" sample taken from one partition, a filter that silently
+    correlated with the stratum). One row per category with observed vs
+    expected counts and its χ² contribution, plus the category count so
+    the caller can look up the critical value (df = k−1).
+
+    Output: ``(category, n_pop, n_sample, expected, chi2_term)`` —
+    Σ chi2_term is the statistic; a term dominating the sum names the
+    category the sampler starved or flooded.
+
+    Scale shape: one count agg per side (shuffle width = #categories),
+    one join of the two count TABLES; expected = pop share × sample
+    size. Categories with expected = 0 are excluded from terms (never
+    sampled-from, contributes nothing by convention)."""
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(
+            F.coalesce(F.col(col).cast("string"), F.lit(null_label)).alias(
+                "category"
+            )
+        ).agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    p = counts(population, "n_pop")
+    s = counts(sample, "n_sample")
+    j = p.join(s, "category", "full_outer").select(
+        "category",
+        F.coalesce("n_pop", F.lit(0)).cast("long").alias("n_pop"),
+        F.coalesce("n_sample", F.lit(0)).cast("long").alias("n_sample"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    tot_p = F.sum("n_pop").over(w)
+    tot_s = F.sum("n_sample").over(w)
+    expected = F.col("n_pop") / tot_p * tot_s
+    return j.select(
+        "category",
+        "n_pop",
+        "n_sample",
+        expected.alias("expected"),
+        F.when(
+            expected > 0,
+            F.pow(F.col("n_sample") - expected, 2) / expected,
+        ).otherwise(F.lit(0.0)).alias("chi2_term"),
+    )

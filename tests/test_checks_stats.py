@@ -1230,3 +1230,21 @@ def test_key_candidates_finds_composite_key(spark):
     approx = {r["candidate"]: r for r in
               key_candidates(df, ["dept", "seq", "label"]).collect()}
     assert abs(approx["label"]["uniqueness_ratio"] - 1.0) < 0.05  # HLL path
+
+
+def test_sample_representativeness(spark):
+    pop = spark.createDataFrame(
+        [("a",)] * 800 + [("b",)] * 200, "g string"
+    )
+    good = spark.createDataFrame([("a",)] * 80 + [("b",)] * 20, "g string")
+    bad = spark.createDataFrame([("a",)] * 20 + [("b",)] * 80, "g string")
+    from jsschema_spark.stats import sample_representativeness
+
+    g = {r["category"]: r for r in
+         sample_representativeness(pop, good, "g").collect()}
+    assert g["a"]["expected"] == pytest.approx(80.0)
+    assert sum(r["chi2_term"] for r in g.values()) == pytest.approx(0.0)
+
+    b = sample_representativeness(pop, bad, "g").collect()
+    chi2 = sum(r["chi2_term"] for r in b)
+    assert chi2 > 100  # wildly unrepresentative (crit at df=1 is 3.84)
