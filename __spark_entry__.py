@@ -3006,6 +3006,50 @@ def q_sample_rep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-booking screen (checks.interval_overlaps): each event
+    becomes a usage interval [ts, ts + value·100 s) per user; the
+    running-max window catches intervals swallowed whole by an earlier
+    long one (a lag-only check misses those). Grouped to per-user
+    violation counts."""
+    from jsschema_spark.checks import interval_overlaps
+
+    df = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add(
+            "SECOND",
+            (F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long"),
+            F.col("ts"),
+        ).alias("e"),
+    )
+    out = interval_overlaps(df, "user_id", "s", "e")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps")
+    )
+
+
+def q_mojibake_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake census (text.encoding_artifacts) with planted decode
+    bugs: Latin-1-read UTF-8 on %11 docs, replacement chars on %13,
+    Win-1252 smart-quote wreckage on %17, double-encoded NBSP on %19 —
+    each class counted separately so one hit names one upstream bug."""
+    from jsschema_spark.functions.text import encoding_artifacts
+
+    i = F.col("doc_id")
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(i % 11 == 0, F.lit(" cafÃ©")).otherwise(F.lit("")),
+            F.when(i % 13 == 0, F.lit(" �")).otherwise(F.lit("")),
+            F.when(i % 17 == 0, F.lit(" â€™")).otherwise(F.lit("")),
+            F.when(i % 19 == 0, F.lit(" Â ")).otherwise(F.lit("")),
+        ),
+    )
+    return encoding_artifacts(df, "text2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3146,6 +3190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_candidates_lineitem": q_key_candidates_lineitem,
         "circadian_events": q_circadian_events,
         "sample_rep_documents": q_sample_rep_documents,
+        "interval_overlaps_events": q_interval_overlaps_events,
+        "mojibake_documents": q_mojibake_documents,
     }
 
 
@@ -5662,4 +5708,54 @@ def oracle_sql() -> dict[str, str]:
                                    / expected
                               ELSE 0.0 END, 6) AS chi2_r
             FROM t""",
+        "interval_overlaps_events": """
+            WITH iv AS (
+              SELECT user_id, ts AS s,
+                     ts + to_seconds(CAST(coalesce(value, 0.0) * 100 AS BIGINT)) AS e
+              FROM events
+            ),
+            w AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+              FROM iv
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps
+            FROM w
+            WHERE prev_max IS NOT NULL AND s < prev_max
+            GROUP BY 1""",
+        "mojibake_documents": """
+            WITH d AS (
+              SELECT coalesce(text, '')
+                     || CASE WHEN doc_id % 11 = 0 THEN ' cafÃ©' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' �' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0 THEN ' â€™' ELSE '' END
+                     || CASE WHEN doc_id % 19 = 0 THEN ' Â ' ELSE '' END AS t
+              FROM documents
+            ),
+            h AS (
+              SELECT (length(t) - length(replace(t, 'Ã', ''))) AS h1,
+                     (length(t) - length(replace(t, 'â€', ''))) / 2 AS h2,
+                     (length(t) - length(replace(t, '�', ''))) AS h3,
+                     (length(t) - length(replace(t, 'Â', ''))) AS h4
+              FROM d
+            ),
+            w AS (
+              SELECT CAST(coalesce(sum(CASE WHEN h1 > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d1,
+                     CAST(coalesce(sum(h1), 0) AS BIGINT) AS n1,
+                     CAST(coalesce(sum(CASE WHEN h2 > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d2,
+                     CAST(coalesce(sum(h2), 0) AS BIGINT) AS n2,
+                     CAST(coalesce(sum(CASE WHEN h3 > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d3,
+                     CAST(coalesce(sum(h3), 0) AS BIGINT) AS n3,
+                     CAST(coalesce(sum(CASE WHEN h4 > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d4,
+                     CAST(coalesce(sum(h4), 0) AS BIGINT) AS n4
+              FROM h
+            )
+            SELECT artifact, n_docs, n_hits FROM (
+              SELECT 'latin1_utf8' AS artifact, d1 AS n_docs, n1 AS n_hits FROM w
+              UNION ALL SELECT 'win1252_utf8', d2, n2 FROM w
+              UNION ALL SELECT 'replacement_char', d3, n3 FROM w
+              UNION ALL SELECT 'nbsp_artifact', d4, n4 FROM w
+            )""",
     }

@@ -186,6 +186,7 @@ def main() -> None:
             "float32_safety_lineitem", "entropy_profile_orders",
             "strlen_profile_customer", "key_candidates_lineitem",
             "circadian_events", "sample_rep_documents",
+            "interval_overlaps_events", "mojibake_documents",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

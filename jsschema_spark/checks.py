@@ -962,3 +962,44 @@ def key_candidates(
         "n_rows",
         (F.col("n_distinct") / F.col("n_rows")).alias("uniqueness_ratio"),
     )
+
+
+def interval_overlaps(
+    df: DataFrame,
+    entity_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Double-booking detection: within each entity, intervals must not
+    overlap (a device can't record two clips at once, a room can't host
+    two meetings, an SCD dimension can't have two active versions). An
+    interval violates when it starts before the RUNNING MAX of all
+    earlier intervals' ends — the running max (not just the previous
+    end) is what catches an interval swallowed whole by an earlier long
+    one, which a lag-based check misses. Touching endpoints (start ==
+    previous end) are allowed: half-open [start, end) semantics.
+
+    Returns the violating intervals: ``entity, start, end,
+    overlapped_until`` (the running max they collided with).
+
+    Scale shape: one window partitioned by entity ordered by (start,
+    end) with a running max — sessionize's single shuffle; violations-
+    only output."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max(F.col(end_col)).over(w)
+    out = df.select(
+        entity_col,
+        F.col(start_col).alias("start"),
+        F.col(end_col).alias("end"),
+        prev_max_end.alias("overlapped_until"),
+    )
+    return out.where(
+        F.col("overlapped_until").isNotNull()
+        & (F.col("start") < F.col("overlapped_until"))
+    )

@@ -666,3 +666,52 @@ def vocabulary_richness(df, text_col: str):
         F.try_divide(F.col("n_hapax"), F.col("vocab_size")).alias("hapax_ratio"),
         F.try_divide(F.col("vocab_size"), F.col("n_tokens")).alias("type_token_ratio"),
     )
+
+
+ENCODING_ARTIFACTS = {
+    # UTF-8 bytes read as Latin-1/Win-1252: 'é' -> 'Ã©', '’' -> 'â€™', …
+    "latin1_utf8": "Ã",
+    "win1252_utf8": "â€",
+    # a decoder gave up entirely
+    "replacement_char": "�",
+    # non-breaking space double-encoded: ' ' -> 'Â '
+    "nbsp_artifact": "Â",
+}
+
+
+def encoding_artifacts(df, text_col: str):
+    """Mojibake census: occurrences of the classic encoding-corruption
+    signatures — UTF-8 read as Latin-1 ('Ã©' where 'é' belongs),
+    Win-1252 smart-quote wreckage ('â€™'), U+FFFD replacement characters
+    (a decoder gave up), and double-encoded non-breaking spaces. These
+    are the corpus poisons a language-ID or quality score dilutes into
+    noise but never names; one hit is one upstream decode bug.
+
+    Output: ``(artifact, n_docs, n_hits)`` per artifact class.
+
+    Scale shape: one scan — per-class substring counts as codegen
+    expressions folded in a single map-side-combined aggregation, then a
+    literal unpivot."""
+    aggs = []
+    for name, marker in ENCODING_ARTIFACTS.items():
+        # occurrences = length delta / marker length (pure codegen, no
+        # regex engine in the hot path)
+        hits = (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), F.lit(marker), F.lit("")))
+        ) / F.lit(len(marker))
+        aggs.append(
+            F.coalesce(F.sum((hits > 0).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"__d_{name}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(hits), F.lit(0.0)).cast("long").alias(f"__h_{name}")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', `__d_{n}`, `__h_{n}`" for n in ENCODING_ARTIFACTS
+    )
+    return wide.selectExpr(
+        f"stack({len(ENCODING_ARTIFACTS)}, {stack_args}) AS (artifact, n_docs, n_hits)"
+    )

@@ -1248,3 +1248,21 @@ def test_sample_representativeness(spark):
     b = sample_representativeness(pop, bad, "g").collect()
     chi2 = sum(r["chi2_term"] for r in b)
     assert chi2 > 100  # wildly unrepresentative (crit at df=1 is 3.84)
+
+
+def test_interval_overlaps_running_max(spark):
+    rows = [
+        # room A: [0,10) [10,20) touch -> ok; [5,8) swallowed by [0,10)
+        ("A", 0, 10), ("A", 10, 20), ("A", 5, 8),
+        # room B: long [0,100) swallows a later [50,60) that a lag-only
+        # check (vs the previous [40,45)) would miss
+        ("B", 0, 100), ("B", 40, 45), ("B", 50, 60),
+        ("C", 3, 4),
+    ]
+    df = spark.createDataFrame(rows, "room string, s int, e int")
+    from jsschema_spark.checks import interval_overlaps
+
+    out = {(r["room"], r["start"]): r for r in
+           interval_overlaps(df, "room", "s", "e").collect()}
+    assert set(out) == {("A", 5), ("B", 40), ("B", 50)}
+    assert out[("B", 50)]["overlapped_until"] == 100  # running max, not lag

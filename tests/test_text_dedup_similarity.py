@@ -2011,3 +2011,21 @@ def test_vocabulary_richness(spark):
     assert r["vocab_size"] == 5 and r["n_tokens"] == 8 and r["n_hapax"] == 4
     assert r["hapax_ratio"] == pytest.approx(0.8)
     assert r["type_token_ratio"] == pytest.approx(5 / 8)
+
+
+def test_encoding_artifacts_census(spark):
+    rows = [
+        ("clean café text",),
+        ("broken cafÃ© twice cafÃ©",),   # Ã© ×2
+        ("smart quote wreck â€™s",),
+        ("gave up �� here",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    from jsschema_spark.functions.text import encoding_artifacts
+
+    out = {r["artifact"]: r for r in encoding_artifacts(df, "text").collect()}
+    assert out["latin1_utf8"]["n_docs"] == 1 and out["latin1_utf8"]["n_hits"] == 2
+    assert out["win1252_utf8"]["n_docs"] == 1
+    assert out["replacement_char"]["n_hits"] == 2
+    assert out["nbsp_artifact"]["n_docs"] == 0
