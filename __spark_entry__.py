@@ -3050,6 +3050,22 @@ def q_mojibake_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_artifacts(df, "text2")
 
 
+def q_new_entity_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning decomposition per day (events.new_entity_rate):
+    0% new = replay, ~100% new = id-rotation bug; day one is 100% new by
+    construction."""
+    from jsschema_spark.functions.events import new_entity_rate
+
+    df = _t(spark, sf_dir, "events")
+    out = new_entity_rate(df, "ts", "user_id", "day")
+    return out.select(
+        F.col("period").cast("date").alias("day"),
+        "n_active",
+        "n_new",
+        F.round("new_frac", 6).alias("new_frac_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3192,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_rep_documents": q_sample_rep_documents,
         "interval_overlaps_events": q_interval_overlaps_events,
         "mojibake_documents": q_mojibake_documents,
+        "new_entity_rate_events": q_new_entity_rate_events,
     }
 
 
@@ -5758,4 +5775,18 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'replacement_char', d3, n3 FROM w
               UNION ALL SELECT 'nbsp_artifact', d4, n4 FROM w
             )""",
+        "new_entity_rate_events": """
+            WITH pairs AS (
+              SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS p, user_id
+              FROM events
+            ),
+            fs AS (SELECT user_id, min(p) AS first_p FROM pairs GROUP BY 1)
+            SELECT pairs.p AS day,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(coalesce(sum(CASE WHEN pairs.p = fs.first_p THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_new,
+                   round(CAST(sum(CASE WHEN pairs.p = fs.first_p THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS new_frac_r
+            FROM pairs JOIN fs USING (user_id)
+            GROUP BY 1""",
     }

@@ -736,3 +736,39 @@ def circadian_profile(
         peak.alias("peak_hour"),
         r.alias("r_concentration"),
     )
+
+
+def new_entity_rate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    period: str = "day",
+) -> DataFrame:
+    """New-vs-returning decomposition per period: of the entities active
+    in each period, how many had never been seen before — the two
+    failure modes it pins are a REPLAY (0% new: every "arrival" already
+    exists) and an ID-ROTATION bug (≈100% new: the join key changed
+    under you and every returning user looks like a stranger). Between
+    those poles it is the growth metric everybody hand-rolls wrong by
+    double-counting periods.
+
+    Output: ``(period, n_active, n_new, new_frac)``.
+
+    Scale shape: dedupe to (period, entity) pairs (one agg), per-entity
+    first period from that SAME reduced table (one more agg over pairs,
+    not raw rows), broadcast-join the #entities first-seen table back,
+    final per-period count — the raw stream is scanned once."""
+    p = F.date_trunc(period, F.col(ts_col))
+    pairs = df.select(p.alias("__p"), F.col(id_col).alias("__id")).distinct()
+    first_seen = pairs.groupBy("__id").agg(F.min("__p").alias("__first"))
+    joined = pairs.join(first_seen, "__id")
+    return (
+        joined.groupBy(F.col("__p").alias("period"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.coalesce(
+                F.sum((F.col("__p") == F.col("__first")).cast("long")), F.lit(0)
+            ).cast("long").alias("n_new"),
+        )
+        .withColumn("new_frac", F.col("n_new") / F.col("n_active"))
+    )

@@ -538,3 +538,23 @@ def test_circadian_profile_concentration(spark):
     assert out["human"]["r_concentration"] > 0.99
     assert 9.0 <= out["human"]["peak_hour"] <= 10.0
     assert out["bot"]["r_concentration"] < 0.01  # uniform -> R ~ 0
+
+
+def test_new_entity_rate(spark):
+    import pytest
+
+    rows = [
+        ("u1", "2024-01-01 08:00:00"), ("u2", "2024-01-01 09:00:00"),
+        ("u1", "2024-01-02 08:00:00"),  # returning
+        ("u3", "2024-01-02 09:00:00"),  # new
+        ("u1", "2024-01-02 10:00:00"),  # same user same day: no double count
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    from jsschema_spark.functions.events import new_entity_rate
+
+    out = {r["period"].day: r for r in new_entity_rate(df, "ts", "user_id").collect()}
+    assert out[1]["n_active"] == 2 and out[1]["n_new"] == 2
+    assert out[2]["n_active"] == 2 and out[2]["n_new"] == 1
+    assert out[2]["new_frac"] == pytest.approx(0.5)
