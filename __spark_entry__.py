@@ -3066,6 +3066,59 @@ def q_new_entity_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crest_check_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-compression screen (audio.crest_check) over in-Spark synth
+    WAVs: square waves (crest 0 dB — the brickwall signature), gaussian
+    noise (~12 dB, natural dynamics), silence, garbage — each class
+    arithmetically determined by doc_id, classified from the one-pass
+    PCM profile."""
+    from jsschema_spark.audio import _profile_rows, crest_check, wav_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id", (F.col("doc_id") % 4).cast("int").alias("kind")
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        sr = 16000
+        n = sr // 2
+        t = np.arange(n, dtype=np.float64) / sr
+        square = (8000 * np.sign(np.sin(2 * np.pi * 440 * t))).astype(np.int16)
+        zeros = np.zeros(n, dtype=np.int16)
+        for pdf in batches:
+            payloads = []
+            for doc_id, k in zip(pdf["doc_id"], pdf["kind"]):
+                if k == 0:
+                    payloads.append(wav_encode(square, sr))
+                elif k == 1:
+                    rng = np.random.default_rng(int(doc_id))
+                    payloads.append(
+                        wav_encode(
+                            np.clip(rng.normal(0, 3000, n), -32768, 32767).astype(
+                                np.int16
+                            ),
+                            sr,
+                        )
+                    )
+                elif k == 2:
+                    payloads.append(wav_encode(zeros, sr))
+                else:
+                    payloads.append(b"corrupt")
+            yield _profile_rows([str(d) for d in pdf["doc_id"]], payloads)
+
+    feats = params.mapInPandas(
+        gen,
+        "clip_id string, decode_ok boolean, sr_hz int, n_samples int, "
+        "rms_dbfs double, peak int, clip_frac double, dc_offset double",
+    )
+    out = crest_check(feats)
+    return out.groupBy("crest_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3209,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlaps_events": q_interval_overlaps_events,
         "mojibake_documents": q_mojibake_documents,
         "new_entity_rate_events": q_new_entity_rate_events,
+        "crest_check_clips": q_crest_check_clips,
     }
 
 
@@ -5789,4 +5843,11 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE) / count(*), 6) AS new_frac_r
             FROM pairs JOIN fs USING (user_id)
             GROUP BY 1""",
+        "crest_check_clips": """
+            SELECT CASE WHEN doc_id % 4 = 0 THEN 'over_compressed'
+                        WHEN doc_id % 4 = 1 THEN 'ok'
+                        WHEN doc_id % 4 = 2 THEN 'silent'
+                        ELSE 'undecodable' END AS crest_status,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM documents GROUP BY 1""",
     }

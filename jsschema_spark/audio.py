@@ -1420,3 +1420,44 @@ def estimate_f0(
     window = ac[lag_min: lag_max + 1]
     k = int(np.argmax(window)) + lag_min
     return float(sr_hz / k), float(ac[k] / ac[0])
+
+
+def crest_check(
+    df: "DataFrame",
+    rms_col: str = "rms_dbfs",
+    peak_col: str = "peak",
+    decode_ok_col: str = "decode_ok",
+    min_crest_db: float = 6.0,
+    silence_dbfs: float = -60.0,
+) -> "DataFrame":
+    """Over-compression (loudness-war) screen: crest factor = peak level
+    minus RMS level in dB. Natural speech and music carry 10-20 dB of
+    crest; a brickwall-limited or clipped-then-normalized clip sits
+    under ~6 dB — dynamics a model never gets to hear, and a defect
+    ``profile_check`` misses when the limiter stopped JUST short of the
+    clip threshold. Adds ``crest_db`` and ``crest_status`` ∈
+    {undecodable, silent, over_compressed, ok}.
+
+    Pure Catalyst over the one-pass PCM profile's rows (peak and RMS
+    are already there — this classifier costs nothing extra)."""
+    peak_dbfs = F.lit(20.0) * F.log10(
+        F.col(peak_col).cast("double") / F.lit(32768.0)
+    )
+    crest = peak_dbfs - F.col(rms_col)
+    status = (
+        F.when(~F.col(decode_ok_col), F.lit("undecodable"))
+        .when(
+            (F.col(rms_col) < F.lit(silence_dbfs)) | (F.col(peak_col) == 0),
+            F.lit("silent"),
+        )
+        .when(crest < F.lit(min_crest_db), F.lit("over_compressed"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumns(
+        {
+            "crest_db": F.when(
+                F.col(decode_ok_col) & (F.col(peak_col) > 0), crest
+            ),
+            "crest_status": status,
+        }
+    )

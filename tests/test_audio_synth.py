@@ -551,3 +551,32 @@ def test_estimate_f0_pitch_and_voicing():
     _, p_noise = estimate_f0(noise, sr)
     assert p_noise < 0.2  # unvoiced
     assert estimate_f0(np.zeros(sr, dtype=np.int16), sr) == (0.0, 0.0)
+
+
+def test_crest_check_flags_compression(spark):
+    import numpy as np
+    from jsschema_spark.audio import (
+        _profile_rows,
+        crest_check,
+        wav_encode,
+    )
+
+    sr = 16000
+    n = sr // 2
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(3)
+    rows = [
+        # square wave: crest 0 dB -> the brickwall signature
+        ("square", wav_encode((8000 * np.sign(np.sin(2 * np.pi * 440 * t))).astype("int16"), sr)),
+        # gaussian noise: crest ~12 dB -> natural dynamics
+        ("noise", wav_encode(np.clip(rng.normal(0, 3000, n), -32768, 32767).astype("int16"), sr)),
+        ("silent", wav_encode(np.zeros(n, dtype=np.int16), sr)),
+        ("broken", b"x"),
+    ]
+    prof = _profile_rows([r[0] for r in rows], [r[1] for r in rows])
+    out = {r.clip_id: r for r in crest_check(spark.createDataFrame(prof)).collect()}
+    assert out["square"].crest_status == "over_compressed"
+    assert abs(out["square"].crest_db) < 0.1  # peak == rms
+    assert out["noise"].crest_status == "ok" and out["noise"].crest_db > 8
+    assert out["silent"].crest_status == "silent"
+    assert out["broken"].crest_status == "undecodable"
