@@ -3119,6 +3119,28 @@ def q_crest_check_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fd_strength_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-FD strength (checks.fd_strength) with a planted 1%%
+    exception stripe: l_partkey → supp_bucket holds at 0.99, the "real
+    dependency plus data errors" signature that exact FD checks reject
+    outright."""
+    from jsschema_spark.checks import fd_strength
+
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "supp_bucket",
+        F.when(
+            F.col("l_orderkey") % 101 == 0, F.lit(-1)
+        ).otherwise(F.col("l_partkey") % 10),
+    )
+    out = fd_strength(df, ["l_partkey"], "supp_bucket")
+    return out.select(
+        "n_rows",
+        "n_lhs_groups",
+        "n_violating_rows",
+        F.round("strength", 6).alias("strength_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3263,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_documents": q_mojibake_documents,
         "new_entity_rate_events": q_new_entity_rate_events,
         "crest_check_clips": q_crest_check_clips,
+        "fd_strength_lineitem": q_fd_strength_lineitem,
     }
 
 
@@ -5850,4 +5873,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'undecodable' END AS crest_status,
                    CAST(count(*) AS BIGINT) AS n_clips
             FROM documents GROUP BY 1""",
+        "fd_strength_lineitem": """
+            WITH s AS (
+              SELECT l_partkey,
+                     CASE WHEN l_orderkey % 101 = 0 THEN -1
+                          ELSE l_partkey % 10 END AS supp_bucket
+              FROM lineitem
+            ),
+            pc AS (
+              SELECT l_partkey, supp_bucket, CAST(count(*) AS BIGINT) AS n
+              FROM s GROUP BY 1, 2
+            ),
+            pl AS (
+              SELECT l_partkey, sum(n) AS tot, max(n) AS maj
+              FROM pc GROUP BY 1
+            )
+            SELECT CAST(coalesce(sum(tot), 0) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_lhs_groups,
+                   CAST(coalesce(sum(tot - maj), 0) AS BIGINT) AS n_violating_rows,
+                   round(1.0 - CAST(sum(tot - maj) AS DOUBLE) / sum(tot), 6)
+                     AS strength_r
+            FROM pl""",
     }

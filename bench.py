@@ -187,7 +187,7 @@ def main() -> None:
             "strlen_profile_customer", "key_candidates_lineitem",
             "circadian_events", "sample_rep_documents",
             "interval_overlaps_events", "mojibake_documents",
-            "new_entity_rate_events", "crest_check_clips",
+            "new_entity_rate_events", "crest_check_clips", "fd_strength_lineitem",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -1003,3 +1003,40 @@ def interval_overlaps(
         F.col("overlapped_until").isNotNull()
         & (F.col("start") < F.col("overlapped_until"))
     )
+
+
+def fd_strength(
+    df: DataFrame,
+    lhs: Sequence[str],
+    rhs: str,
+) -> DataFrame:
+    """Approximate functional-dependency strength: how close does
+    ``lhs → rhs`` come to holding? Strength = the fraction of rows that
+    would SURVIVE if each lhs group kept only its majority rhs value
+    (1.0 = exact FD; 0.98 = an FD with 2% exceptions — usually a real
+    dependency plus data errors, which ``functional_dependency_violations``
+    then itemizes). The discovery sibling of ``key_candidates``: that
+    finds keys, this finds the rules worth enforcing.
+
+    One row: ``n_rows, n_lhs_groups, n_violating_rows, strength``.
+
+    Scale shape: one hash agg to (lhs, rhs) pair counts (map-side
+    combined), one re-agg to per-lhs max over the PAIR table, one fold —
+    row-scale data scanned once."""
+    pair_counts = df.groupBy(
+        *[F.col(c) for c in lhs], F.col(rhs)
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    per_lhs = pair_counts.groupBy(*lhs).agg(
+        F.sum("__n").alias("__tot"),
+        F.max("__n").alias("__maj"),
+    )
+    return per_lhs.agg(
+        F.coalesce(F.sum("__tot"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+        F.coalesce(F.sum(F.col("__tot") - F.col("__maj")), F.lit(0))
+        .cast("long")
+        .alias("n_violating_rows"),
+    ).withColumn(
+        "strength",
+        F.lit(1.0) - F.try_divide(F.col("n_violating_rows"), F.col("n_rows")),
+    )

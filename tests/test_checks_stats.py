@@ -1266,3 +1266,17 @@ def test_interval_overlaps_running_max(spark):
            interval_overlaps(df, "room", "s", "e").collect()}
     assert set(out) == {("A", 5), ("B", 40), ("B", 50)}
     assert out[("B", 50)]["overlapped_until"] == 100  # running max, not lag
+
+
+def test_fd_strength(spark):
+    rows = (
+        [("z1", "NYC")] * 9 + [("z1", "LA")]      # 10% exceptions
+        + [("z2", "SF")] * 10                      # exact
+    )
+    df = spark.createDataFrame(rows, "zip string, city string")
+    from jsschema_spark.checks import fd_strength
+
+    r = fd_strength(df, ["zip"], "city").collect()[0]
+    assert r["n_rows"] == 20 and r["n_lhs_groups"] == 2
+    assert r["n_violating_rows"] == 1
+    assert r["strength"] == pytest.approx(0.95)
