@@ -3141,6 +3141,32 @@ def q_fd_strength_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-variant detection (dedup.prefix_duplicates): every %31
+    doc gets an 80-char-truncated clone — same normalized prefix,
+    different tail, invisible to exact dedup, found here with one hash
+    agg. max_len > min_len inside a group is the truncation signature."""
+    from jsschema_spark.functions.dedup import prefix_duplicates
+
+    base = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    trunc = base.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.substring("text", 1, 80).alias("text"),
+    )
+    df = base.unionByName(trunc)
+    out = prefix_duplicates(df, "doc_id", "text", prefix_chars=64)
+    return out.select(
+        "prefix_fp",
+        "n_docs",
+        "min_len",
+        "max_len",
+        F.element_at("doc_ids", 1).alias("first_id"),
+        F.element_at("doc_ids", -1).alias("last_id"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled draft-04 validation summary over sf0.001 lineitem."""
     return q_validate_lineitem(spark, SF_DEFAULT)
@@ -3286,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_entity_rate_events": q_new_entity_rate_events,
         "crest_check_clips": q_crest_check_clips,
         "fd_strength_lineitem": q_fd_strength_lineitem,
+        "prefix_dup_documents": q_prefix_dup_documents,
     }
 
 
@@ -5894,4 +5921,27 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - CAST(sum(tot - maj) AS DOUBLE) / sum(tot), 6)
                      AS strength_r
             FROM pl""",
+        "prefix_dup_documents": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+              UNION ALL
+              SELECT doc_id + 3000000, substring(text, 1, 80)
+              FROM documents WHERE text IS NOT NULL AND doc_id % 31 = 0
+            ),
+            n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+              FROM all_docs
+            ),
+            g AS (
+              SELECT md5(substring(norm, 1, 64)) AS prefix_fp,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(min(length(text)) AS BIGINT) AS min_len,
+                     CAST(max(length(text)) AS BIGINT) AS max_len,
+                     min(doc_id) AS first_id,
+                     max(doc_id) AS last_id
+              FROM n GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT * FROM g""",
     }

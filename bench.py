@@ -188,6 +188,7 @@ def main() -> None:
             "circadian_events", "sample_rep_documents",
             "interval_overlaps_events", "mojibake_documents",
             "new_entity_rate_events", "crest_check_clips", "fd_strength_lineitem",
+            "prefix_dup_documents",
         ):
             q = qs[name]
             # stats_lineitem is the one lineitem-scan-bound query whose

@@ -1477,3 +1477,41 @@ def corpus_overlap(
         "carryover_frac",
         F.try_divide(F.col("cur_docs_from_base"), F.col("n_cur_docs")),
     )
+
+
+def prefix_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_chars: int = 64,
+    fingerprint_fn: "Optional[Callable[[Column], Column]]" = None,
+) -> DataFrame:
+    """Truncated-variant detection: group documents whose NORMALIZED
+    PREFIX collides — the same article cut at different lengths (feed
+    truncation, pagination, "read more" scrapes), which exact dedup
+    misses (different tails ⇒ different fingerprints) and MinHash pays
+    full shingling cost to find. The prefix fingerprint is the
+    one-hash-agg middle rung between them.
+
+    Output: ``prefix_fp, n_docs, min_len, max_len, doc_ids`` (sorted;
+    groups with n > 1). ``max_len > min_len`` inside a group is the
+    truncation signature; equal lengths are plain duplicates that the
+    exact pass already owns.
+
+    Scale shape: normalize → substring → ONE hash agg keyed by the
+    prefix fingerprint (map-side combine); default fingerprint is the
+    portable md5 (oracle-reproducible), pass xxhash64 at 100 TB."""
+    fp = fingerprint_fn or (
+        lambda c: F.md5(F.substring(normalized_text(c), 1, prefix_chars))
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(fp(F.col(text_col)).alias("prefix_fp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(F.length(F.col(text_col))).cast("long").alias("min_len"),
+            F.max(F.length(F.col(text_col))).cast("long").alias("max_len"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

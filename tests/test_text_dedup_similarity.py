@@ -2029,3 +2029,21 @@ def test_encoding_artifacts_census(spark):
     assert out["win1252_utf8"]["n_docs"] == 1
     assert out["replacement_char"]["n_hits"] == 2
     assert out["nbsp_artifact"]["n_docs"] == 0
+
+
+def test_prefix_duplicates_truncated_variants(spark):
+    from jsschema_spark.functions.dedup import prefix_duplicates
+
+    long = "The quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, long),
+        (2, long[:100]),            # truncated variant of 1
+        (3, "совершенно другой текст " * 6),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = prefix_duplicates(df, "doc_id", "text", prefix_chars=64).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["doc_ids"] == [1, 2]
+    assert g["max_len"] > g["min_len"]  # the truncation signature
