@@ -1774,12 +1774,15 @@ def q_time_to_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_quantile_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quantile_check_lineitem(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Distribution-level contract (stats.quantile_range_check): per-flag
     p50/p95/p99 of l_extendedprice against declared SLO-style bounds —
     exact mode here because Spark's interpolated percentile is verified
     bit-identical to DuckDB's quantile_cont (R-7); production uses the
-    percentile_approx sketch."""
+    percentile_approx sketch (``exact=False`` — what bench.py times as
+    the headline)."""
     from jsschema_spark.stats import quantile_range_check
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1788,7 +1791,7 @@ def q_quantile_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         "l_extendedprice",
         bounds={0.5: (20000.0, 60000.0), 0.95: (None, 80000.0), 0.99: (None, 110000.0)},
-        exact=True,
+        exact=exact,
     )
     return out.select(
         "l_returnflag",
@@ -1814,16 +1817,18 @@ def q_order_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_winsorized_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_winsorized_lineitem(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Outlier capping (stats.winsorize): l_extendedprice clamped to the
     per-flag [p01, p99] band (exact R-7 mode for oracle parity; production
-    uses the sketch). Only the clamped tail rows surface — the rows the
-    treatment actually changed."""
+    uses the sketch — ``exact=False``, the bench.py headline). Only the
+    clamped tail rows surface — the rows the treatment actually changed."""
     from jsschema_spark.stats import winsorize
 
     li = _t(spark, sf_dir, "lineitem")
     out = winsorize(
-        li, "l_extendedprice", ["l_returnflag"], lo_q=0.01, hi_q=0.99, exact=True
+        li, "l_extendedprice", ["l_returnflag"], lo_q=0.01, hi_q=0.99, exact=exact
     )
     return out.where(F.col("l_extendedprice_w") != F.col("l_extendedprice")).select(
         "l_orderkey", "l_linenumber", "l_returnflag",
@@ -1849,9 +1854,12 @@ def q_payload_size_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_mad_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_mad_outliers_lineitem(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Median/MAD robust outlier screen (stats.robust_outliers) per
-    returnflag on l_extendedprice, exact mode for oracle parity, with a
+    returnflag on l_extendedprice, exact mode for oracle parity
+    (``exact=False`` sketch mode is the bench.py headline), with a
     planted 100× fat-finger stripe (%1009) the screen must catch while
     flagging zero organic rows. Grouped summary keeps the hash signal
     tight: group medians/MADs + outlier counts."""
@@ -1866,7 +1874,7 @@ def q_mad_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") % 1009 == 0, F.col("l_extendedprice") * 100
         ).otherwise(F.col("l_extendedprice")),
     )
-    out = robust_outliers(spiked, "price", ["l_returnflag"], k=3.5, exact=True)
+    out = robust_outliers(spiked, "price", ["l_returnflag"], k=3.5, exact=exact)
     return out.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.first("__med"), 4).alias("med_r"),
@@ -2534,8 +2542,11 @@ def q_multi_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_qq_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q-Q drift localization (stats.qq_drift, exact mode): same
+def q_qq_drift_lineitem(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
+    """Q-Q drift localization (stats.qq_drift, exact mode for oracle
+    parity; ``exact=False`` sketch mode is the bench.py headline): same
     ship-date split + planted +5% price inflation as multi_drift — here
     every probe quantile moves by ≈5% together, the wholesale-shift
     signature (a fattened tail would move only p95/p99)."""
@@ -2547,7 +2558,7 @@ def q_qq_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = li.where(F.col("l_shipdate") >= cut).withColumn(
         "l_extendedprice", F.col("l_extendedprice") * 1.05
     )
-    out = qq_drift(base, cur, "l_extendedprice", exact=True)
+    out = qq_drift(base, cur, "l_extendedprice", exact=exact)
     return out.select(
         "p",
         F.round("q_base", 4).alias("q_base_r"),
@@ -3172,7 +3183,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_validate_lineitem(spark, SF_DEFAULT)
 
 
+# The driver's correctness gate oracles only the FIRST 50 queries() entries
+# per round. Rounds 1-5 signed 61 distinct queries; these 50 have never
+# received a driver CORRECTNESS row, so round 6 leads with them (VERDICT r5
+# "Next round" #2). The remaining 28 never-checked keys rotate in next round;
+# tests/test_entry_oracle.py mirrors the gate over ALL entries regardless of
+# order, so nothing loses coverage by moving.
+_ROUND6_FIRST50 = [
+    "masked_spans_documents",
+    "lsh_index_search",
+    "label_centroids",
+    "embedding_dup_groups",
+    "order_total_reconciliation",
+    "embedding_validation",
+    "violations_cube_orders",
+    "clip_windows",
+    "benford_totalprice",
+    "event_transitions",
+    "incident_window_events",
+    "edit_distance_near_dups",
+    "psi_by_day_events",
+    "containment_documents",
+    "emd_drift_quantity",
+    "chisq_lineitem_flags",
+    "rolling_anomaly_events",
+    "unigram_kl_documents",
+    "dup_sizes_documents",
+    "entropy_by_source",
+    "bigram_pmi_documents",
+    "cooccurrence_events",
+    "centroid_drift_embeddings",
+    "duplicate_charges_orders",
+    "time_to_conversion_events",
+    "quantile_check_lineitem",
+    "order_violations_events",
+    "winsorized_lineitem",
+    "payload_size_clips",
+    "mad_outliers_lineitem",
+    "k_anonymity_customer",
+    "corr_matrix_lineitem",
+    "price_trend_orders",
+    "rolling_actives_events",
+    "audio_bandwidth_clips",
+    "join_profile_orders_lineitem",
+    "mi_documents_lang_source",
+    "heartbeat_events",
+    "audio_profile_clips",
+    "zipf_documents",
+    "anisotropy_embeddings",
+    "transcript_vad_clips",
+    "decimal_grid_lineitem",
+    "mask_profile_customer",
+    "null_rate_by_day_events",
+    "temporal_ref_orders",
+    "duration_check_clips",
+    "concentration_documents",
+    "distinctive_terms_documents",
+    "monotonic_counter_lineitem",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _all_queries()
+    ordered = {k: base[k] for k in _ROUND6_FIRST50}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
         "invalid_orders": q_invalid_orders,

@@ -191,9 +191,29 @@ def main() -> None:
             "prefix_dup_documents",
         ):
             q = qs[name]
-            # stats_lineitem is the one lineitem-scan-bound query whose
-            # round-over-round swings tracked host I/O windows, not code
-            reps = 3 if name == "stats_lineitem" else 1
+            if name in (
+                "quantile_check_lineitem", "winsorized_lineitem",
+                "mad_outliers_lineitem", "qq_drift_lineitem",
+            ):
+                # headline = the shipped sketch (percentile_approx) path;
+                # the exact interpolated-percentile mode exists only for
+                # DuckDB-hash parity and is documented alongside, not
+                # summed into the suite total
+                timed(name, lambda q=q: q(spark, sf_dir, exact=False).count())
+                t0 = time.time()
+                q(spark, sf_dir).count()
+                extras[f"{name}_exact_sec"] = round(time.time() - t0, 3)
+                continue
+            # min-of-N everywhere: this host's one-sided I/O noise flags a
+            # DIFFERENT query every round when single-shot (round 5 timed
+            # containment_documents 52.6s / edit_distance 41.0s; round 6
+            # re-measured both at 3.1s/5.3s while key_candidates_lineitem
+            # jumped 2.1s → 13.7s instead). min-of-2 suite-wide, min-of-3
+            # for the three that have historically swung the hardest.
+            reps = 3 if name in (
+                "stats_lineitem", "containment_documents",
+                "edit_distance_near_dups",
+            ) else 2
             timed(name, lambda q=q: q(spark, sf_dir).count(), repeats=reps)
     finally:
         spark.stop()

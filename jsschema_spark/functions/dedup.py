@@ -1231,7 +1231,12 @@ def mask_duplicate_spans(
         starts, base[id_col] == starts["__gid"], "left"
     ).drop("__gid")
     st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
-    idx = F.sequence(F.lit(0), F.size("__toks") - 1)
+    # Empty/whitespace-only text: sequence(0, -1) auto-steps to [0, -1],
+    # two bogus indices that survive the keep-filter (n_masked = -2) and
+    # crash element_at under ANSI — guard the index spine explicitly.
+    idx = F.when(
+        F.size("__toks") > 0, F.sequence(F.lit(0), F.size("__toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     keep_idx = F.filter(
         idx,
         lambda i: ~F.exists(st, lambda s: (s <= i) & (i < s + F.lit(n))),
@@ -1267,23 +1272,38 @@ def edit_distance_near_dups(
     the prefix escapes the block) — the deterministic, oracle-checkable
     trade LSH banding also makes.
 
-    Scale shape: one map-side shuffle on the prefix key; within-block
-    pairing reuses ``_bounded_self_pairs`` (all-pairs under
-    ``max_block_size``, similarity-ordered chaining above it — a
-    boilerplate-prefix block never goes quadratic). The length band
-    prunes before the O(len·maxdist) banded Levenshtein kernel
+    Scale shape: the block key is COMPOSITE — (normalized prefix,
+    length-band) with each row entering its own band and the next one up,
+    so two rows share a key iff their bands differ by ≤ 1, which
+    ``|Δlen| ≤ max_dist`` implies (band width = max(1, max_dist)). A hot
+    prefix (closed-vocabulary corpora: many docs share the same first two
+    words) therefore splits across length bands instead of forming one
+    degenerate block — blocking completeness w.r.t. the length band is
+    exact, so results are identical to prefix-only blocking while the
+    worst block shrinks by the corpus' length spread. One map-side
+    shuffle on the composite key; within-block pairing reuses
+    ``_bounded_self_pairs`` (all-pairs under ``max_block_size``,
+    similarity-ordered chaining above it). Same-band pairs meet in two
+    shared keys, so pairs dedup before the Levenshtein kernel. The
+    length band prunes before the O(len·maxdist) banded Levenshtein
     (threshold form: gives up at ``max_dist`` instead of filling the
     full DP matrix). All JVM codegen, zero Python."""
     from jsschema_spark.functions.text import normalized_text
 
     if max_dist < 0 or prefix_len <= 0:
         raise ValueError("max_dist must be >= 0 and prefix_len positive")
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        normalized_text(F.col(text_col)).alias("__norm"),
-    ).withColumn("__block", F.substring(F.col("__norm"), 1, prefix_len))
+    band_w = max(1, int(max_dist))
+    band = F.floor(F.length("__norm") / band_w)
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            normalized_text(F.col(text_col)).alias("__norm"),
+        )
+        .withColumn("__block", F.substring(F.col("__norm"), 1, prefix_len))
+        .withColumn("__band", F.explode(F.array(band, band + F.lit(1))))
+    )
     pairs = _bounded_self_pairs(
-        base, ["__block"], max_block_size,
+        base, ["__block", "__band"], max_block_size,
         payload="__norm", chain_order=["__norm"],
         materialize="none",  # upstream is one cheap projection
     )
@@ -1292,6 +1312,8 @@ def edit_distance_near_dups(
         pairs.where(
             F.abs(F.length("__norm_a") - F.length("__norm_b")) <= max_dist
         )
+        # same-band pairs meet under both their band keys — one survivor
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("dist", dist)
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "dist")
@@ -1326,7 +1348,13 @@ def containment_pairs(
     so candidate fan-out is Σ_prefix df, linear-ish in corpus size, where
     the naive self-join's Σ df² goes quadratic once the shingle space
     saturates (measured: α 1.47 on the 10× scale-step before this
-    rewrite). Candidates dedup to distinct pairs, then ONE verify join
+    rewrite). On top of the prefix + evidence-count filters, the
+    POSITIONAL half of PPJoin prunes surviving pairs whose first shared
+    shingle sits too deep in either doc's (df, g)-ascending order to
+    reach ``t·min(|A|,|B|)`` overlap (bound derivation inline below) —
+    on a saturated-vocabulary corpus this kills most birthday-collision
+    candidates before the verify join ever sees their shingle arrays.
+    Candidates dedup to distinct pairs, then ONE verify join
     computes ``shared`` EXACTLY as ``array_intersect`` of the two full
     shingle sets — hot shingles count toward containment (they only never
     propose), matching the brute-force oracle bit-for-bit. Shingles with
@@ -1349,19 +1377,13 @@ def containment_pairs(
     sh = _materialize(sh, "checkpoint")  # shingled once; prefix, index and verify all consume it
     ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-    # per-doc rarest prefix, EXTENDED by the evidence count c=2: with
-    # L = min(n, ⌊(1−t)·n⌋ + c) rarest shingles and at most f = ⌊(1−t)·n⌋
-    # of the smaller side's shingles absent from a qualifying partner,
-    # a true pair must score m ≥ L − f prefix hits (= c for docs with
-    # n ≥ f + c). A random birthday collision scores 1 — the count filter
-    # kills the quadratic single-collision noise a saturated shingle
-    # space produces, before any pair reaches the array verify.
-    # Rarest-prefix selection is a size-bounded sort/slice over each
-    # doc's own shingle structs — no window, no cross-doc sort.
+    # per-doc GLOBAL (df, g)-ascending ranking, computed once and shared
+    # by the prefix and index sides: positions in this total order drive
+    # the PPJoin-style positional filter below. Rarest-prefix selection
+    # and the positional index are size-bounded sorts over each doc's own
+    # shingle structs — no window, no cross-doc sort.
     c_ev = 2
-    f_len = F.floor(F.lit(1.0 - min_containment) * F.col("n")).cast("int")
-    pref_len = F.least(F.col("n"), f_len + c_ev)
-    prefix = (
+    ranked = (
         ex.join(dfreq, "g")
         .groupBy("doc_id", "n")
         .agg(
@@ -1369,25 +1391,80 @@ def containment_pairs(
                 F.collect_list(F.struct(F.col("__df"), F.col("g")))
             ).alias("__ranked")
         )
-        .select(
-            "doc_id",
-            F.col("n").alias("n_p"),
-            (pref_len - f_len).alias("need"),
-            F.explode(
-                F.transform(
-                    F.slice(F.col("__ranked"), 1, pref_len), lambda s: s["g"]
+        .withColumn(
+            # shingles this doc carries that the candidate index drops
+            # (df > cap): the positional bound must stay sound for them
+            "__capped",
+            F.size(
+                F.filter(
+                    F.col("__ranked"), lambda s: s["__df"] > max_shingle_df
                 )
-            ).alias("g"),
+            ),
         )
     )
-    idx = ex.join(
-        dfreq.where(F.col("__df") > max_shingle_df).select("g"), "g", "left_anti"
-    ).select(
-        F.col("doc_id").alias("doc_f"), F.col("n").alias("n_f"), F.col("g").alias("g_f")
+    ranked = _materialize(ranked, "checkpoint")  # prefix + index both consume it
+    # prefix side, EXTENDED by the evidence count c=2: with
+    # L = min(n, ⌊(1−t)·n⌋ + c) rarest shingles and at most f = ⌊(1−t)·n⌋
+    # of the smaller side's shingles absent from a qualifying partner,
+    # a true pair must score m ≥ L − f prefix hits (= c for docs with
+    # n ≥ f + c). A random birthday collision scores 1 — the count filter
+    # kills the quadratic single-collision noise a saturated shingle
+    # space produces, before any pair reaches the array verify.
+    f_len = F.floor(F.lit(1.0 - min_containment) * F.col("n")).cast("int")
+    pref_len = F.least(F.col("n"), f_len + c_ev)
+    prefix = (
+        ranked.select(
+            "doc_id",
+            F.col("n").alias("n_p"),
+            F.col("__capped").alias("cap_p"),
+            (pref_len - f_len).alias("need"),
+            F.posexplode(F.slice(F.col("__ranked"), 1, pref_len)).alias(
+                "__i0", "__s"
+            ),
+        )
+        # a capped prefix shingle matches nothing in the index — drop the
+        # join input row, its TRUE position is already burned into __i0
+        .where(F.col("__s.__df") <= max_shingle_df)
+        .select(
+            "doc_id", "n_p", "cap_p", "need",
+            (F.col("__i0") + 1).alias("i"),
+            F.col("__s.g").alias("g"),
+        )
+    )
+    # candidate INDEX side: full positional order, df-capped
+    # (recall-incomplete BY DESIGN for docs whose entire prefix is
+    # boilerplate, like LSH banding) — positions are in the UNCAPPED
+    # order so the positional bound is exact
+    idx = (
+        ranked.select(
+            F.col("doc_id").alias("doc_f"),
+            F.col("n").alias("n_f"),
+            F.col("__capped").alias("cap_f"),
+            F.posexplode(F.col("__ranked")).alias("__j0", "__s"),
+        )
+        .where(F.col("__s.__df") <= max_shingle_df)
+        .select(
+            "doc_f", "n_f", "cap_f",
+            (F.col("__j0") + 1).alias("j"),
+            F.col("__s.g").alias("g_f"),
+        )
     )
     # prefix side must be the ≤-sized doc (the bound only holds for the
-    # smaller side; ties keep both directions), then count prefix hits
-    # per (pair, direction) and demand the per-direction evidence quota
+    # smaller side; ties keep both directions), then per (pair, direction):
+    # (1) EVIDENCE quota — count prefix hits, demand m ≥ need; and
+    # (2) POSITIONAL filter (the positional half of PPJoin, Xiao et al.):
+    #     the minimum-(i,j) prefix hit is provably the pair's FIRST shared
+    #     uncapped shingle in the global (df, g) order (anything earlier
+    #     in the order sits at a smaller position in A's prefix and would
+    #     itself be a hit), so
+    #       shared ≤ min(cap_p, cap_f) + 1 + min(n_p − i_min, n_f − j_min)
+    #     — shared-capped shingles at most min of the capped counts,
+    #     shared-uncapped all at order-positions ≥ the first one. Pairs
+    #     whose bound can't reach t·n_p die here, before the array verify
+    #     (on a saturated corpus most birthday pairs' rarest shared
+    #     shingle sits deep in the partner's order — this is the filter
+    #     that kills them).
+    hit_min = F.min(F.struct(F.col("i"), F.col("j"))).alias("__h")
     cand = (
         prefix.alias("p")
         .join(
@@ -1400,10 +1477,21 @@ def containment_pairs(
             F.least("p.doc_id", "doc_f").alias("id_a"),
             F.greatest("p.doc_id", "doc_f").alias("id_b"),
             F.col("p.doc_id").alias("__dir"),
-            F.col("need"),
+            F.col("need"), F.col("n_p"), F.col("n_f"),
+            F.col("cap_p"), F.col("cap_f"),
         )
-        .agg(F.count(F.lit(1)).alias("__m"))
+        .agg(F.count(F.lit(1)).alias("__m"), hit_min)
         .where(F.col("__m") >= F.col("need"))
+        .where(
+            # −1e−9: the verify's exact division decides the pair; the
+            # candidate bound only needs to never under-admit under FP
+            F.least(F.col("cap_p"), F.col("cap_f"))
+            + F.lit(1)
+            + F.least(
+                F.col("n_p") - F.col("__h.i"), F.col("n_f") - F.col("__h.j")
+            )
+            >= F.lit(min_containment) * F.col("n_p") - F.lit(1e-9)
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -48,22 +48,47 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _multi_probe(base, n_planes: int):
-    """Bucket id + single-bit-flip probes (n_planes+1 bucket candidates).
-    Bitwise expansion of an already-computed base bucket — the float work
-    (one matmul per Arrow batch) happens exactly once per vector."""
-    return F.array(base, *[base.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)])
+def _multi_probe(base, n_planes: int, probe_bits: int = 1):
+    """Bucket id + all ≤``probe_bits``-bit-flip probes (``Σ C(n_planes,b)``
+    + 1 bucket candidates; probe_bits=1 → the classic n_planes+1 single-flip
+    set). Bitwise expansion of an already-computed base bucket — the float
+    work (one matmul per Arrow batch) happens exactly once per vector."""
+    from itertools import combinations
+
+    masks: list[int] = []
+    for b in range(1, int(probe_bits) + 1):
+        for combo in combinations(range(n_planes), b):
+            m = 0
+            for p in combo:
+                m |= 1 << p
+            masks.append(m)
+    return F.array(
+        base, *[base.bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+    )
 
 
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     n_planes: int = 8, seed: int = 42,
     corpus_id: str = "vec_id", query_id: str = "query_id", vec_col: str = "embedding",
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose hyperplane bucket
-    matches the query's bucket or any 1-bit probe of it. Buckets on both
-    sides come from the same Arrow-batched matmul (see linalg), so an
-    identical vector provably lands in its query's own bucket."""
+    matches the query's bucket or any ≤``probe_bits``-bit probe of it.
+    Buckets on both sides come from the same Arrow-batched matmul (see
+    linalg), so an identical vector provably lands in its query's own
+    bucket.
+
+    CONTRACT (measured, COVERAGE.md recall table): at the default
+    ``probe_bits=1`` this is a HIGH-COSINE CANDIDATE PROBE, not a top-k
+    retriever — recall@10 on a clustered corpus is 0.344 at n_planes=6
+    because moderate-cosine true neighbors routinely differ in >1
+    hyperplane bit. ``probe_bits=2`` probes all 2-bit flips too
+    (1+n+C(n,2) buckets) and lifts recall@10 to 0.652 at n_planes=6 for
+    ~3× the candidate fan-out (measured, test_ann_recall_graded). For
+    actual retrieval use ``ivf_search``
+    over a trained index (recall@10 0.99 at nprobe=4) — LSH's job in this
+    engine is near-dup candidate generation at cosine ≥ ~0.99."""
     planes = hyperplanes(dim, n_planes, seed)
     # coalesce(-1): a provably non-null join key, so the join's inferred
     # isnotnull filter constant-folds away instead of being pushed below
@@ -78,7 +103,9 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"),
         F.explode(
-            _multi_probe(hyperplane_bucket_v(F.col(vec_col), planes), n_planes)
+            _multi_probe(
+                hyperplane_bucket_v(F.col(vec_col), planes), n_planes, probe_bits
+            )
         ).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(

@@ -610,19 +610,26 @@ def benford_report(df: DataFrame, col: str, scale: int = 2) -> DataFrame:
     and portable."""
     from pyspark.sql import Window
 
+    # try_cast: DECIMAL(38,scale) overflow (|x| >= 1e36 at scale=2) must
+    # yield a null digit under ANSI mode too (plain cast would throw),
+    # which the classify-or-exclude filter below then drops
     digit = F.substring(
-        F.abs(F.col(col)).cast(f"decimal(38,{scale})").cast("string"), 1, 1
+        F.abs(F.col(col)).try_cast(f"decimal(38,{scale})").cast("string"), 1, 1
     ).cast("int")
     counts = (
         df.where(F.col(col).isNotNull() & (F.abs(F.col(col)) >= 1))
         .select(digit.alias("digit"))
+        # classify-or-exclude BEFORE aggregating: a DECIMAL(38,scale)
+        # overflow (|x| >= 1e36 at scale=2) yields a null digit, which
+        # must not reach the denominator (or the agg) at all
+        .where(F.col("digit").between(1, 9))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = F.sum("n").over(Window.partitionBy())
     p_exp = F.element_at(F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("digit"))
     return (
-        counts.where(F.col("digit").between(1, 9))
+        counts
         .select(
             "digit",
             "n",

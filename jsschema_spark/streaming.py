@@ -470,8 +470,11 @@ def start_embedding_admission_sink(
 ) -> StreamingQuery:
     """Streaming VECTOR admission: per micro-batch, drop rows whose cosine
     against any previously admitted embedding (probed via the persisted
-    hyperplane-LSH index) or any earlier-kept row of the same batch
-    reaches ``threshold``; admitted rows land in ``admitted_dir`` and
+    hyperplane-LSH index) or any LOWER-id row of the same batch — kept or
+    not — reaches ``threshold``. Within-batch rejection is link-based,
+    not chain-based (a near-dup link to ANY earlier batch member
+    disqualifies, even one itself rejected): order-stable and one-pass,
+    no per-batch connected components; admitted rows land in ``admitted_dir`` and
     their ``(vec_id, embedding, bucket)`` rows extend the index. The
     vector sibling of ``start_near_dup_admission_sink``.
 
@@ -586,8 +589,13 @@ def start_audio_admission_sink(
     """Streaming AUDIO admission: per micro-batch, fingerprint the clips
     (gain-invariant band-energy sketch, ``audio.band_energy_fingerprint``)
     and drop ones whose fingerprint lands within ``max_hamming`` of any
-    previously admitted clip (persisted ``(clip_id, fp)`` index) or of an
-    earlier-kept clip of the same batch (keep-first by clip_id); clips
+    previously admitted clip (persisted ``(clip_id, fp)`` index) or of any
+    LOWER-id clip of the same batch — kept or not. Within-batch rejection
+    is link-based, not chain-based: in a similarity chain A<B<C with A~B,
+    B~C, A!~C, both B and C are rejected (C via its link to the already-
+    rejected B). This is deliberate: a near-dup link to ANY earlier batch
+    member disqualifies, which keeps the rule order-stable and one-pass
+    (no per-batch connected components); clips
     that fail WAV decode are rejected outright and never enter the index.
     The audio sibling of ``start_near_dup_admission_sink``: the corpus is
     never re-decoded — stored 8-byte fingerprints are chunk-exploded with

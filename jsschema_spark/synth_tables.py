@@ -48,13 +48,29 @@ def _h(*cols) -> F.Column:
 def documents_table(
     spark: SparkSession, n: int, seed: int = 42,
     partitions: Optional[int] = None,
+    vocab_layout: str = "closed",
 ) -> DataFrame:
     """``(doc_id, text, lang, source, n_chars)`` word-salad documents:
     10-100 words drawn from the driver vocabulary, lang skewed like the
     driver corpus (~41% en), 20 sources. Ids where
     ``id % 6000 == 1`` repeat the previous id's text exactly; ids where
     ``id % 433 == 2`` repeat ``id-2``'s text plus a trailing token —
-    constant exact/near-dup rates at any n."""
+    constant exact/near-dup rates at any n.
+
+    ``vocab_layout`` is the scale-step harness's text-distribution axis
+    (the round-5 lesson: this one generator choice changed two operators'
+    measured scaling exponents by 20×):
+
+    * ``"closed"`` (default, the driver corpus's visible shape): the fixed
+      26-word vocabulary. At 10× base size the 26³ trigram space SATURATES
+      (every shingle df ~150) — the adversarial regime for raw-shingle
+      candidate generation, where candidate density is inherently
+      quadratic at full recall (the brute-force oracle is too).
+    * ``"open"``: vocabulary of ``max(100, n // 25)`` synthetic words, so
+      per-shingle document frequency stays roughly CONSTANT as n grows —
+      the Zipf-bounded shape of a real growing web corpus, and the layout
+      under which prefix-filtered candidate generation must measure
+      near-linear. Dup-injection rates are identical in both layouts."""
     base = spark.range(n)
     if partitions:
         base = base.repartition(partitions)
@@ -70,12 +86,20 @@ def documents_table(
         .when(is_near, F.col("id") - 2)
         .otherwise(F.col("id"))
     )
-    vocab = F.array(*[F.lit(w) for w in _VOCAB])
     nwords = (_h(key, sd, F.lit("nw")) % 91 + 10).cast("int")
-    words = F.transform(
-        F.sequence(F.lit(1), nwords),
-        lambda i: F.element_at(vocab, (_h(key, sd, i) % len(_VOCAB) + 1).cast("int")),
-    )
+    if vocab_layout == "closed":
+        vocab = F.array(*[F.lit(w) for w in _VOCAB])
+        word_at = lambda i: F.element_at(  # noqa: E731
+            vocab, (_h(key, sd, i) % len(_VOCAB) + 1).cast("int")
+        )
+    elif vocab_layout == "open":
+        v_size = max(100, n // 25)
+        word_at = lambda i: F.concat(  # noqa: E731
+            F.lit("w"), (_h(key, sd, i, F.lit("ov")) % v_size).cast("string")
+        )
+    else:
+        raise ValueError(f"unknown vocab_layout: {vocab_layout!r}")
+    words = F.transform(F.sequence(F.lit(1), nwords), word_at)
     text = F.concat(
         F.array_join(words, " "),
         F.when(is_near, F.lit(" extra trailing token")).otherwise(F.lit("")),
@@ -298,13 +322,16 @@ def write_corpus_dir(
     spark: SparkSession, out_dir: str, *,
     docs: int, emb: int, events: int, lineitem: int,
     seed: int = 42, partitions: Optional[int] = None,
+    vocab_layout: str = "closed",
 ) -> None:
     """Materialize a driver-layout corpus directory (one parquet per
     table) at the given sizes — the input the scale-step harness feeds to
-    the unmodified ``__spark_entry__.queries()`` callables."""
-    documents_table(spark, docs, seed, partitions).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
+    the unmodified ``__spark_entry__.queries()`` callables.
+    ``vocab_layout`` selects the documents text distribution (see
+    ``documents_table``); all other tables are layout-independent."""
+    documents_table(
+        spark, docs, seed, partitions, vocab_layout=vocab_layout
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     embeddings_table(spark, emb, 64, seed, partitions).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )

@@ -64,20 +64,23 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def ensure_corpus(spark, out_dir: str, mult: int, cpus: int) -> str:
+def ensure_corpus(
+    spark, out_dir: str, mult: int, cpus: int, layout: str = "closed"
+) -> str:
     from jsschema_spark.synth_tables import write_corpus_dir
 
-    path = os.path.join(out_dir, f"x{mult}")
+    suffix = f"x{mult}" if layout == "closed" else f"x{mult}-{layout}"
+    path = os.path.join(out_dir, suffix)
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
         log(f"corpus {path}: reusing")
         return path
-    log(f"corpus {path}: generating ({ {k: v * mult for k, v in BASE_SIZES.items()} })")
+    log(f"corpus {path}: generating ({ {k: v * mult for k, v in BASE_SIZES.items()} }, layout={layout})")
     write_corpus_dir(
         spark, path,
         docs=BASE_SIZES["docs"] * mult, emb=BASE_SIZES["emb"] * mult,
         events=BASE_SIZES["events"] * mult, lineitem=BASE_SIZES["lineitem"] * mult,
-        partitions=cpus,
+        partitions=cpus, vocab_layout=layout,
     )
     with open(marker, "w") as f:
         f.write("ok")
@@ -91,6 +94,10 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_step")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--queries", default=None, help="comma list override")
+    ap.add_argument(
+        "--layout", default="closed", choices=("closed", "open"),
+        help="documents text distribution (see synth_tables.documents_table)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as E
@@ -104,8 +111,12 @@ def main() -> None:
     names = args.queries.split(",") if args.queries else QUERIES
     qs = E.queries()
     try:
-        dirs = {1: ensure_corpus(spark, args.out, 1, args.cpus),
-                args.factor: ensure_corpus(spark, args.out, args.factor, args.cpus)}
+        dirs = {
+            1: ensure_corpus(spark, args.out, 1, args.cpus, args.layout),
+            args.factor: ensure_corpus(
+                spark, args.out, args.factor, args.cpus, args.layout
+            ),
+        }
 
         # warm the page cache on both corpora so round 1 isn't a cold-read
         # measurement of the host, and warm the Python workers
@@ -147,9 +158,14 @@ def main() -> None:
         report.sort(key=lambda r: -r["alpha"])
         out = {
             "factor": args.factor, "rounds": args.rounds, "cpus": args.cpus,
+            "layout": args.layout,
             "base_sizes": BASE_SIZES, "results": report,
         }
-        with open(os.path.join(args.out, "scale_step.json"), "w") as f:
+        out_name = (
+            "scale_step.json" if args.layout == "closed"
+            else f"scale_step_{args.layout}.json"
+        )
+        with open(os.path.join(args.out, out_name), "w") as f:
             json.dump(out, f, indent=2)
         print(json.dumps(out))
         print("\n| query | t(1x) s | t(%dx) s | alpha |" % args.factor)

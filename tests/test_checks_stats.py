@@ -556,7 +556,10 @@ def test_benford_report_digits(spark):
     from jsschema_spark.stats import benford_report
 
     df = spark.createDataFrame(
-        [(12.3,), (199.0,), (-25.0,), (0.5,), (None,), (9.01,)], "x double"
+        # 1e37 overflows DECIMAL(38,2) -> null digit: must not appear as a
+        # row NOR inflate the denominator (p_obs over classified rows only)
+        [(12.3,), (199.0,), (-25.0,), (0.5,), (None,), (9.01,), (1e37,)],
+        "x double",
     )
     rows = {r.digit: r for r in benford_report(df, "x").collect()}
     assert sorted(rows) == [1, 2, 9]

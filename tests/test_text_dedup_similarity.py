@@ -1499,6 +1499,13 @@ def test_ann_recall_graded(spark):
         table[f"lsh_topk n_planes={npl}"] = recall(
             S.lsh_topk(corpus, queries, k=k, dim=dim, n_planes=npl, seed=42)
         )
+    for npl in (6, 8):
+        table[f"lsh_topk n_planes={npl} probe_bits=2"] = recall(
+            S.lsh_topk(
+                corpus, queries, k=k, dim=dim, n_planes=npl, seed=42,
+                probe_bits=2,
+            )
+        )
     for nprobe in (1, 2, 4, 8):
         table[f"ivf_topk nprobe={nprobe}"] = recall(
             S.ivf_topk(corpus, queries, k=k, n_centroids=C, nprobe=nprobe, seed=42)
@@ -1531,9 +1538,18 @@ def test_ann_recall_graded(spark):
         table["ivf_search(trained) nprobe=1"] >= table["ivf_topk nprobe=1"]
     )
     assert table["ivf_search(trained) nprobe=4"] >= 0.9
-    # LSH top-k is the high-cosine probe; at top-10 on clustered data it
-    # recalls some neighbors but is NOT the retrieval path — floor only
+    # LSH top-k at default probe_bits=1 is the high-cosine probe; at
+    # top-10 on clustered data it recalls some neighbors but is NOT the
+    # retrieval path — floor only
     assert table["lsh_topk n_planes=6"] >= 0.2
+    # 2-bit multi-probe must materially lift recall over 1-bit at equal
+    # n_planes (it probes a strict superset of buckets, so per-query
+    # recall can only grow; the margin asserts the lift is real)
+    assert (
+        table["lsh_topk n_planes=6 probe_bits=2"]
+        >= table["lsh_topk n_planes=6"] + 0.1
+    )
+    assert table["lsh_topk n_planes=6 probe_bits=2"] >= 0.5
 
 
 # ------------------------------------------- repetition / corpus-stat quality
@@ -1739,6 +1755,8 @@ def test_mask_duplicate_spans_matches_python(spark):
         (3, "no shared content whatsoever in this document at all today"),
         (4, "tiny doc"),
         (5, None),
+        (6, ""),
+        (7, "   "),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     n, min_docs = 5, 2
@@ -1770,6 +1788,11 @@ def test_mask_duplicate_spans_matches_python(spark):
     assert boiler not in out[1][0] and boiler not in out[2][0]
     assert out[3][0] == rows[2][1] and out[3][1] == 0
     assert out[4] == ("tiny doc", 0)
+    # empty / whitespace-only docs: zero tokens, zero masked (never -2
+    # from the sequence(0,-1)=[0,-1] auto-step trap), and no ANSI
+    # element_at(toks, 0) crash
+    assert out[6] == ("", 0)
+    assert out[7] == ("", 0)
 
 
 def test_edit_distance_near_dups(spark):
