@@ -2884,6 +2884,93 @@ def q_pitch_profile_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flac_invariant_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ``codec='flac'`` invariant over REAL FLAC streams encoded
+    and decoded by the pure-NumPy subset codec (``jsschema_spark.flac`` —
+    CRC-8/16 + STREAMINFO-MD5 verified): per doc_id, a deterministic clip
+    is synthesized, FLAC/WAV-encoded, optionally sabotaged (byte flip,
+    truncation, pre-encode noise), then judged by the codec-aware
+    invariant UDF (``audio.codec_invariant_udf`` — the production
+    ``decode_payload`` dispatch). Six planted kinds:
+
+    0 flac clean → decoded, SNR 99 (bit-exact) — passes the ≥30 dB gate
+    1 flac byte-flipped → malformed (frame CRC / MD5 backstop catches it)
+    2 flac of noise-corrupted PCM → decodes fine, FAILS the SNR gate
+    3 pcm_s16le clean WAV → decoded, passes
+    4 opus → unsupported_codec (honest stub; side channel, not corruption)
+    5 flac truncated → malformed
+
+    The oracle is pure doc_id arithmetic: a hash match certifies the whole
+    synth→encode→sabotage→dispatch→decode→SNR→classify path, including
+    that every single sabotaged stream was caught (any undetected FLAC
+    corruption would change a count) and that decoded sample totals are
+    bit-for-bit (sum_samples). Scale shape: two Arrow-batched Python
+    stages and one tiny groupBy — per-clip work is constant, no shuffle of
+    payload bytes (only the 5-column result rows)."""
+    from jsschema_spark.audio import codec_invariant_udf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    params = docs.select(
+        F.format_string("clip-%012d", i).alias("clip_id"),
+        (i % 6).cast("int").alias("kind"),
+        (F.lit(250) + (i % 4) * 125).cast("int").alias("dur_ms"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as _pd
+
+        from jsschema_spark.audio import _seed64, synth_pcm, wav_encode
+        from jsschema_spark.flac import flac_encode
+
+        sr = 16000
+        for pdf in batches:
+            cids, codecs, payloads = [], [], []
+            for cid, k, d in zip(pdf["clip_id"], pdf["kind"], pdf["dur_ms"]):
+                k = int(k)
+                n = sr * int(d) // 1000
+                pcm = synth_pcm(cid, sr, n).copy()
+                if k == 2:
+                    rng = np.random.default_rng(_seed64(cid, "noise"))
+                    pcm = np.clip(
+                        pcm.astype(np.int32)
+                        + rng.integers(-16000, 16000, size=n),
+                        -32768, 32767,
+                    ).astype(np.int16)
+                if k == 3:
+                    codec, payload = "pcm_s16le", wav_encode(pcm, sr)
+                elif k == 4:
+                    codec, payload = "opus", b"OggS" + bytes(16)
+                else:
+                    codec, payload = "flac", flac_encode(pcm, sr)
+                    if k == 1:
+                        b = bytearray(payload)
+                        b[len(b) // 2] ^= 0x40
+                        payload = bytes(b)
+                    elif k == 5:
+                        payload = payload[: len(payload) // 2]
+                cids.append(cid)
+                codecs.append(codec)
+                payloads.append(payload)
+            yield _pd.DataFrame(
+                {"clip_id": cids, "codec": codecs, "bytes": payloads}
+            )
+
+    clips = params.mapInPandas(gen, "clip_id string, codec string, bytes binary")
+    inv = clips.select(
+        "codec",
+        codec_invariant_udf("clip_id", "codec", "bytes").alias("__r"),
+    ).select("codec", "__r.snr_db", "__r.status", "__r.n_samples")
+    return inv.groupBy("codec", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum(
+            F.when(F.col("snr_db") >= 30.0, 1).otherwise(0)
+        ).cast("long").alias("n_pass"),
+        F.sum("n_samples").cast("long").alias("sum_samples"),
+    )
+
+
 def q_vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness summary (text.vocabulary_richness): hapax
     ratio + type-token ratio, the degenerate-corpus detectors that
@@ -3391,6 +3478,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crest_check_clips": q_crest_check_clips,
         "fd_strength_lineitem": q_fd_strength_lineitem,
         "prefix_dup_documents": q_prefix_dup_documents,
+        "flac_invariant_clips": q_flac_invariant_clips,
     }
 
 
@@ -6022,4 +6110,27 @@ def oracle_sql() -> dict[str, str]:
               FROM n GROUP BY 1 HAVING count(*) > 1
             )
             SELECT * FROM g""",
+        "flac_invariant_clips": """
+            WITH c AS (
+              SELECT doc_id % 6 AS kind,
+                     250 + (doc_id % 4) * 125 AS dur_ms
+              FROM documents
+            ),
+            m AS (
+              SELECT CASE WHEN kind = 3 THEN 'pcm_s16le'
+                          WHEN kind = 4 THEN 'opus'
+                          ELSE 'flac' END AS codec,
+                     CASE WHEN kind IN (0, 2, 3) THEN 'decoded'
+                          WHEN kind IN (1, 5) THEN 'malformed'
+                          ELSE 'unsupported_codec' END AS status,
+                     CASE WHEN kind IN (0, 3) THEN 1 ELSE 0 END AS pass,
+                     CASE WHEN kind IN (0, 2, 3) THEN 16 * dur_ms
+                          ELSE 0 END AS n_samples
+              FROM c
+            )
+            SELECT codec, status,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(pass) AS BIGINT) AS n_pass,
+                   CAST(sum(n_samples) AS BIGINT) AS sum_samples
+            FROM m GROUP BY codec, status""",
     }

@@ -188,7 +188,7 @@ def main() -> None:
             "circadian_events", "sample_rep_documents",
             "interval_overlaps_events", "mojibake_documents",
             "new_entity_rate_events", "crest_check_clips", "fd_strength_lineitem",
-            "prefix_dup_documents",
+            "prefix_dup_documents", "flac_invariant_clips",
         ):
             q = qs[name]
             if name in (

@@ -49,7 +49,11 @@ def test_snr_math():
 
 
 def test_codec_stub():
+    # opus is the remaining honest stub; flac decodes for real (round 6,
+    # jsschema_spark/flac.py) so a garbage payload is now a ValueError
     with pytest.raises(NotImplementedError):
+        decode_payload("opus", b"\x00" * 64)
+    with pytest.raises(ValueError):
         decode_payload("flac", b"\x00" * 64)
     with pytest.raises(ValueError):
         decode_payload("pcm_s16le", b"junk")

@@ -1,0 +1,253 @@
+"""FLAC subset codec: bit-exact round-trip, malformed-input rejection, and
+decoder coverage beyond what the encoder emits (rice2, partitions, escape
+partitions, variable blocking) via hand-crafted streams.
+
+The reference repo has no audio surface; this codec exists for the engine's
+clips invariant (BASELINE.json input_hint: codec ∈ pcm_s16le|flac|opus,
+decoded-PCM SNR ≥ 30 dB)."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from jsschema_spark.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _rice_encode_bits,
+    _utf8_encode_number,
+    flac_decode,
+    flac_encode,
+    flac_stream_info,
+)
+
+
+def _roundtrip(pcm: np.ndarray, sr: int = 16000, **kw) -> bytes:
+    enc = flac_encode(pcm, sr, **kw)
+    dec_sr, dec = flac_decode(enc)
+    assert dec_sr == sr
+    assert dec.dtype == np.dtype("<i2")
+    assert np.array_equal(dec, pcm.astype(np.int16))
+    return enc
+
+
+def test_roundtrip_signal_shapes():
+    rng = np.random.default_rng(7)
+    t = np.arange(16000)
+    cases = {
+        "sine": np.clip(8000 * np.sin(2 * np.pi * 440 * t / 16000), -32768, 32767).astype(np.int16),
+        "noise": rng.integers(-32768, 32768, 16000).astype(np.int16),
+        "silence": np.zeros(5000, dtype=np.int16),
+        "constant": np.full(4096, -123, dtype=np.int16),
+        "ramp": (np.arange(10000) % 30000 - 15000).astype(np.int16),
+        "short": np.array([5, -3, 7], dtype=np.int16),
+        "empty": np.zeros(0, dtype=np.int16),
+        "extremes": np.array([-32768, 32767, -32768, 32767, 0, 1, -1] * 100, dtype=np.int16),
+    }
+    for name, pcm in cases.items():
+        _roundtrip(pcm)
+        _roundtrip(pcm, use_lpc=False)
+
+
+def test_roundtrip_matches_wav_path_and_compresses():
+    """The flac path must produce the identical PCM the wav path carries,
+    and actually compress a tonal signal (prediction is real, not
+    verbatim-in-a-flac-wrapper)."""
+    from jsschema_spark.audio import synth_pcm, wav_decode, wav_encode
+
+    pcm = synth_pcm("clip-000000000042", 16000, 9000).copy()
+    wav_sr, wav_pcm = wav_decode(wav_encode(pcm, 16000))
+    enc = _roundtrip(pcm)
+    assert np.array_equal(flac_decode(enc)[1], wav_pcm) and wav_sr == 16000
+
+    tone = np.clip(
+        12000 * np.sin(2 * np.pi * 300 * np.arange(44100) / 44100), -32768, 32767
+    ).astype(np.int16)
+    enc_tone = _roundtrip(tone, sr=44100)
+    assert len(enc_tone) < tone.nbytes * 0.8
+
+
+def test_wasted_bits_and_blocksizes():
+    rng = np.random.default_rng(3)
+    shifted = (rng.integers(-4000, 4000, 9000) * 8).astype(np.int16)  # 3 wasted bits
+    enc = _roundtrip(shifted)
+    # wasted-bits detection must beat encoding the raw width
+    assert len(enc) < len(flac_encode((shifted // 8).astype(np.int16), 16000)) + 9000 * 3 // 8 + 64
+    for bs in (192, 256, 1024, 4000, 4096):  # spec-coded and literal sizes
+        _roundtrip(rng.integers(-2000, 2000, 5000).astype(np.int16), block_size=bs)
+
+
+def test_stream_info():
+    pcm = np.arange(-500, 500, dtype=np.int16)
+    info = flac_stream_info(flac_encode(pcm, 44100))
+    assert info["sample_rate"] == 44100
+    assert info["channels"] == 1
+    assert info["bits_per_sample"] == 16
+    assert info["total_samples"] == 1000
+    assert info["md5"] == hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+
+
+def test_malformed_rejection():
+    pcm = np.clip(
+        8000 * np.sin(2 * np.pi * 500 * np.arange(8000) / 8000), -32768, 32767
+    ).astype(np.int16)
+    enc = flac_encode(pcm, 8000)
+    with pytest.raises(ValueError):
+        flac_decode(b"RIFF1234WAVE")
+    with pytest.raises(ValueError):
+        flac_decode(enc[: len(enc) // 2])
+    corrupt = bytearray(enc)
+    corrupt[len(corrupt) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        flac_decode(bytes(corrupt))
+    # md5 tamper in STREAMINFO (byte 26 is inside the md5 field)
+    md5bad = bytearray(enc)
+    md5bad[30] ^= 0xFF
+    with pytest.raises(ValueError):
+        flac_decode(bytes(md5bad))
+    flac_decode(bytes(md5bad), verify_md5=False)  # opt-out still decodes
+
+
+# ------------------------- hand-crafted streams: decoder-only feature paths
+
+def _craft_stream(
+    sr: int, blocks: list[np.ndarray], subframe_bits, variable: bool = False,
+) -> bytes:
+    """Assemble a stream whose subframe payload comes from ``subframe_bits``
+    (a callable (bw, block) -> None) — lets tests emit residual codings the
+    encoder never produces."""
+    total = sum(len(b) for b in blocks)
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    bs0 = len(blocks[0]) if blocks else 4096
+    si.uint(bs0, 16)
+    si.uint(bs0, 16)
+    si.uint(0, 24)
+    si.uint(0, 24)
+    si.uint(sr, 20)
+    si.uint(0, 3)
+    si.uint(15, 5)
+    si.uint(total, 36)
+    allpcm = np.concatenate(blocks) if blocks else np.zeros(0, dtype=np.int16)
+    body = si.tobytes() + hashlib.md5(allpcm.astype("<i2").tobytes()).digest()
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    sample_no = 0
+    for i, blk in enumerate(blocks):
+        hdr = bytearray([0xFF, 0xF8 | (1 if variable else 0)])
+        hdr.append((7 << 4) | 0)          # explicit 16-bit blocksize, sr from streaminfo
+        hdr.append((0 << 4) | (4 << 1))   # mono, 16-bit
+        hdr += _utf8_encode_number(sample_no if variable else i)
+        hdr += struct.pack(">H", len(blk) - 1)
+        hdr.append(_crc8(hdr))
+        bw = _BitWriter()
+        subframe_bits(bw, blk)
+        frame = bytes(hdr) + bw.tobytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+        sample_no += len(blk)
+    return bytes(out)
+
+
+def _verbatim_subframe(bw: _BitWriter, blk: np.ndarray) -> None:
+    bw.uint(0, 1)
+    bw.uint(0b000001, 6)
+    bw.uint(0, 1)
+    for v in blk:
+        bw.uint(int(v), 16)
+
+
+def test_decoder_variable_blocking_and_uneven_blocks():
+    rng = np.random.default_rng(11)
+    blocks = [rng.integers(-100, 100, n).astype(np.int16) for n in (192, 77, 300)]
+    enc = _craft_stream(8000, blocks, _verbatim_subframe, variable=True)
+    sr, dec = flac_decode(enc)
+    assert sr == 8000 and np.array_equal(dec, np.concatenate(blocks))
+
+
+def test_decoder_rice2_and_partitions():
+    """Fixed order-1 subframe, residual method 1 (5-bit rice2 params),
+    partition order 2 — none of which the encoder emits."""
+    rng = np.random.default_rng(5)
+    blk = np.cumsum(rng.integers(-40, 40, 256)).astype(np.int16)
+    res = np.diff(blk.astype(np.int64))
+
+    def subframe(bw: _BitWriter, b: np.ndarray) -> None:
+        bw.uint(0, 1)
+        bw.uint(0b001000 | 1, 6)  # fixed order 1
+        bw.uint(0, 1)
+        bw.uint(int(b[0]), 16)    # warmup
+        bw.uint(1, 2)             # method 1: rice2
+        bw.uint(2, 4)             # partition order 2 -> 4 partitions of 64
+        k = 7
+        off = 0
+        for p in range(4):
+            cnt = 64 - (1 if p == 0 else 0)
+            bw.uint(k, 5)
+            bw.bits(_rice_encode_bits(res[off : off + cnt], k))
+            off += cnt
+
+    enc = _craft_stream(16000, [blk], subframe)
+    sr, dec = flac_decode(enc)
+    assert np.array_equal(dec, blk)
+
+
+def test_decoder_escape_partition():
+    """Raw (escape) partitions: param=11111 then 5-bit width raw residuals."""
+    blk = np.array([10, 11, 13, 12, 10, 9, 8, 10] * 8, dtype=np.int16)
+    res = np.diff(blk.astype(np.int64))
+
+    def subframe(bw: _BitWriter, b: np.ndarray) -> None:
+        bw.uint(0, 1)
+        bw.uint(0b001000 | 1, 6)
+        bw.uint(0, 1)
+        bw.uint(int(b[0]), 16)
+        bw.uint(1, 2)             # rice2 params so escape is 0b11111
+        bw.uint(0, 4)
+        bw.uint(0b11111, 5)       # escape
+        bw.uint(6, 5)             # 6-bit raw residuals
+        for r in res:
+            bw.uint(int(r) & 0x3F, 6)
+
+    enc = _craft_stream(16000, [blk], subframe)
+    assert np.array_equal(flac_decode(enc)[1], blk)
+
+
+def test_decoder_fixed_orders_3_4():
+    """Encoder stops at order 2; the decoder must invert orders 3-4."""
+    n = 300
+    x = (np.arange(n, dtype=np.int64) ** 3 % 4000 - 2000).astype(np.int16)
+    for order in (3, 4):
+        res = x.astype(np.int64)
+        for _ in range(order):
+            res = np.diff(res)
+
+        def subframe(bw: _BitWriter, b: np.ndarray, order=order, res=res) -> None:
+            bw.uint(0, 1)
+            bw.uint(0b001000 | order, 6)
+            bw.uint(0, 1)
+            for w in b[:order]:
+                bw.uint(int(w), 16)
+            bw.uint(0, 2)
+            bw.uint(0, 4)
+            k = 14
+            bw.uint(k, 4)
+            bw.bits(_rice_encode_bits(res, k))
+
+        enc = _craft_stream(16000, [x], subframe)
+        assert np.array_equal(flac_decode(enc)[1], x)
+
+
+def test_decode_payload_dispatch():
+    from jsschema_spark.audio import decode_payload, synth_pcm, wav_encode
+
+    pcm = synth_pcm("clip-000000000099", 16000, 4000).copy()
+    assert np.array_equal(decode_payload("flac", flac_encode(pcm, 16000))[1], pcm)
+    assert np.array_equal(decode_payload("pcm_s16le", wav_encode(pcm, 16000))[1], pcm)
+    with pytest.raises(NotImplementedError):
+        decode_payload("opus", b"OggS")
+    with pytest.raises(ValueError):
+        decode_payload("flac", b"not a flac stream at all")
