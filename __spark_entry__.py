@@ -2971,6 +2971,78 @@ def q_flac_invariant_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_metadata_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header vs metadata-column consistency screen
+    (audio.codec_metadata_check): WAV fmt-chunk and FLAC STREAMINFO fields
+    parsed with PURE Catalyst byte arithmetic (substring/hex/conv — zero
+    Python, zero shuffle, no decode), cross-checked against the table's
+    claimed sr_hz / dur_ms. Six planted kinds: consistent WAV, consistent
+    FLAC, a WAV whose sr_hz column lies (resampled-but-stale metadata), a
+    FLAC whose dur_ms column is inflated 1s (wrong-clock duration), opus
+    (readable container, no cheap sample count → opaque), and a
+    pcm_s16le row carrying garbage bytes (header_unreadable). The
+    doc_id-arithmetic oracle also pins sum(header_samples), so the
+    Catalyst STREAMINFO bit unpacking (20-bit rate, 36-bit sample count
+    across nibble boundaries) is certified bit-for-bit against the
+    encoder. The one Python stage is fixture synthesis; the CHECK itself
+    is the production path: a projection that runs on every row at
+    10^12-clip scale while decode-stage checks sample."""
+    from jsschema_spark.audio import codec_metadata_check
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    params = docs.select(
+        F.format_string("clip-%012d", i).alias("clip_id"),
+        (i % 6).cast("int").alias("kind"),
+        (F.lit(250) + (i % 4) * 125).cast("int").alias("true_dur"),
+    )
+
+    def gen(batches):
+        import pandas as _pd
+
+        from jsschema_spark.audio import synth_pcm, wav_encode
+        from jsschema_spark.flac import flac_encode
+
+        sr = 16000
+        for pdf in batches:
+            rows = {"clip_id": [], "codec": [], "bytes": [],
+                    "sr_hz": [], "dur_ms": []}
+            for cid, k, d in zip(pdf["clip_id"], pdf["kind"], pdf["true_dur"]):
+                k, d = int(k), int(d)
+                n = sr * d // 1000
+                pcm = synth_pcm(cid, sr, n)
+                codec, payload, sr_claim, dur_claim = "pcm_s16le", None, sr, d
+                if k in (0, 2):
+                    payload = wav_encode(pcm, sr)
+                    if k == 2:
+                        sr_claim = 44100
+                elif k in (1, 3):
+                    codec = "flac"
+                    payload = flac_encode(pcm, sr)
+                    if k == 3:
+                        dur_claim = d + 1000
+                elif k == 4:
+                    codec, payload = "opus", b"OggS" + bytes(28)
+                else:
+                    payload = b"not a riff container at all, just bytes" * 2
+                rows["clip_id"].append(cid)
+                rows["codec"].append(codec)
+                rows["bytes"].append(payload)
+                rows["sr_hz"].append(sr_claim)
+                rows["dur_ms"].append(dur_claim)
+            yield _pd.DataFrame(rows)
+
+    clips = params.mapInPandas(
+        gen, "clip_id string, codec string, bytes binary, sr_hz int, dur_ms int"
+    )
+    out = codec_metadata_check(clips)
+    return out.groupBy("meta_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum(F.coalesce(F.col("header_samples"), F.lit(0)))
+        .cast("long").alias("sum_header_samples"),
+    )
+
+
 def q_vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness summary (text.vocabulary_richness): hapax
     ratio + type-token ratio, the degenerate-corpus detectors that
@@ -3479,6 +3551,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_strength_lineitem": q_fd_strength_lineitem,
         "prefix_dup_documents": q_prefix_dup_documents,
         "flac_invariant_clips": q_flac_invariant_clips,
+        "codec_metadata_clips": q_codec_metadata_clips,
     }
 
 
@@ -6133,4 +6206,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(pass) AS BIGINT) AS n_pass,
                    CAST(sum(n_samples) AS BIGINT) AS sum_samples
             FROM m GROUP BY codec, status""",
+        "codec_metadata_clips": """
+            WITH c AS (
+              SELECT doc_id % 6 AS kind,
+                     250 + (doc_id % 4) * 125 AS dur_ms
+              FROM documents
+            ),
+            m AS (
+              SELECT CASE WHEN kind IN (0, 1) THEN 'consistent'
+                          WHEN kind = 2 THEN 'sr_mismatch'
+                          WHEN kind = 3 THEN 'duration_mismatch'
+                          WHEN kind = 4 THEN 'opaque_codec'
+                          ELSE 'header_unreadable' END AS meta_status,
+                     CASE WHEN kind IN (0, 1, 2, 3) THEN 16 * dur_ms
+                          ELSE 0 END AS hs
+              FROM c
+            )
+            SELECT meta_status,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(hs) AS BIGINT) AS sum_header_samples
+            FROM m GROUP BY meta_status""",
     }

@@ -1109,6 +1109,87 @@ def payload_size_check(
     )
 
 
+def codec_metadata_check(
+    df: "DataFrame",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+    tol_ms: int = 50,
+) -> "DataFrame":
+    """Container-header vs table-column consistency WITHOUT decoding one
+    sample: parses the WAV fmt chunk (sample rate LE u32 at byte 25, data
+    length LE u32 at byte 41 — the canonical 44-byte layout
+    ``wav_encode`` writes) and the FLAC STREAMINFO (sample rate 20 bits at
+    stream bytes 19-21, total samples 36 bits at 21-25) entirely with
+    Catalyst byte arithmetic (``substring``/``hex``/``conv`` — the
+    ``multimodal.image_dims`` pattern), then cross-checks the table's
+    claimed ``sr_hz`` and ``dur_ms``. Catches the upload-pipeline lies a
+    10^12-clip ingest actually sees — resampled-but-metadata-stale rows,
+    duration columns computed from the wrong clock — as a zero-Python
+    zero-shuffle projection, so it can run on EVERY row while decode-stage
+    checks sample.
+
+    Adds ``header_sr``, ``header_samples``, ``meta_status`` ∈
+    {consistent, sr_mismatch, duration_mismatch, header_unreadable,
+    opaque_codec}. Opaque codecs (opus) have readable containers but no
+    cheap sample count — decode-stage checks own them."""
+    from jsschema_spark.functions.multimodal import _be, _le
+
+    b = F.col(bytes_col)
+    is_wav = F.col(codec_col) == "pcm_s16le"
+    is_flac = F.col(codec_col) == "flac"
+    wav_ok = (
+        (F.length(b) >= 44)
+        & (F.substring(b, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(b, 9, 4) == F.lit(b"WAVE"))
+    )
+    flac_ok = (F.length(b) >= 42) & (F.substring(b, 1, 4) == F.lit(b"fLaC"))
+    header_sr = (
+        F.when(is_wav & wav_ok, _le(b, 25, 4))
+        .when(
+            is_flac & flac_ok,
+            _be(b, 19, 1) * F.lit(4096) + _be(b, 20, 1) * F.lit(16)
+            + F.floor(_be(b, 21, 1) / F.lit(16)),
+        )
+        .cast("long")
+    )
+    # FLAC STREAMINFO bit layout from stream byte 19 (1-based): 20-bit
+    # sample rate, 3-bit channels, 5-bit bps, then the 36-bit total-sample
+    # count = low nibble of byte 22 + bytes 23-26
+    header_samples = (
+        F.when(is_wav & wav_ok, F.floor(_le(b, 41, 4) / F.lit(2)))
+        .when(
+            is_flac & flac_ok,
+            F.pmod(_be(b, 22, 1), F.lit(16)) * F.lit(1 << 32) + _be(b, 23, 4),
+        )
+        .cast("long")
+    )
+    container_ms = F.round(header_samples * F.lit(1000.0) / header_sr).cast("long")
+    status = (
+        F.when(
+            ~(is_wav | is_flac) | F.col(codec_col).isNull(), F.lit("opaque_codec")
+        )
+        .when(
+            b.isNull() | (is_wav & ~wav_ok) | (is_flac & ~flac_ok) | (header_sr <= 0),
+            F.lit("header_unreadable"),
+        )
+        .when(header_sr != F.col(sr_col).cast("long"), F.lit("sr_mismatch"))
+        .when(
+            F.abs(container_ms - F.col(dur_col).cast("long")) > tol_ms,
+            F.lit("duration_mismatch"),
+        )
+        .otherwise(F.lit("consistent"))
+    )
+    return df.withColumns(
+        {
+            "header_sr": header_sr,
+            "header_samples": header_samples,
+            "meta_status": status,
+        }
+    )
+
+
 def bandwidth_check(
     df: "DataFrame",
     sr_col: str = "sr_hz",

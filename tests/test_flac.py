@@ -251,3 +251,37 @@ def test_decode_payload_dispatch():
         decode_payload("opus", b"OggS")
     with pytest.raises(ValueError):
         decode_payload("flac", b"not a flac stream at all")
+
+
+def test_codec_metadata_check_catalyst_parse(spark):
+    """The pure-Catalyst WAV/FLAC header parse must agree field-for-field
+    with the Python parsers (wav_decode / flac_stream_info) on real
+    payloads, and classify planted inconsistencies."""
+    import pandas as pd
+
+    from jsschema_spark.audio import codec_metadata_check, synth_pcm, wav_encode
+
+    sr = 16000
+    rows = []
+    for i, dur in enumerate((250, 375, 500, 625)):
+        n = sr * dur // 1000
+        pcm = synth_pcm(f"clip-{i:012d}", sr, n)
+        rows.append((f"w{i}", "pcm_s16le", wav_encode(pcm, sr), sr, dur, "consistent", n))
+        rows.append((f"f{i}", "flac", flac_encode(pcm, sr), sr, dur, "consistent", n))
+    pcm = synth_pcm("clip-000000000099", sr, 4000)
+    rows.append(("lie_sr", "pcm_s16le", wav_encode(pcm, sr), 44100, 250, "sr_mismatch", 4000))
+    rows.append(("lie_dur", "flac", flac_encode(pcm, sr), sr, 1250, "duration_mismatch", 4000))
+    rows.append(("opus", "opus", b"OggS" + bytes(28), sr, 250, "opaque_codec", None))
+    rows.append(("junk", "flac", b"garbage bytes here padding padding padding junk!", sr, 250, "header_unreadable", None))
+    rows.append(("nullp", "pcm_s16le", None, sr, 250, "header_unreadable", None))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "codec", "bytes", "sr_hz", "dur_ms", "want", "want_n"]),
+    )
+    out = {r["clip_id"]: r for r in codec_metadata_check(df).collect()}
+    for r in rows:
+        cid, want, want_n = r[0], r[5], r[6]
+        got = out[cid]
+        assert got["meta_status"] == want, (cid, got["meta_status"], want)
+        if want_n is not None:
+            assert got["header_samples"] == want_n, (cid, got["header_samples"], want_n)
+            assert got["header_sr"] == sr
