@@ -57,6 +57,8 @@ QUERIES = [
     "contract_drift_orders", "funnel_events", "retention_events",
     "referential_orders_customer", "masked_spans_documents",
     "lang_confusion_documents", "skew_events_user", "embedding_dup_groups",
+    # round-6 additions (codec path: per-clip-linear Python + pure-Catalyst)
+    "flac_invariant_clips", "codec_metadata_clips",
 ]
 
 
