@@ -572,15 +572,24 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
             raise ValueError("flac: negative lpc shift")
         coefs = [br.sint(prec) for _ in range(order)]
         res = _decode_residual(br, bs, order)
-        # recursive feedback — the one sequential loop, bounded by block size
+        # recursive feedback — the one sequential loop, bounded by block
+        # size. A corrupted stream (garbage coefficients / residuals that
+        # CRC-16 only catches AFTER subframe decode) can make this
+        # recursion grow without bound — cap the magnitude well above any
+        # legal bps so corruption surfaces as ValueError, not an
+        # OverflowError escaping the quarantine path.
         x_list = [int(v) for v in warm]
         rl = res.tolist()
+        lim = 1 << 40
         for i in range(len(rl)):
             base = len(x_list)
             acc = 0
             for j in range(order):
                 acc += coefs[j] * x_list[base - 1 - j]
-            x_list.append(rl[i] + (acc >> shift))
+            v = rl[i] + (acc >> shift)
+            if v > lim or v < -lim:
+                raise ValueError("flac: lpc prediction diverged (corrupt stream)")
+            x_list.append(v)
         x = np.array(x_list, dtype=np.int64)
     else:
         raise ValueError(f"flac: reserved subframe type {stype:#08b}")

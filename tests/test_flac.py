@@ -285,3 +285,30 @@ def test_codec_metadata_check_catalyst_parse(spark):
         if want_n is not None:
             assert got["header_samples"] == want_n, (cid, got["header_samples"], want_n)
             assert got["header_sr"] == sr
+
+
+def test_decoder_lpc_divergence_is_valueerror():
+    """Corrupt LPC parameters can make the feedback recursion explode
+    BEFORE the frame CRC is checked — the decoder must surface that as
+    ValueError (quarantine path), never an OverflowError (found by the
+    round-6 scale-step at 10x corpus size)."""
+    n = 64
+    blk = np.arange(n, dtype=np.int16)
+
+    def subframe(bw: _BitWriter, b: np.ndarray) -> None:
+        bw.uint(0, 1)
+        bw.uint(0b100000 | 0, 6)   # LPC order 1
+        bw.uint(0, 1)
+        bw.uint(int(b[0]) + 7, 16)  # warmup (nonzero)
+        bw.uint(12 - 1, 4)          # precision 12
+        bw.uint(0, 5)               # shift 0
+        bw.uint(2047, 12)           # coefficient 2047 -> x *= 2047 each step
+        bw.uint(0, 2)
+        bw.uint(0, 4)
+        bw.uint(0, 4)               # rice k=0, all-zero residuals
+        ones = np.zeros(n - 1, dtype=np.int64)
+        bw.bits(_rice_encode_bits(ones, 0))
+
+    enc = _craft_stream(16000, [blk], subframe)
+    with pytest.raises(ValueError):
+        flac_decode(enc)
