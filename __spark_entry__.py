@@ -3043,6 +3043,93 @@ def q_codec_metadata_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_invariant_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate normalization invariant (audio.resample_sinc — the
+    polyphase windowed-sinc kernel): every clip is resampled to 16 kHz and
+    judged against the ANALYTICALLY ideal signal at the target rate
+    (a phase-aligned tone synthesized directly at 16 kHz — no reference
+    resampler in the loop, so the test measures true band-limited
+    reconstruction quality, not self-consistency). Five planted kinds:
+    8 kHz tone up (pass ≥40 dB), 44.1 kHz tone down across the non-integer
+    160/441 ratio (pass), 16 kHz passthrough, noise-contaminated tone
+    (must FAIL the gate), and silence (classified, not scored). The
+    oracle also pins sum(n_out) per status, certifying the ⌊n·L/M⌋ output
+    grid of the polyphase form bit-for-bit. Scale shape: one Arrow-batched
+    Python stage (constant work per output sample regardless of ratio) +
+    one tiny groupBy."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    params = docs.select(
+        (i % 5).cast("int").alias("kind"),
+        (F.lit(300) + (i % 3) * 200).cast("int").alias("freq_hz"),
+        (F.lit(250) + (i % 4) * 125).cast("int").alias("dur_ms"),
+        i.alias("doc_id"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as _pd
+
+        from jsschema_spark.audio import resample_sinc
+
+        target = 16000
+        amp = 8000.0
+
+        def tone(f, sr, n):
+            return np.clip(
+                np.rint(amp * np.sin(2.0 * np.pi * f * np.arange(n) / sr)),
+                -32768, 32767,
+            ).astype(np.int16)
+
+        for pdf in batches:
+            statuses, n_outs = [], []
+            for doc_id, k, f_hz, d in zip(
+                pdf["doc_id"], pdf["kind"], pdf["freq_hz"], pdf["dur_ms"]
+            ):
+                k, f_hz, d = int(k), float(f_hz), int(d)
+                sr_in = {0: 8000, 1: 44100, 2: 16000, 3: 8000, 4: 8000}[k]
+                n_in = sr_in * d // 1000
+                if k == 4:
+                    x = np.zeros(n_in, dtype=np.int16)
+                else:
+                    x = tone(f_hz, sr_in, n_in)
+                    if k == 3:
+                        rng = np.random.default_rng(int(doc_id))
+                        x = np.clip(
+                            x.astype(np.int32)
+                            + rng.integers(-6000, 6000, size=n_in),
+                            -32768, 32767,
+                        ).astype(np.int16)
+                y = resample_sinc(x, sr_in, target)
+                n_outs.append(len(y))
+                if k == 4:
+                    statuses.append("silent")
+                    continue
+                if k == 2:
+                    statuses.append(
+                        "passthrough" if np.array_equal(y, x) else "resampled_fail"
+                    )
+                    continue
+                ref = amp * np.sin(
+                    2.0 * np.pi * f_hz * np.arange(len(y)) / target
+                )
+                sl = slice(200, len(y) - 200)
+                e = y[sl].astype(np.float64) - ref[sl]
+                p_sig = float(np.dot(ref[sl], ref[sl]))
+                p_err = float(np.dot(e, e))
+                snr = 10.0 * np.log10(p_sig / max(p_err, 1e-12))
+                statuses.append(
+                    "resampled_pass" if snr >= 40.0 else "resampled_fail"
+                )
+            yield _pd.DataFrame({"status": statuses, "n_out": n_outs})
+
+    feats = params.mapInPandas(gen, "status string, n_out long")
+    return feats.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("n_out").cast("long").alias("sum_out_samples"),
+    )
+
+
 def q_vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness summary (text.vocabulary_richness): hapax
     ratio + type-token ratio, the degenerate-corpus detectors that
@@ -3552,6 +3639,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dup_documents": q_prefix_dup_documents,
         "flac_invariant_clips": q_flac_invariant_clips,
         "codec_metadata_clips": q_codec_metadata_clips,
+        "resample_invariant_clips": q_resample_invariant_clips,
     }
 
 
@@ -6226,4 +6314,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_clips,
                    CAST(sum(hs) AS BIGINT) AS sum_header_samples
             FROM m GROUP BY meta_status""",
+        "resample_invariant_clips": """
+            WITH c AS (
+              SELECT doc_id % 5 AS kind,
+                     250 + (doc_id % 4) * 125 AS dur_ms
+              FROM documents
+            ),
+            p AS (
+              SELECT kind,
+                     CASE kind WHEN 1 THEN 44100 WHEN 2 THEN 16000
+                          ELSE 8000 END AS sr_in,
+                     dur_ms
+              FROM c
+            ),
+            n AS (SELECT kind, sr_in, (sr_in * dur_ms) // 1000 AS n_in FROM p),
+            o AS (
+              SELECT CASE WHEN kind IN (0, 1) THEN 'resampled_pass'
+                          WHEN kind = 2 THEN 'passthrough'
+                          WHEN kind = 3 THEN 'resampled_fail'
+                          ELSE 'silent' END AS status,
+                     CASE WHEN sr_in = 8000 THEN n_in * 2
+                          WHEN sr_in = 44100 THEN (n_in * 160) // 441
+                          ELSE n_in END AS n_out
+              FROM n
+            )
+            SELECT status,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(n_out) AS BIGINT) AS sum_out_samples
+            FROM o GROUP BY status""",
     }

@@ -189,7 +189,7 @@ def main() -> None:
             "interval_overlaps_events", "mojibake_documents",
             "new_entity_rate_events", "crest_check_clips", "fd_strength_lineitem",
             "prefix_dup_documents", "flac_invariant_clips",
-            "codec_metadata_clips",
+            "codec_metadata_clips", "resample_invariant_clips",
         ):
             q = qs[name]
             if name in (

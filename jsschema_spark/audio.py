@@ -1397,6 +1397,70 @@ def resample_linear(
     return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
 
 
+def _sinc_kernel(L: int, M: int, taps_per_phase: int) -> "np.ndarray":
+    """Windowed-sinc lowpass for L/M rational resampling, designed in the
+    ×L upsampled domain: cutoff at the tighter of the two Nyquists
+    (1/(2·max(L,M)) normalized), Hann window, gain-normalized so the
+    average polyphase branch has unit DC gain."""
+    n_taps = taps_per_phase * L + 1
+    c = n_taps // 2
+    fc = 1.0 / (2.0 * max(L, M))
+    k = np.arange(n_taps, dtype=np.float64) - c
+    h = 2.0 * fc * np.sinc(2.0 * fc * k)
+    h *= np.hanning(n_taps)
+    h *= L / h.sum()
+    return h
+
+
+def resample_sinc(
+    samples: "np.ndarray", sr_from: int, sr_to: int,
+    taps_per_phase: int = 24, chunk: int = 1 << 16,
+) -> "np.ndarray":
+    """Band-limited polyphase windowed-sinc resampler — the documented
+    upgrade over ``resample_linear``, pure NumPy (no scipy in this
+    container). For the rational ratio L/M the full zero-stuff→filter→
+    decimate chain collapses to ``taps_per_phase`` multiplies per OUTPUT
+    sample regardless of L (phase-gathered polyphase form), so
+    44100→16000 (L=160, M=441) costs the same per output sample as
+    8000→16000. Output length ⌊n·L/M⌋, t=0 grid-aligned, int16 in/out.
+    Memory is bounded by ``chunk`` output samples per gather (~25 MB at
+    the defaults) independent of clip length. Measured on pure tones
+    (test_resample_sinc_quality): ≥ 53 dB SNR vs the analytically ideal
+    signal on every ordered pair of {8k, 16k, 44.1k} (best 80 dB), where
+    linear interp falls to ~40 dB on the true-interpolation legs (its
+    233 dB on 16k→8k is the grid-coincidence special case, not
+    quality)."""
+    import math as _math
+
+    if sr_from == sr_to or len(samples) == 0:
+        return samples
+    g = _math.gcd(int(sr_from), int(sr_to))
+    L, M = int(sr_to) // g, int(sr_from) // g
+    h = _sinc_kernel(L, M, taps_per_phase)
+    n_taps = len(h)
+    c = n_taps // 2
+    T = n_taps // L + 1
+    hpad = np.concatenate([h, np.zeros(T * L + L - n_taps + L)])
+    n_out = (len(samples) * L) // M
+    if n_out <= 0:
+        return samples[:0]
+    pad = T + 2
+    xpad = np.concatenate(
+        [np.zeros(pad), samples.astype(np.float64), np.zeros(pad)]
+    )
+    t = np.arange(T, dtype=np.int64)
+    out = np.empty(n_out, dtype=np.float64)
+    for lo in range(0, n_out, chunk):
+        hi = min(lo + chunk, n_out)
+        u = np.arange(lo, hi, dtype=np.int64) * M + c
+        p0 = u % L
+        q0 = u // L
+        J = p0[:, None] + t[None, :] * L
+        Q = q0[:, None] - t[None, :] + pad
+        out[lo:hi] = np.einsum("ij,ij->i", hpad[J], xpad[Q])
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
 def audio_normalize_scan(
     spark,
     parquet_dir: str,
