@@ -33,6 +33,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _clip_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id params feed for the in-Spark clip-synth queries. The
+    documents table at small SF is ONE parquet file → one scan partition,
+    and a params table inherits that — so the CPU-bound per-clip Arrow
+    stage downstream (synth/encode/decode) would run on ONE core while 31
+    idle (measured: flac_invariant_clips 27s/run serial vs 4.3s on a
+    32-way input). The params table is row-scale tiny, so spreading it to
+    defaultParallelism costs one negligible shuffle and restores the
+    parallelism a many-file 100-TB table gets for free."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 # --------------------------------------------------------------------------
 # schemas used by the validation queries
 
@@ -1963,7 +1979,7 @@ def q_audio_bandwidth_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match certifies the entire encode→decode→FFT→classify path."""
     from jsschema_spark.audio import _spectral_rows, bandwidth_check, wav_encode
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     i = F.col("doc_id")
     kind = (i % 10).cast("int")
     sr = (
@@ -2082,7 +2098,7 @@ def q_audio_profile_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode→decode→profile→classify path."""
     from jsschema_spark.audio import _profile_rows, profile_check, wav_encode
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     i = F.col("doc_id")
     params = docs.select(
         F.format_string("clip-%012d", i).alias("clip_id"),
@@ -2173,7 +2189,7 @@ def q_transcript_vad_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_encode,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     i = F.col("doc_id")
     kind = (i % 6).cast("int")
     n_tok = (
@@ -2330,7 +2346,7 @@ def q_duration_check_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas."""
     from jsschema_spark.audio import _profile_rows, duration_check, wav_encode
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     i = F.col("doc_id")
     params = docs.select(
         F.format_string("clip-%012d", i).alias("clip_id"),
@@ -2469,7 +2485,7 @@ def q_audio_normalize_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_encode,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     i = F.col("doc_id")
     params = docs.select(
         F.format_string("clip-%012d", i).alias("clip_id"),
@@ -2650,7 +2666,7 @@ def q_audio_alignment_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel."""
     from jsschema_spark.audio import xcorr_offset
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     params = docs.select(
         "doc_id", (F.col("doc_id") % 4).cast("int").alias("kind")
     )
@@ -2843,7 +2859,7 @@ def q_pitch_profile_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     Formula-only oracle certifies the autocorrelation pitch kernel."""
     from jsschema_spark.audio import estimate_f0
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     params = docs.select(
         "doc_id", (F.col("doc_id") % 4).cast("int").alias("kind")
     )
@@ -2909,7 +2925,7 @@ def q_flac_invariant_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes (only the 5-column result rows)."""
     from jsschema_spark.audio import codec_invariant_udf
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     i = F.col("doc_id")
     params = docs.select(
         F.format_string("clip-%012d", i).alias("clip_id"),
@@ -2989,7 +3005,7 @@ def q_codec_metadata_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12-clip scale while decode-stage checks sample."""
     from jsschema_spark.audio import codec_metadata_check
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     i = F.col("doc_id")
     params = docs.select(
         F.format_string("clip-%012d", i).alias("clip_id"),
@@ -3057,7 +3073,7 @@ def q_resample_invariant_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid of the polyphase form bit-for-bit. Scale shape: one Arrow-batched
     Python stage (constant work per output sample regardless of ratio) +
     one tiny groupBy."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     i = F.col("doc_id")
     params = docs.select(
         (i % 5).cast("int").alias("kind"),
@@ -3331,7 +3347,7 @@ def q_crest_check_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     PCM profile."""
     from jsschema_spark.audio import _profile_rows, crest_check, wav_encode
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _clip_params(spark, sf_dir)
     params = docs.select(
         "doc_id", (F.col("doc_id") % 4).cast("int").alias("kind")
     )

@@ -215,6 +215,17 @@ def main() -> None:
                 "stats_lineitem", "containment_documents",
                 "edit_distance_near_dups",
             ) else 2
+            if name == "near_dup_groups":
+                # the grouping pipeline is session-memoized BY DESIGN (one
+                # grouping, three derived products) — clear the memo per
+                # rep so this entry times the real pipeline, not a dict
+                # hit; canonical/leakage-split keep the memo because reuse
+                # IS their production cost
+                def run(q=q):
+                    entry_mod._ND_GROUPS_MEMO.clear()
+                    return q(spark, sf_dir).count()
+                timed(name, run, repeats=reps)
+                continue
             timed(name, lambda q=q: q(spark, sf_dir).count(), repeats=reps)
     finally:
         spark.stop()
