@@ -3146,6 +3146,141 @@ def q_resample_invariant_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flac_transcode_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-compression TRANSFORM verified end-to-end
+    (audio.transcode_payload): WAV clips of three signal classes are
+    transcoded WAV→FLAC→WAV and count 'transcoded_exact' only if the
+    final PCM is BIT-IDENTICAL to the original; garbage payloads
+    quarantine. ``compressed`` reports whether the FLAC container
+    actually beat the WAV byte size — provably true for tonal and silent
+    clips (LPC/constant subframes) and provably FALSE for full-scale
+    uniform noise (the encoder's verbatim floor + frame overhead), so the
+    oracle pins the compression behavior class-by-class, not just the
+    round-trip. One Arrow-batched Python stage, one tiny groupBy."""
+    docs = _clip_params(spark, sf_dir)
+    i = F.col("doc_id")
+    params = docs.select(
+        (i % 4).cast("int").alias("kind"),
+        (F.lit(250) + (i % 4) * 125).cast("int").alias("dur_ms"),
+        i.alias("doc_id"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as _pd
+
+        from jsschema_spark.audio import transcode_payload, wav_decode, wav_encode
+        from jsschema_spark.flac import flac_decode
+
+        for pdf in batches:
+            out = {"status": [], "compressed": [], "n_samples": []}
+            for doc_id, k, d in zip(pdf["doc_id"], pdf["kind"], pdf["dur_ms"]):
+                k, d = int(k), int(d)
+                sr = {0: 8000, 1: 16000, 2: 44100, 3: 16000}[k]
+                n = sr * d // 1000
+                if k == 3:
+                    wav = b"certainly not a riff container" * 3
+                elif k == 0:
+                    t = np.arange(n, dtype=np.float64) / sr
+                    wav = wav_encode(
+                        (9000.0 * np.sin(2.0 * np.pi * 330.0 * t)).astype(np.int16), sr
+                    )
+                elif k == 1:
+                    rng = np.random.default_rng(int(doc_id))
+                    wav = wav_encode(
+                        rng.integers(-32768, 32768, n).astype(np.int16), sr
+                    )
+                else:
+                    wav = wav_encode(np.zeros(n, dtype=np.int16), sr)
+                try:
+                    flac = transcode_payload("pcm_s16le", "flac", wav)
+                    back = transcode_payload("flac", "pcm_s16le", flac)
+                    _, p0 = wav_decode(wav)
+                    _, p1 = wav_decode(back)
+                    exact = np.array_equal(p0, p1)
+                    out["status"].append(
+                        "transcoded_exact" if exact else "transcode_mismatch"
+                    )
+                    out["compressed"].append(len(flac) < len(wav))
+                    out["n_samples"].append(len(flac_decode(flac)[1]))
+                except (ValueError, TypeError):
+                    out["status"].append("quarantined")
+                    out["compressed"].append(False)
+                    out["n_samples"].append(0)
+            yield _pd.DataFrame(out)
+
+    feats = params.mapInPandas(gen, "status string, compressed boolean, n_samples long")
+    return feats.groupBy("status", "compressed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("n_samples").cast("long").alias("sum_samples"),
+    )
+
+
+def q_opus_header_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opus ID-header probe (audio.opus_header_probe): spec-compliant RFC
+    7845 BOS pages are synthesized per doc_id, then channel/pre-skip/
+    input-rate parse with PURE Catalyst byte arithmetic — the metadata
+    reach into the one codec this build honestly cannot decode. Planted
+    kinds: valid header matching the catalog sr, valid header whose
+    encoder-declared input rate contradicts the catalog (the
+    stale-resample lie, caught without any decoder), truncated page, and
+    a wrong OpusHead version. The oracle pins per-status counts plus
+    sum(input_sr) and sum(pre_skip) — certifying the little-endian
+    16/32-bit field extraction bit-for-bit."""
+    from jsschema_spark.audio import opus_header_probe
+
+    docs = _clip_params(spark, sf_dir)
+    i = F.col("doc_id")
+    params = docs.select(
+        (i % 4).cast("int").alias("kind"),
+        i.alias("doc_id"),
+    )
+
+    def gen(batches):
+        import struct as _struct
+
+        import pandas as _pd
+
+        def page(input_sr, version=1):
+            pkt = (
+                b"OpusHead" + bytes([version, 1])
+                + _struct.pack("<H", 312)
+                + _struct.pack("<I", input_sr)
+                + _struct.pack("<h", 0) + bytes([0])
+            )
+            return (
+                b"OggS" + bytes([0, 2]) + bytes(8)
+                + _struct.pack("<I", 7) + _struct.pack("<I", 0) + bytes(4)
+                + bytes([1, len(pkt)]) + pkt
+            )
+
+        for pdf in batches:
+            payloads = []
+            for k in pdf["kind"]:
+                k = int(k)
+                if k == 0:
+                    payloads.append(page(16000))
+                elif k == 1:
+                    payloads.append(page(48000))
+                elif k == 2:
+                    payloads.append(page(16000)[:30])
+                else:
+                    payloads.append(page(16000, version=2))
+            yield _pd.DataFrame({"bytes": payloads})
+
+    clips = params.mapInPandas(gen, "bytes binary").withColumn(
+        "sr_hz", F.lit(16000)
+    )
+    out = opus_header_probe(clips)
+    return out.groupBy("opus_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum(F.coalesce(F.col("opus_input_sr"), F.lit(0)))
+        .cast("long").alias("sum_input_sr"),
+        F.sum(F.coalesce(F.col("opus_pre_skip"), F.lit(0)))
+        .cast("long").alias("sum_pre_skip"),
+    )
+
+
 def q_vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness summary (text.vocabulary_richness): hapax
     ratio + type-token ratio, the degenerate-corpus detectors that
@@ -3656,6 +3791,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_invariant_clips": q_flac_invariant_clips,
         "codec_metadata_clips": q_codec_metadata_clips,
         "resample_invariant_clips": q_resample_invariant_clips,
+        "flac_transcode_clips": q_flac_transcode_clips,
+        "opus_header_clips": q_opus_header_clips,
     }
 
 
@@ -6358,4 +6495,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_clips,
                    CAST(sum(n_out) AS BIGINT) AS sum_out_samples
             FROM o GROUP BY status""",
+        "flac_transcode_clips": """
+            WITH c AS (
+              SELECT doc_id % 4 AS kind,
+                     250 + (doc_id % 4) * 125 AS dur_ms
+              FROM documents
+            ),
+            m AS (
+              SELECT kind,
+                     CASE kind WHEN 0 THEN 8000 WHEN 2 THEN 44100
+                          ELSE 16000 END AS sr,
+                     dur_ms
+              FROM c
+            ),
+            o AS (
+              SELECT CASE WHEN kind = 3 THEN 'quarantined'
+                          ELSE 'transcoded_exact' END AS status,
+                     kind IN (0, 2) AS compressed,
+                     CASE WHEN kind = 3 THEN 0
+                          ELSE (sr * dur_ms) // 1000 END AS n_samples
+              FROM m
+            )
+            SELECT status, compressed,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(n_samples) AS BIGINT) AS sum_samples
+            FROM o GROUP BY status, compressed""",
+        "opus_header_clips": """
+            WITH c AS (SELECT doc_id % 4 AS kind FROM documents),
+            m AS (
+              SELECT CASE WHEN kind IN (0, 1) THEN 'header_ok_or_mismatch'
+                          ELSE 'header_unreadable' END AS grp,
+                     kind
+              FROM c
+            ),
+            o AS (
+              SELECT CASE WHEN kind = 0 THEN 'header_ok'
+                          WHEN kind = 1 THEN 'input_sr_mismatch'
+                          ELSE 'header_unreadable' END AS opus_status,
+                     CASE WHEN kind = 0 THEN 16000
+                          WHEN kind = 1 THEN 48000 ELSE 0 END AS input_sr,
+                     CASE WHEN kind IN (0, 1) THEN 312 ELSE 0 END AS pre_skip
+              FROM m
+            )
+            SELECT opus_status,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(input_sr) AS BIGINT) AS sum_input_sr,
+                   CAST(sum(pre_skip) AS BIGINT) AS sum_pre_skip
+            FROM o GROUP BY opus_status""",
     }

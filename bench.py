@@ -190,6 +190,7 @@ def main() -> None:
             "new_entity_rate_events", "crest_check_clips", "fd_strength_lineitem",
             "prefix_dup_documents", "flac_invariant_clips",
             "codec_metadata_clips", "resample_invariant_clips",
+            "flac_transcode_clips", "opus_header_clips",
         ):
             q = qs[name]
             if name in (

@@ -1397,6 +1397,77 @@ def resample_linear(
     return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
 
 
+def opus_header_probe(
+    df: "DataFrame",
+    bytes_col: str = "bytes",
+    sr_col: str = "sr_hz",
+) -> "DataFrame":
+    """Opus ID-header (RFC 7845 OpusHead) probe — the metadata reach into
+    the one codec this build cannot decode. The BOS Ogg page layout is
+    fixed for a spec-compliant stream (the ID header must sit alone on the
+    first page, one lacing segment), so channel count, pre-skip and the
+    original-input sample rate parse with pure-Catalyst byte arithmetic:
+    zero Python, zero shuffle, no decode — the same every-row screen shape
+    as ``codec_metadata_check``. ``opus_status`` ∈ {header_ok,
+    input_sr_mismatch, header_unreadable}: ``input_sr_mismatch`` flags
+    rows whose catalog ``sr_hz`` disagrees with what the encoder said the
+    source was — the stale-resample lie, visible even though the payload
+    itself always plays at 48 kHz. Adds ``opus_channels``,
+    ``opus_pre_skip``, ``opus_input_sr``."""
+    from jsschema_spark.functions.multimodal import _be, _le
+
+    b = F.col(bytes_col)
+    # null payload makes every comparison NULL, and NULL would fall
+    # through the when-chain to 'header_ok' (three-valued logic) — pin the
+    # whole validity conjunction to a real boolean
+    ok = b.isNotNull() & F.coalesce(
+        (F.length(b) >= 47)
+        & (F.substring(b, 1, 4) == F.lit(b"OggS"))
+        & (_be(b, 5, 1) == 0)                      # stream structure v0
+        & (_be(b, 6, 1).bitwiseAND(F.lit(2)) == 2)  # beginning-of-stream
+        & (_be(b, 27, 1) == 1)                     # ID header alone on page
+        & (F.substring(b, 29, 8) == F.lit(b"OpusHead"))
+        & (_be(b, 37, 1) == 1),                    # OpusHead version 1
+        F.lit(False),
+    )
+    channels = F.when(ok, _be(b, 38, 1)).cast("int")
+    pre_skip = F.when(ok, _le(b, 39, 2)).cast("int")
+    input_sr = F.when(ok, _le(b, 41, 4)).cast("long")
+    status = (
+        F.when(~ok, F.lit("header_unreadable"))
+        .when(input_sr != F.col(sr_col).cast("long"), F.lit("input_sr_mismatch"))
+        .otherwise(F.lit("header_ok"))
+    )
+    return df.withColumns(
+        {
+            "opus_channels": channels,
+            "opus_pre_skip": pre_skip,
+            "opus_input_sr": input_sr,
+            "opus_status": status,
+        }
+    )
+
+
+def transcode_payload(codec_from: str, codec_to: str, payload: bytes) -> bytes:
+    """Container transcode through the PCM domain: decode with
+    ``decode_payload`` (WAV inline, FLAC via the pure-NumPy codec),
+    re-encode in the target container. Lossless both ways for the two
+    implemented codecs (16-bit PCM is the interchange format), so
+    WAV→FLAC→WAV is bit-exact — the archive-compression path for a
+    100-TB clip corpus (tonal/speech-like payloads compress 2-5×, the
+    codec-metadata and invariant checks all read FLAC natively). Raises
+    ``ValueError`` on malformed input, ``NotImplementedError`` for opus
+    either side."""
+    sr, pcm = decode_payload(codec_from, payload)
+    if codec_to in ("pcm_s16le", "wav"):
+        return wav_encode(pcm, sr)
+    if codec_to == "flac":
+        from jsschema_spark.flac import flac_encode
+
+        return flac_encode(pcm, sr)
+    raise NotImplementedError(f"codec {codec_to!r} encode requires an audio library")
+
+
 def _sinc_kernel(L: int, M: int, taps_per_phase: int) -> "np.ndarray":
     """Windowed-sinc lowpass for L/M rational resampling, designed in the
     ×L upsampled domain: cutoff at the tighter of the two Nyquists

@@ -312,3 +312,62 @@ def test_decoder_lpc_divergence_is_valueerror():
     enc = _craft_stream(16000, [blk], subframe)
     with pytest.raises(ValueError):
         flac_decode(enc)
+
+
+def test_transcode_payload_roundtrip():
+    """WAV->FLAC->WAV through the PCM interchange is bit-exact; opus is
+    refused either side; malformed input is ValueError."""
+    from jsschema_spark.audio import synth_pcm, transcode_payload, wav_decode, wav_encode
+
+    pcm = synth_pcm("clip-000000000017", 16000, 5000).copy()
+    wav = wav_encode(pcm, 16000)
+    flac = transcode_payload("pcm_s16le", "flac", wav)
+    assert flac[:4] == b"fLaC" and len(flac) != len(wav)
+    back = transcode_payload("flac", "pcm_s16le", flac)
+    assert back == wav  # byte-identical container round-trip
+    assert np.array_equal(wav_decode(back)[1], pcm)
+    with pytest.raises(NotImplementedError):
+        transcode_payload("pcm_s16le", "opus", wav)
+    with pytest.raises(NotImplementedError):
+        transcode_payload("opus", "flac", b"OggS")
+    with pytest.raises(ValueError):
+        transcode_payload("flac", "pcm_s16le", b"garbage stream here!")
+
+
+def test_opus_header_probe_catalyst(spark):
+    """Pure-Catalyst OpusHead parse vs struct-packed ground truth."""
+    import struct
+
+    import pandas as pd
+
+    from jsschema_spark.audio import opus_header_probe
+
+    def page(input_sr, ch=1, pre_skip=312, version=1, bos=2, nsegs=1):
+        pkt = (b"OpusHead" + bytes([version, ch])
+               + struct.pack("<H", pre_skip) + struct.pack("<I", input_sr)
+               + struct.pack("<h", 0) + bytes([0]))
+        return (b"OggS" + bytes([0, bos]) + bytes(8)
+                + struct.pack("<I", 7) + struct.pack("<I", 0) + bytes(4)
+                + bytes([nsegs, len(pkt)]) + pkt)
+
+    rows = [
+        ("ok", page(16000), 16000, "header_ok", 1, 312, 16000),
+        ("stereo48", page(48000, ch=2, pre_skip=3840), 48000, "header_ok", 2, 3840, 48000),
+        ("lie", page(48000), 16000, "input_sr_mismatch", 1, 312, 48000),
+        ("trunc", page(16000)[:30], 16000, "header_unreadable", None, None, None),
+        ("notbos", page(16000, bos=0), 16000, "header_unreadable", None, None, None),
+        ("badver", page(16000, version=2), 16000, "header_unreadable", None, None, None),
+        ("nullp", None, 16000, "header_unreadable", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(r[0], r[1], r[2]) for r in rows],
+            columns=["clip_id", "bytes", "sr_hz"],
+        )
+    )
+    got = {r["clip_id"]: r for r in opus_header_probe(df).collect()}
+    for cid, _, _, status, ch, skip, sr in rows:
+        r = got[cid]
+        assert r["opus_status"] == status, (cid, r["opus_status"])
+        assert r["opus_channels"] == ch and r["opus_pre_skip"] == skip
+        assert r["opus_input_sr"] == sr
