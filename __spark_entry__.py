@@ -3281,6 +3281,32 @@ def q_opus_header_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity privacy screen (checks.l_diversity_report) — the
+    homogeneity-attack complement to k_anonymity_customer: same
+    (nation, segment) quasi-identifier, with the account-balance
+    thousand-band as the sensitive attribute; a group where every member
+    sits in one band leaks the band without re-identifying anyone.
+    Reports per-group distinct-sensitive count, the top band's share
+    (probabilistic-inference strength), and the at-risk flag at l=3."""
+    from jsschema_spark.checks import l_diversity_report
+
+    df = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    out = l_diversity_report(
+        df, ["c_nationkey", "c_mktsegment"], "bal_band", l=3
+    )
+    return out.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+        "group_n",
+        "n_sensitive",
+        F.round("top_share", 6).alias("top_share_r"),
+        "at_risk",
+    )
+
+
 def q_vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness summary (text.vocabulary_richness): hapax
     ratio + type-token ratio, the degenerate-corpus detectors that
@@ -3793,6 +3819,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_invariant_clips": q_resample_invariant_clips,
         "flac_transcode_clips": q_flac_transcode_clips,
         "opus_header_clips": q_opus_header_clips,
+        "l_diversity_customer": q_l_diversity_customer,
     }
 
 
@@ -6542,4 +6569,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(input_sr) AS BIGINT) AS sum_input_sr,
                    CAST(sum(pre_skip) AS BIGINT) AS sum_pre_skip
             FROM o GROUP BY opus_status""",
+        "l_diversity_customer": """
+            WITH pairs AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM customer GROUP BY 1, 2, 3
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   c_mktsegment,
+                   CAST(sum(n) AS BIGINT) AS group_n,
+                   CAST(count(CASE WHEN bal_band IS NOT NULL THEN 1 END)
+                        AS BIGINT) AS n_sensitive,
+                   round(CAST(max(CASE WHEN bal_band IS NOT NULL THEN n END)
+                              AS DOUBLE) / sum(n), 6) AS top_share_r,
+                   count(CASE WHEN bal_band IS NOT NULL THEN 1 END) < 3
+                     AS at_risk
+            FROM pairs GROUP BY 1, 2""",
     }

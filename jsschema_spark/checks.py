@@ -667,6 +667,46 @@ def k_anonymize(
     return df.join(F.broadcast(safe), cond, "left_semi")
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """The attack k-anonymity misses: a group of 50 rows is 50-anonymous,
+    but if all 50 share one diagnosis the attacker learns the sensitive
+    value without re-identifying anyone (homogeneity attack). A release is
+    l-diverse when every quasi-identifier group carries at least ``l``
+    DISTINCT sensitive values. One row per QI group: the group columns,
+    ``group_n``, ``n_sensitive`` (distinct non-null sensitive values),
+    ``top_share`` (the most common sensitive value's fraction — the
+    probabilistic-inference strength even when distinct-l passes), and
+    ``at_risk`` (n_sensitive < l).
+
+    Scale shape: one (QI, sensitive) hash agg contracts row volume to the
+    pair table, then a per-group agg over the pairs — both map-side
+    combined, shuffle width ≤ #distinct pairs; no joins, no windows, rows
+    never shuffled. Null sensitive values are excluded from diversity
+    (an absent diagnosis is not a second diagnosis) but counted in
+    ``group_n`` via the pair-level count sum."""
+    pairs = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        pairs.groupBy(*quasi_cols)
+        .agg(
+            F.sum("__n").cast("long").alias("group_n"),
+            F.count(F.when(F.col("__sv").isNotNull(), 1))
+            .cast("long").alias("n_sensitive"),
+            (
+                F.max(F.when(F.col("__sv").isNotNull(), F.col("__n")))
+                / F.sum("__n")
+            ).alias("top_share"),
+        )
+        .withColumn("at_risk", F.col("n_sensitive") < F.lit(l))
+    )
+
+
 def join_profile(
     left: DataFrame,
     right: DataFrame,

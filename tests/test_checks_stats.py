@@ -1283,3 +1283,28 @@ def test_fd_strength(spark):
     assert r["n_rows"] == 20 and r["n_lhs_groups"] == 2
     assert r["n_violating_rows"] == 1
     assert r["strength"] == pytest.approx(0.95)
+
+
+def test_l_diversity_report(spark):
+    """Homogeneity attack detection: a large-but-homogeneous group is
+    at-risk while a small diverse one passes; null sensitive values count
+    toward group size but never toward diversity."""
+    from jsschema_spark.checks import l_diversity_report
+
+    rows = (
+        [("z1", "A", "flu")] * 50                      # 50-anonymous, 1 value
+        + [("z2", "A", "flu"), ("z2", "A", "cold"), ("z2", "A", "cough")]
+        + [("z3", "B", None)] * 4 + [("z3", "B", "flu")]  # nulls not diverse
+    )
+    df = spark.createDataFrame(rows, "zip string, seg string, dx string")
+    out = {(r["zip"], r["seg"]): r for r in
+           l_diversity_report(df, ["zip", "seg"], "dx", l=2).collect()}
+    g1 = out[("z1", "A")]
+    assert g1["group_n"] == 50 and g1["n_sensitive"] == 1 and g1["at_risk"]
+    assert abs(g1["top_share"] - 1.0) < 1e-12
+    g2 = out[("z2", "A")]
+    assert g2["group_n"] == 3 and g2["n_sensitive"] == 3 and not g2["at_risk"]
+    g3 = out[("z3", "B")]
+    assert g3["group_n"] == 5 and g3["n_sensitive"] == 1 and g3["at_risk"]
+    # top_share counts only the non-null mode: 1 flu / 5 rows
+    assert abs(g3["top_share"] - 0.2) < 1e-12
