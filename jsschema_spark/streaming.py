@@ -15,8 +15,9 @@ watermark/windowed violation-rate aggregation is plain Spark on top of the
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -791,6 +792,106 @@ def start_volume_anomaly_sink(
         report = score_period_counts(totals, trailing, min_history)
         report.coalesce(1).write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={int(batch_id)}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_transcode_sink(
+    stream_df: DataFrame,
+    archived_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "clip_id",
+    codec_col: str = "codec",
+    bytes_col: str = "bytes",
+    target_codec: str = "flac",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming ARCHIVE transcode: per micro-batch, re-encode each clip's
+    payload into ``target_codec`` through the lossless PCM interchange
+    (``audio.transcode_payload`` — WAV↔FLAC; the codec-metadata checks
+    and the invariant scan all read FLAC natively, so archived rows stay
+    first-class). Rows whose payload will not decode, or whose codec this
+    build cannot handle (opus), land in ``quarantine_dir`` with a
+    ``reason`` column instead of being dropped or crashing the stream —
+    the same quarantine contract as the admission sinks.
+
+    Output rows: ``(id, codec='<target>', bytes, orig_codec, orig_bytes,
+    out_bytes)`` — the size pair makes per-batch compression ratio a
+    plain aggregation over the archived output, no payload re-read.
+
+    Idempotency: both outputs are ``batch_id=``-partitioned
+    ``mode("overwrite")`` writes (foreachBatch is at-least-once; a replay
+    overwrites its own partition instead of appending duplicates).
+
+    Scale shape per batch: ONE iterator-pandas_udf stage does
+    decode→re-encode per clip (Arrow-batched, CPU-bound, constant work
+    per sample); the split into archived/quarantined is a codegen filter
+    on the already-computed struct; no joins, no shuffles beyond the
+    partitioned writes."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("reason", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def _transcode(
+        it: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        from jsschema_spark.audio import transcode_payload
+
+        for codecs, payloads in it:
+            outs, oks, reasons = [], [], []
+            for codec, payload in zip(codecs, payloads):
+                try:
+                    outs.append(transcode_payload(codec, target_codec, payload))
+                    oks.append(True)
+                    reasons.append(None)
+                except NotImplementedError:
+                    outs.append(None)
+                    oks.append(False)
+                    reasons.append("unsupported_codec")
+                except (ValueError, TypeError):
+                    outs.append(None)
+                    oks.append(False)
+                    reasons.append("malformed_payload")
+            yield pd.DataFrame({"bytes": outs, "ok": oks, "reason": reasons})
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        enc = batch_df.select(
+            F.col(id_col),
+            F.col(codec_col).alias("orig_codec"),
+            F.col(bytes_col).alias("__orig"),
+            _transcode(F.col(codec_col), F.col(bytes_col)).alias("__t"),
+        )
+        archived = enc.where(F.col("__t.ok")).select(
+            F.col(id_col),
+            F.lit(target_codec).alias("codec"),
+            F.col("__t.bytes").alias("bytes"),
+            "orig_codec",
+            F.length("__orig").cast("long").alias("orig_bytes"),
+            F.length("__t.bytes").cast("long").alias("out_bytes"),
+        )
+        quarantined = enc.where(~F.col("__t.ok")).select(
+            F.col(id_col), "orig_codec",
+            F.col("__t.reason").alias("reason"),
+            F.length("__orig").cast("long").alias("orig_bytes"),
+        )
+        archived.write.mode("overwrite").parquet(f"{archived_dir}/batch_id={bid}")
+        quarantined.write.mode("overwrite").parquet(
+            f"{quarantine_dir}/batch_id={bid}"
         )
 
     writer = stream_df.writeStream.foreachBatch(process).option(

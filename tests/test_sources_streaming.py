@@ -889,3 +889,62 @@ def test_streaming_volume_anomaly_sink(spark, tmp_path):
     )
     rescored = {r["period_start"]: r for r in score_period_counts(totals).collect()}
     assert {k: v["n"] for k, v in rescored.items()} == {k: v["n"] for k, v in got.items()}
+
+
+def test_streaming_transcode_sink(spark, tmp_path):
+    """Archive transcode stream: WAV rows re-encode to FLAC losslessly
+    (verified by re-decoding the archived bytes), opus/garbage rows land
+    in quarantine with reasons, and per-file micro-batches keep their
+    batch_id partitions."""
+    import numpy as np
+    import pandas as pd
+
+    from jsschema_spark.audio import synth_pcm, wav_encode
+    from jsschema_spark.flac import flac_decode
+    from jsschema_spark.streaming import start_transcode_sink
+
+    src = str(tmp_path / "tc_src")
+    os.makedirs(src)
+    pcm1 = synth_pcm("clip-000000000001", 16000, 4000).copy()
+    pcm2 = synth_pcm("clip-000000000002", 8000, 2000).copy()
+    pd.DataFrame(
+        [("c1", "pcm_s16le", wav_encode(pcm1, 16000)),
+         ("c2", "pcm_s16le", wav_encode(pcm2, 8000))],
+        columns=["clip_id", "codec", "bytes"],
+    ).to_parquet(os.path.join(src, "f0.parquet"))
+    pd.DataFrame(
+        [("c3", "opus", b"OggS" + bytes(40)),
+         ("c4", "pcm_s16le", b"definitely not a wav"),
+         ("c5", "flac", wav_encode(pcm1, 16000))],  # codec lies -> malformed
+        columns=["clip_id", "codec", "bytes"],
+    ).to_parquet(os.path.join(src, "f1.parquet"))
+
+    stream = (
+        spark.readStream.schema("clip_id string, codec string, bytes binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    arch = str(tmp_path / "tc_arch")
+    quar = str(tmp_path / "tc_quar")
+    q = start_transcode_sink(
+        stream, arch, quar, str(tmp_path / "tc_ckpt")
+    )
+    q.awaitTermination(180)
+
+    archived = {r.clip_id: r for r in spark.read.parquet(arch).collect()}
+    assert set(archived) == {"c1", "c2"}
+    for cid, pcm, sr in (("c1", pcm1, 16000), ("c2", pcm2, 8000)):
+        row = archived[cid]
+        assert row.codec == "flac" and row.orig_codec == "pcm_s16le"
+        dsr, dec = flac_decode(bytes(row.bytes))
+        assert dsr == sr and np.array_equal(dec, pcm)
+        assert row.out_bytes == len(row.bytes) and row.orig_bytes == 44 + 2 * len(pcm)
+    quarantined = {r.clip_id: r.reason for r in spark.read.parquet(quar).collect()}
+    assert quarantined == {
+        "c3": "unsupported_codec",
+        "c4": "malformed_payload",
+        "c5": "malformed_payload",
+    }
+    # batch partitions present (one per input file)
+    assert {r.batch_id for r in spark.read.parquet(arch).select("batch_id").collect()} == {0}
+    assert 1 in {r.batch_id for r in spark.read.parquet(quar).select("batch_id").collect()}
