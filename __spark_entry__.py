@@ -3307,6 +3307,32 @@ def q_l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_closeness_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness privacy screen (checks.t_closeness_report) — third rung
+    of the privacy ladder over the same (nation, segment) QI and balance
+    thousand-band sensitive attribute as l_diversity_customer: per-group
+    normalized Earth-Mover's distance vs the global band distribution
+    (ordered ground distance, the canonical form), at_risk at t=0.15. A
+    diverse-but-skewed group (all bands present, mass piled at the top)
+    passes l-diversity and fails here. Oracle = the identical
+    grid/cumulative-window computation in DuckDB SQL."""
+    from jsschema_spark.checks import t_closeness_report
+
+    df = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    out = t_closeness_report(
+        df, ["c_nationkey", "c_mktsegment"], "bal_band", t=0.15
+    )
+    return out.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+        "group_n",
+        F.round("distance", 6).alias("distance_r"),
+        "at_risk",
+    )
+
+
 def q_vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness summary (text.vocabulary_richness): hapax
     ratio + type-token ratio, the degenerate-corpus detectors that
@@ -3820,6 +3846,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_transcode_clips": q_flac_transcode_clips,
         "opus_header_clips": q_opus_header_clips,
         "l_diversity_customer": q_l_diversity_customer,
+        "t_closeness_customer": q_t_closeness_customer,
     }
 
 
@@ -6586,4 +6613,46 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN bal_band IS NOT NULL THEN 1 END) < 3
                      AS at_risk
             FROM pairs GROUP BY 1, 2""",
+        "t_closeness_customer": """
+            WITH pairs AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM customer GROUP BY 1, 2, 3
+            ),
+            grp AS (
+              SELECT c_nationkey, c_mktsegment, sum(n) AS gn
+              FROM pairs GROUP BY 1, 2
+            ),
+            gv AS (SELECT band, sum(n) AS vn FROM pairs GROUP BY 1),
+            tot AS (SELECT sum(vn) AS nn, count(*) AS v FROM gv),
+            grid AS (
+              SELECT g.c_nationkey, g.c_mktsegment, g.gn, gl.band, gl.vn
+              FROM grp g CROSS JOIN gv gl
+            ),
+            j AS (
+              SELECT grid.c_nationkey, grid.c_mktsegment, grid.gn,
+                     grid.band, grid.vn, coalesce(p.n, 0) AS pn
+              FROM grid
+              LEFT JOIN pairs p
+                ON p.c_nationkey = grid.c_nationkey
+               AND p.c_mktsegment = grid.c_mktsegment
+               AND p.band = grid.band
+            ),
+            cum AS (
+              SELECT c_nationkey, c_mktsegment, gn,
+                     abs(sum(CAST(pn AS DOUBLE) / gn)
+                           OVER (PARTITION BY c_nationkey, c_mktsegment
+                                 ORDER BY band)
+                         - sum(CAST(vn AS DOUBLE) / (SELECT nn FROM tot))
+                           OVER (PARTITION BY c_nationkey, c_mktsegment
+                                 ORDER BY band)) AS d
+              FROM j
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   c_mktsegment,
+                   CAST(max(gn) AS BIGINT) AS group_n,
+                   round(sum(d) / (SELECT v - 1 FROM tot), 6) AS distance_r,
+                   sum(d) / (SELECT v - 1 FROM tot) > 0.15 AS at_risk
+            FROM cum GROUP BY 1, 2""",
     }

@@ -191,7 +191,7 @@ def main() -> None:
             "prefix_dup_documents", "flac_invariant_clips",
             "codec_metadata_clips", "resample_invariant_clips",
             "flac_transcode_clips", "opus_header_clips",
-            "l_diversity_customer",
+            "l_diversity_customer", "t_closeness_customer",
         ):
             q = qs[name]
             if name in (

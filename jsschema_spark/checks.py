@@ -707,6 +707,73 @@ def l_diversity_report(
     )
 
 
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    ordered: bool = True,
+) -> DataFrame:
+    """Third rung of the privacy ladder (k-anonymity → l-diversity →
+    t-closeness): a group can be diverse yet still leak — 3 distinct
+    salaries that are all in the top decile tell the attacker plenty. A
+    release is t-close when every quasi-identifier group's sensitive
+    distribution sits within distance ``t`` of the GLOBAL distribution.
+    ``ordered=True`` (numeric/banded attributes) uses the normalized
+    Earth-Mover's distance with unit ground spacing — Σ|cum_g − cum_global|
+    / (V−1) over the V global values, the canonical choice from the
+    t-closeness paper; ``ordered=False`` uses total-variation distance
+    0.5·Σ|p_g − p_global| (equal ground distance). Values a group lacks
+    count (p_g = 0) — that absence IS information.
+
+    Per QI group: ``group_n``, ``distance``, ``at_risk`` (distance > t).
+    Null sensitive values are excluded from both distributions.
+
+    Scale shape: the row-scale table contracts to a (QI, value) pair agg
+    once; everything after runs on pair/group/value-scale tables — a
+    groups × values broadcast grid join (both tiny), one cumulative
+    window PER GROUP over ≤V rows, one final agg. Rows are scanned once
+    and never shuffled."""
+    from pyspark.sql import Window
+
+    sv = F.col(sensitive_col)
+    pairs = (
+        df.where(sv.isNotNull())
+        .groupBy(*quasi_cols, sv.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    groups = pairs.groupBy(*quasi_cols).agg(F.sum("__n").alias("__gn"))
+    glob = pairs.groupBy("__v").agg(F.sum("__n").alias("__vn"))
+    glob = glob.withColumn("__N", F.sum("__vn").over(Window.partitionBy()))
+    grid = groups.crossJoin(F.broadcast(glob))  # groups × values, both tiny
+    # rename before joining: grid shares pairs' lineage, so a bare __n
+    # would resolve ambiguously against the self-referenced aggregates
+    pair_n = pairs.select(
+        *quasi_cols, "__v", F.col("__n").alias("__pair_n")
+    )
+    j = grid.join(pair_n, [*quasi_cols, "__v"], "left").withColumn(
+        "__pg", F.coalesce(F.col("__pair_n"), F.lit(0)) / F.col("__gn")
+    ).withColumn("__p", F.col("__vn") / F.col("__N"))
+    if ordered:
+        w = Window.partitionBy(*quasi_cols).orderBy("__v")
+        j = j.withColumn(
+            "__d", F.abs(F.sum("__pg").over(w) - F.sum("__p").over(w))
+        )
+        nvals = F.count(F.lit(1))
+        dist = F.sum("__d") / F.greatest(nvals - 1, F.lit(1))
+    else:
+        dist = F.sum(F.abs(F.col("__pg") - F.col("__p"))) / 2.0
+    return (
+        j.groupBy(*quasi_cols)
+        .agg(
+            F.first("__gn").cast("long").alias("group_n"),
+            dist.alias("distance"),
+        )
+        .withColumn("at_risk", F.col("distance") > F.lit(t))
+    )
+
+
 def join_profile(
     left: DataFrame,
     right: DataFrame,

@@ -1308,3 +1308,32 @@ def test_l_diversity_report(spark):
     assert g3["group_n"] == 5 and g3["n_sensitive"] == 1 and g3["at_risk"]
     # top_share counts only the non-null mode: 1 flu / 5 rows
     assert abs(g3["top_share"] - 0.2) < 1e-12
+
+
+def test_t_closeness_report(spark):
+    """EMD t-closeness: a homogeneous group far from the global mix is
+    at-risk, the dominant group is ~0; absent values count as p=0; nulls
+    excluded; TV variant matches the hand formula."""
+    import numpy as np
+
+    from jsschema_spark.checks import t_closeness_report
+
+    rows = (
+        [("z1", v) for v in [1] * 10]
+        + [("z2", v) for v in [1, 2, 3, 4, 5] * 2]
+        + [("z3", v) for v in [1, 2, 3, 4, 5] * 20]
+        + [("z1", None)]
+    )
+    df = spark.createDataFrame(rows, "zip string, band int")
+    out = {r["zip"]: r for r in
+           t_closeness_report(df, ["zip"], "band", t=0.2).collect()}
+    glob = np.array([32, 22, 22, 22, 22], float)
+    p = glob / glob.sum()
+    pg = np.array([1, 0, 0, 0, 0], float)
+    emd = np.abs(np.cumsum(pg) - np.cumsum(p)).sum() / 4
+    assert abs(out["z1"]["distance"] - emd) < 1e-12 and out["z1"]["at_risk"]
+    assert out["z1"]["group_n"] == 10  # the null row never counts
+    assert out["z3"]["distance"] < 0.05 and not out["z3"]["at_risk"]
+    tv = {r["zip"]: r for r in
+          t_closeness_report(df, ["zip"], "band", ordered=False).collect()}
+    assert abs(tv["z1"]["distance"] - 0.5 * np.abs(pg - p).sum()) < 1e-12
