@@ -1539,6 +1539,7 @@ def audio_normalize_scan(
     bytes_col: str = "bytes",
     target_sr: int = 16000,
     target_dbfs: float = -20.0,
+    resampler: str = "linear",
 ):
     """Corpus normalization TRANSFORM (the fix-path sibling of the audio
     gates): decode → resample to ``target_sr`` → gain-normalize to
@@ -1547,10 +1548,16 @@ def audio_normalize_scan(
     Output rows: ``clip_id, bytes (normalized WAV), sr_hz, n_samples,
     decode_ok`` — undecodable clips pass through with null bytes so the
     caller can route them to quarantine instead of silently dropping
-    them."""
+    them. ``resampler``: ``"linear"`` (default — kept for bit-stable
+    parity with the existing oracle) or ``"sinc"`` (the band-limited
+    polyphase kernel, ``resample_sinc`` — ≥53 dB vs ~40 dB on
+    true-interpolation legs, same ⌊n·L/M⌋ output grid, a few × the
+    per-sample cost)."""
     import glob as _glob
     import os as _os
 
+    if resampler not in ("linear", "sinc"):
+        raise ValueError(f"unknown resampler: {resampler!r}")
     files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {parquet_dir!r}")
@@ -1581,11 +1588,14 @@ def audio_normalize_scan(
                     for s in chunk
                 )
                 out = {"clip_id": [], "bytes": [], "sr_hz": [], "n_samples": [], "decode_ok": []}
+                resample = (
+                    resample_sinc if resampler == "sinc" else resample_linear
+                )
                 for cid, payload in zip(cids, payloads):
                     out["clip_id"].append(cid)
                     try:
                         sr, pcm = wav_decode(payload)
-                        pcm = resample_linear(pcm, sr, target_sr)
+                        pcm = resample(pcm, sr, target_sr)
                         pcm = normalize_gain(pcm, target_dbfs)
                         out["bytes"].append(wav_encode(pcm, target_sr))
                         out["sr_hz"].append(target_sr)

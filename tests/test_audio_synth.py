@@ -632,3 +632,33 @@ def test_resample_sinc_quality():
     # empty and sub-chunk inputs
     assert len(resample_sinc(np.zeros(0, dtype=np.int16), 8000, 16000)) == 0
     assert len(resample_sinc(tone(300, 8000, 7), 8000, 16000)) == 14
+
+
+def test_normalize_scan_sinc_resampler(spark, tmp_path):
+    """audio_normalize_scan(resampler='sinc') routes through the polyphase
+    kernel: output grid floor(n*L/M), target rate and RMS hit; bad
+    resampler name rejected."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from jsschema_spark.audio import audio_normalize_scan, wav_decode, wav_encode
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr
+    pcm = (6000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    src = str(tmp_path / "nsc")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"clip_id": ["c1"], "bytes": [bytearray(wav_encode(pcm, sr))]}
+    ).to_parquet(os.path.join(src, "p0.parquet"))
+    row = audio_normalize_scan(spark, src, resampler="sinc").collect()[0]
+    assert row.decode_ok and row.sr_hz == 16000
+    assert row.n_samples == len(pcm) * 2
+    dsr, dec = wav_decode(bytes(row.bytes))
+    rms = 20 * np.log10(np.sqrt(np.mean(dec.astype(np.float64) ** 2)) / 32768.0)
+    assert abs(rms - (-20.0)) < 1.0
+    with _pytest.raises(ValueError):
+        audio_normalize_scan(spark, src, resampler="cubic")
