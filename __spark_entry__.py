@@ -3333,6 +3333,62 @@ def q_t_closeness_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_normalize_sinc_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sinc-path twin of audio_normalize_clips: identical mixed-rate /
+    mixed-gain fixture and identical normalization CONTRACT (re-decoded
+    output at 16 kHz within 1 dB of -20 dBFS), but resampling through the
+    band-limited polyphase kernel (audio.resample_sinc) instead of linear
+    interpolation. The oracle is the same rate/status arithmetic — the
+    contract is resampler-independent, so this pins that the higher-
+    quality kernel also meets it end-to-end (synth->resample->gain->
+    encode->decode->measure) at every rate pair."""
+    from jsschema_spark.audio import (
+        normalize_gain,
+        pcm_profile,
+        resample_sinc,
+        wav_decode,
+        wav_encode,
+    )
+
+    docs = _clip_params(spark, sf_dir)
+    i = F.col("doc_id")
+    params = docs.select(
+        F.format_string("clip-%012d", i).alias("clip_id"),
+        (i % 4).cast("int").alias("kind"),
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        cfg = {0: (8000, 500.0), 1: (44100, 28000.0), 2: (16000, 8000.0)}
+        for pdf in batches:
+            out = {"orig_sr": [], "status": []}
+            for k in pdf["kind"]:
+                if k == 3:
+                    out["orig_sr"].append(0)
+                    out["status"].append("undecodable")
+                    continue
+                sr, amp = cfg[int(k)]
+                t = np.arange(sr // 2, dtype=np.float64) / sr
+                pcm = (amp * np.sin(2.0 * np.pi * 440.0 * t)).astype(np.int16)
+                wav = wav_encode(pcm, sr)
+                sr_d, pcm_d = wav_decode(wav)
+                pcm_n = normalize_gain(resample_sinc(pcm_d, sr_d, 16000), -20.0)
+                sr_v, pcm_v = wav_decode(wav_encode(pcm_n, 16000))
+                rms_dbfs, _, _, _ = pcm_profile(pcm_v)
+                ok = sr_v == 16000 and abs(rms_dbfs - (-20.0)) < 1.0
+                out["orig_sr"].append(sr)
+                out["status"].append("normalized" if ok else "off_target")
+            import pandas as _pd
+
+            yield _pd.DataFrame(out)
+
+    feats = params.mapInPandas(gen, "orig_sr int, status string")
+    return feats.groupBy("orig_sr", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips")
+    )
+
+
 def q_vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness summary (text.vocabulary_richness): hapax
     ratio + type-token ratio, the degenerate-corpus detectors that
@@ -3847,6 +3903,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opus_header_clips": q_opus_header_clips,
         "l_diversity_customer": q_l_diversity_customer,
         "t_closeness_customer": q_t_closeness_customer,
+        "audio_normalize_sinc_clips": q_audio_normalize_sinc_clips,
     }
 
 
@@ -6655,4 +6712,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(d) / (SELECT v - 1 FROM tot), 6) AS distance_r,
                    sum(d) / (SELECT v - 1 FROM tot) > 0.15 AS at_risk
             FROM cum GROUP BY 1, 2""",
+        "audio_normalize_sinc_clips": """
+            SELECT CASE WHEN doc_id % 4 = 0 THEN 8000
+                        WHEN doc_id % 4 = 1 THEN 44100
+                        WHEN doc_id % 4 = 2 THEN 16000
+                        ELSE 0 END AS orig_sr,
+                   CASE WHEN doc_id % 4 = 3 THEN 'undecodable'
+                        ELSE 'normalized' END AS status,
+                   CAST(count(*) AS BIGINT) AS n_clips
+            FROM documents GROUP BY 1, 2""",
     }

@@ -192,6 +192,7 @@ def main() -> None:
             "codec_metadata_clips", "resample_invariant_clips",
             "flac_transcode_clips", "opus_header_clips",
             "l_diversity_customer", "t_closeness_customer",
+            "audio_normalize_sinc_clips",
         ):
             q = qs[name]
             if name in (
