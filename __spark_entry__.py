@@ -29,8 +29,31 @@ CONFORMANCE_SUITES = [
 ]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+# Spread cap for single-file tables (MB). The small-SF test tables are ONE
+# parquet file with ONE row group, so Spark's byte-range splits all map to
+# the single row-group midpoint: every codegen stage fused into the scan
+# (shingling, hashing, regex scoring ...) runs on ONE core while the rest
+# idle (measured at sf1.0/local[32]: minhash signatures 40.4s serial vs
+# 11.7s spread, lang_id 8.9s vs 1.0s). Files above the cap get real
+# multi-row-group/multi-file splitting from the scanner itself (lineitem
+# sf1.0: 6 row groups) and a repartition would just shuffle payload
+# (measured ~3s for 131MB), so they are left to natural splitting — which
+# is also why this is scale-safe: a production many-file table never takes
+# this branch.
+_SPREAD_CAP_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_CAP_MB", "64")) << 20
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if (
+        spread
+        and os.path.isfile(path)
+        and os.path.getsize(path) <= _SPREAD_CAP_BYTES
+        and spark.sparkContext.defaultParallelism > 2
+    ):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _clip_params(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,7 +66,9 @@ def _clip_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     defaultParallelism costs one negligible shuffle and restores the
     parallelism a many-file 100-TB table gets for free."""
     return (
-        _t(spark, sf_dir, "documents")
+        # spread=False: this helper repartitions AFTER the 8-byte projection
+        # (narrower shuffle than _t's whole-row spread would be)
+        _t(spark, sf_dir, "documents", spread=False)
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
