@@ -2070,3 +2070,57 @@ def test_prefix_duplicates_truncated_variants(spark):
     g = out[0]
     assert g["doc_ids"] == [1, 2]
     assert g["max_len"] > g["min_len"]  # the truncation signature
+
+
+# ------------------------------------------- blocked brute-force equivalence
+
+def _naive_brute_pairs(emb_df, threshold):
+    """The pre-optimization formulation: nested-loop cross join + Catalyst
+    cosine — the reference the blocked BLAS candidate path must equal."""
+    e = emb_df.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+            D.cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def test_blocked_brute_force_equals_naive_multi_block(spark, emb):
+    df = _near_identical_corpus(spark, emb)  # >=100 qualifying pairs
+    thr = 0.995
+    naive = {(r.id_a, r.id_b, round(r.cos, 12)) for r in _naive_brute_pairs(df, thr).collect()}
+    # block_size small enough to force many tiles (same + cross-block)
+    blocked = {
+        (r.id_a, r.id_b, round(r.cos, 12))
+        for r in D.embedding_brute_force_pairs(
+            df, "vec_id", "embedding", threshold=thr, block_size=37
+        ).collect()
+    }
+    assert len(blocked) >= 100
+    assert blocked == naive
+
+
+def test_blocked_brute_force_edge_vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 1e-9, 0.0]),       # near-identical to 1
+        (3, [0.0, 0.0, 0.0]),        # zero vector: cosine defined as 0
+        (4, None),                   # null vector: cosine null -> excluded
+        (5, [1.0, 0.0]),             # ragged length: zip_with null -> excluded
+        (6, [-1.0, 0.0, 0.0]),       # opposite: cos = -1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for thr in (0.95, 0.5):
+        naive = {(r.id_a, r.id_b, round(r.cos, 12)) for r in _naive_brute_pairs(df, thr).collect()}
+        blocked = {
+            (r.id_a, r.id_b, round(r.cos, 12))
+            for r in D.embedding_brute_force_pairs(
+                df, "vec_id", "embedding", threshold=thr, block_size=2
+            ).collect()
+        }
+        assert blocked == naive, (thr, blocked, naive)
+    assert {(p[0], p[1]) for p in naive} == {(1, 2)}
