@@ -249,8 +249,15 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     subexpressions inside higher-order-function lambdas, so an
     ``element_at(tokens(...), i)`` form re-tokenizes the whole document per
     element (O(len²) — measured 100× slower). Each ``slice`` here traverses
-    the token array once."""
-    toks = tokens(normalized_text(text))
+    the token array once.
+
+    Tokenization is ONE fused split on ``[\\p{Punct}\\s]+`` — provably the
+    same token array as ``tokens(normalized_text(text))`` (punct→space →
+    collapse → trim → split), minus two full regex passes over the document
+    (measured ~2.7s/pass over 50k docs at local[32]): separators merge
+    transitively under both forms, and the boundary empty strings a
+    leading/trailing separator leaves behind are removed afterwards."""
+    toks = F.array_remove(F.split(F.lower(text), r"[\p{Punct}\s]+"), "")
     if k <= 1:
         return F.array_distinct(toks)
     sh = toks

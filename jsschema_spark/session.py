@@ -43,6 +43,17 @@ def build_session(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromConstraints rewrites inferred join-key IsNotNull
+        # constraints THROUGH projections: a join keyed on a derived column
+        # (lang_id, a hash, a scored bucket) gets `isnotnull(<whole derived
+        # expression>)` pushed below the exchange into the scan stage, where
+        # higher-order-function expressions evaluate INTERPRETED, per row,
+        # per consumer branch (thread-dump verified: ArrayFilter.eval inside
+        # the 2-task scan stage; stratified_sample 24.8s -> 4.3s at sf1.0
+        # with the rule off). Our derived join keys are never null by
+        # construction, so the inferred filters only burn CPU — scale-
+        # independent, not a local[32] artifact.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # sized for binary-heavy rows (a 10k-row batch of ~240KB WAV payloads
         # is ~2.4GB per core — 1024 keeps Arrow transfer well under 256MB)
