@@ -1457,14 +1457,18 @@ def containment_pairs(
 
     if not (0.0 < min_containment <= 1.0):
         raise ValueError("min_containment must be in (0, 1]")
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles(F.col(text_col), shingle_k).alias("sh"),
-        )
-        .where(F.size("sh") > 0)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
+    # materialize BEFORE the size filter: filtering first lets
+    # PushDownPredicates drag `size(<shingle HOF tree>) > 0` through the
+    # exchange into the scan stage, where it re-evaluates the whole
+    # shingle expression interpreted at scan parallelism (event-log
+    # measured: 5.2s CPU on a 2-task stage at sf1.0). The checkpoint rows
+    # for empty docs cost a few bytes each instead.
     sh = _materialize(sh, "checkpoint")  # shingled once; prefix, index and verify all consume it
+    sh = sh.where(F.size("sh") > 0)
     ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc GLOBAL (df, g)-ascending ranking, computed once and shared
@@ -1554,7 +1558,15 @@ def containment_pairs(
     #     (on a saturated corpus most birthday pairs' rarest shared
     #     shingle sits deep in the partner's order — this is the filter
     #     that kills them).
-    hit_min = F.min(F.struct(F.col("i"), F.col("j"))).alias("__h")
+    # the min-(i,j) hit is tracked as min of ONE packed long (i·2³² + j —
+    # identical lexicographic order for positive ints): min over a struct
+    # is not a codegen-able aggregate, so the struct form pushed BOTH agg
+    # passes over the ~Σ_prefix-df join fan-out (26.6M rows at sf1.0)
+    # into interpreted object aggregation (event-log: 49s + 21.6s CPU);
+    # min(long) keeps them in whole-stage-codegen HashAggregate.
+    hit_min = F.min(
+        F.shiftleft(F.col("i").cast("long"), 32) + F.col("j")
+    ).alias("__hp")
     cand = (
         prefix.alias("p")
         .join(
@@ -1578,7 +1590,8 @@ def containment_pairs(
             F.least(F.col("cap_p"), F.col("cap_f"))
             + F.lit(1)
             + F.least(
-                F.col("n_p") - F.col("__h.i"), F.col("n_f") - F.col("__h.j")
+                F.col("n_p") - F.shiftright(F.col("__hp"), 32),
+                F.col("n_f") - F.col("__hp").bitwiseAND(F.lit(4294967295)),
             )
             >= F.lit(min_containment) * F.col("n_p") - F.lit(1e-9)
         )

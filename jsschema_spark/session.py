@@ -54,6 +54,28 @@ def build_session(
         # construction, so the inferred filters only burn CPU — scale-
         # independent, not a local[32] artifact.
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # Same failure mode, different rule: InferFiltersFromGenerate turns
+        # explode(derived_array) into a `size(expr)>0 AND isnotnull(expr)`
+        # predicate that PushDownPredicates then drags through the
+        # projection and the exchange into the scan stage — the shingle
+        # HOF tree evaluated twice more per row, interpreted, at scan
+        # parallelism (event-log verified on minhash_near_dups: 2-task map
+        # stages burning 4-5s CPU each in StringSplit/ZipWith.eval).
+        # explode of an empty/null array already emits nothing, so the
+        # inferred filter only pays off when it prunes BEFORE an expensive
+        # downstream op — never the case in this engine, where the array
+        # itself is the expensive thing.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        # AQE coalesces post-shuffle partitions by BYTES; candidate-pair
+        # streams here are byte-tiny but CPU-heavy (array_intersect over
+        # shingle sets: 11.8MB / 516k rows / 17s CPU coalesced onto 5
+        # tasks at sf1.0 — containment 16.8s -> 13.2s with the floor
+        # lowered). 64k only changes byte-tiny shuffles; production-sized
+        # exchanges still coalesce to the advisory target.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # sized for binary-heavy rows (a 10k-row batch of ~240KB WAV payloads
         # is ~2.4GB per core — 1024 keeps Arrow transfer well under 256MB)
