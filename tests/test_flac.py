@@ -371,3 +371,34 @@ def test_opus_header_probe_catalyst(spark):
         assert r["opus_status"] == status, (cid, r["opus_status"])
         assert r["opus_channels"] == ch and r["opus_pre_skip"] == skip
         assert r["opus_input_sr"] == sr
+
+
+def test_vectorized_crc_matches_byte_loop():
+    """The tree-folded CRC used above the 256-byte cutover must be
+    bit-identical to the reference byte loop on every length class
+    (below/at/above cutover, power-of-two and off-by-one paddings)."""
+    from jsschema_spark.flac import _crc8, _crc8_loop, _crc16, _crc16_loop
+
+    rng = np.random.default_rng(123)
+    for n in (0, 1, 17, 255, 256, 257, 1023, 1024, 4097, 30000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert _crc16(data) == _crc16_loop(data), n
+        assert _crc8(data) == _crc8_loop(data), n
+
+
+def test_rice_skip_walk_roundtrip_and_truncation():
+    """The skip-table rice walk must reproduce the old per-code scan:
+    round-trip residual-heavy streams (noise maximizes remainder ones —
+    the case where separator ones interleave with remainder bits) and
+    raise ValueError, never IndexError, on truncation at every byte
+    boundary of the frame region."""
+    from jsschema_spark.flac import flac_decode, flac_encode
+
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-32768, 32767, 12000, dtype=np.int16)
+    payload = flac_encode(pcm, 16000)
+    sr, out = flac_decode(payload)
+    assert sr == 16000 and np.array_equal(out, pcm)
+    for cut in range(len(payload) - 40, len(payload) - 1, 3):
+        with pytest.raises(ValueError):
+            flac_decode(payload[:cut])
