@@ -56,6 +56,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> Data
     return df
 
 
+def _docs_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id, text), spread AND materialized (localCheckpoint).
+
+    The checkpoint is a predicate-pushdown barrier: the dedup/curation
+    pipelines filter on expensive derived expressions (quality score,
+    shingle arrays), and PushDownPredicates would otherwise sink those —
+    interpreted, one evaluation per plan branch — through the spread
+    exchange into the 1-row-group scan stage (event-log measured: 5.5s
+    CPU on 2 tasks inside curated_documents). Materializing once also
+    collapses the 4-6 scans these multi-branch pipelines take over the
+    same file. NOT memoized: every query invocation pays the scan +
+    checkpoint itself. At production scale _t doesn't spread (multi-file
+    scans are already wide) and scan-side filtering stays preferable —
+    this helper is the single-file-small-SF counterpart."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+
 def _clip_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id params feed for the in-Spark clip-synth queries. The
     documents table at small SF is ONE parquet file → one scan partition,
@@ -432,7 +453,7 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     / 16 bands; every qualifying pair has j ≥ 0.9)."""
     from jsschema_spark.functions.dedup import near_duplicates_minhash
 
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _docs_ckpt(spark, sf_dir)
     near = base.where(F.col("doc_id") % 71 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
@@ -462,9 +483,7 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming 0) are injected to guarantee hits."""
     from jsschema_spark.functions.dedup import portable_hash64, simhash_near_dups
 
-    base = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
-        "doc_id", "text"
-    )
+    base = _docs_ckpt(spark, sf_dir).where(F.col("text").isNotNull())
     dup = base.where(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -541,7 +560,7 @@ def _near_dup_corpus_and_groups(spark: SparkSession, sf_dir: str):
         return hit
     from jsschema_spark.functions.dedup import connected_components, near_duplicates_minhash
 
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _docs_ckpt(spark, sf_dir)
     v1 = base.where(F.col("doc_id") % 71 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
@@ -976,9 +995,8 @@ def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages in SQL with a recursive-CTE transitive closure."""
     from jsschema_spark.functions.curate import curate_documents
 
-    base = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
-        "doc_id", "text"
-    )
+    docs = _docs_ckpt(spark, sf_dir)
+    base = docs.where(F.col("text").isNotNull())
     exact = base.where(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -986,11 +1004,11 @@ def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
     )
-    junk = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 37 == 0).select(
+    junk = docs.where(F.col("doc_id") % 37 == 0).select(
         (F.col("doc_id") + 3000000).alias("doc_id"),
         F.lit("#@! $%^ &*( !!!").alias("text"),
     )
-    blank = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 43 == 0).select(
+    blank = docs.where(F.col("doc_id") % 43 == 0).select(
         (F.col("doc_id") + 5000000).alias("doc_id"), F.lit("   ").alias("text")
     )
     df = base.unionByName(exact).unionByName(near).unionByName(junk).unionByName(blank)
@@ -1338,7 +1356,7 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_minhash_index,
     )
 
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _docs_ckpt(spark, sf_dir)
     new = base.where(F.col("doc_id") % 71 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
@@ -1561,7 +1579,7 @@ def q_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 2-char suffix under a shifted id)."""
     from jsschema_spark.functions.dedup import edit_distance_near_dups
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_ckpt(spark, sf_dir)
     pert = (
         d.where(F.col("doc_id") % 31 == 2)
         .select(
@@ -1605,7 +1623,7 @@ def q_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     5`` docs re-enter as their first 150 characters under a shifted id)."""
     from jsschema_spark.functions.dedup import containment_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_ckpt(spark, sf_dir)
     pert = (
         d.where(F.col("doc_id") % 23 == 5)
         .select(
