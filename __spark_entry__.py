@@ -388,8 +388,11 @@ def q_conformance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in sorted(glob.glob(os.path.join(CORPUS, f"{suite}_{kind}*.json"))):
                 with open(p, encoding="utf-8") as f:
                     rows.append((suite, os.path.basename(p)[:-5], schema_text, f.read(), expect))
-    df = spark.createDataFrame(
-        rows, "suite string, case_id string, schema_json string, instance_json string, expect_pass boolean"
+    from jsschema_spark.localdf import local_df
+
+    df = local_df(
+        spark, rows,
+        "suite string, case_id string, schema_json string, instance_json string, expect_pass boolean",
     )
     out = validate_json_pairs(df, "schema_json", "instance_json")
     return out.select(
@@ -2383,8 +2386,10 @@ def q_temporal_ref_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("4-NOT SPECIFIED", "1995-01-01 00:00:00", "1997-01-01 00:00:00"),
         ("4-NOT SPECIFIED", "1998-01-01 00:00:00", None),
     ]
-    dim = spark.createDataFrame(
-        dim_rows, "prio string, vf string, vt string"
+    from jsschema_spark.localdf import local_df
+
+    dim = local_df(
+        spark, dim_rows, "prio string, vf string, vt string"
     ).select(
         "prio",
         F.col("vf").cast("timestamp_ntz").alias("valid_from"),

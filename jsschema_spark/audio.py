@@ -27,6 +27,8 @@ import struct
 from typing import Iterator
 
 import numpy as np
+
+from jsschema_spark.localdf import local_df
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -372,7 +374,7 @@ def audio_invariant_scan(
     files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {parquet_dir!r}")
-    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+    files_df = local_df(spark, [(f,) for f in files], "path string").repartition(
         len(files)
     )
 
@@ -486,7 +488,7 @@ def audio_profile_scan(
     files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {parquet_dir!r}")
-    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+    files_df = local_df(spark, [(f,) for f in files], "path string").repartition(
         len(files)
     )
 
@@ -640,7 +642,7 @@ def audio_spectral_scan(
     files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {parquet_dir!r}")
-    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+    files_df = local_df(spark, [(f,) for f in files], "path string").repartition(
         len(files)
     )
 
@@ -766,7 +768,7 @@ def audio_fingerprint_scan(
     files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {parquet_dir!r}")
-    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+    files_df = local_df(spark, [(f,) for f in files], "path string").repartition(
         len(files)
     )
 
@@ -1041,7 +1043,7 @@ def audio_vad_scan(
     files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {parquet_dir!r}")
-    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+    files_df = local_df(spark, [(f,) for f in files], "path string").repartition(
         len(files)
     )
 
@@ -1561,7 +1563,7 @@ def audio_normalize_scan(
     files = sorted(_glob.glob(_os.path.join(parquet_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {parquet_dir!r}")
-    files_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+    files_df = local_df(spark, [(f,) for f in files], "path string").repartition(
         len(files)
     )
 

@@ -1049,7 +1049,10 @@ def embedding_brute_force_pairs(
         "doc_id", "v",
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_blocks)).cast("int").alias("blk"),
     )
-    tiles = spark.createDataFrame(
+    from jsschema_spark.localdf import local_df
+
+    tiles = local_df(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",
     )

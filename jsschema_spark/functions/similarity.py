@@ -268,10 +268,20 @@ def ivf_build(
     # write: without it every write task emits a file per cell it sees
     # (#tasks × #cells small files — at 10^12 rows, millions); with it each
     # cell lands in exactly one task, so file count = #cells (an oversized
-    # cell splits via spark.sql.files.maxRecordsPerFile, not task fan-out)
-    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, centroid array<double>"
+    # cell splits via spark.sql.files.maxRecordsPerFile, not task fan-out).
+    # The explicit numPartitions matters: a bare repartition("cell") is
+    # AQE-coalescible, and at bench scale the byte-tiny shuffle collapsed
+    # to ONE task writing every cell file sequentially (~4s of pure file
+    # ops, zero CPU); REPARTITION_BY_NUM keeps the write parallel while
+    # preserving the one-task-per-cell file bound.
+    assigned.repartition(
+        assigned.sparkSession.sparkContext.defaultParallelism, "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    from jsschema_spark.localdf import local_df
+
+    local_df(
+        spark, [(i, list(c)) for i, c in enumerate(cents)],
+        "cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
     return cents
 
@@ -342,13 +352,19 @@ def lsh_build(
     three ints need storing."""
     spark = corpus.sparkSession
     planes = hyperplanes(dim, n_planes, seed)
-    # same small-files guard as ivf_build: one task per bucket
+    # same small-files guard as ivf_build: one task per bucket — with the
+    # explicit numPartitions so AQE cannot collapse the write to one task
+    # (see ivf_build)
     corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("embedding"),
         F.coalesce(hyperplane_bucket_v(F.col(vec_col), planes), F.lit(-1).cast("long")).alias("bucket"),
-    ).repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
-    spark.createDataFrame(
-        [(dim, n_planes, seed)], "dim int, n_planes int, seed int"
+    ).repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, "bucket"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    from jsschema_spark.localdf import local_df
+
+    local_df(
+        spark, [(dim, n_planes, seed)], "dim int, n_planes int, seed int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 

@@ -138,8 +138,10 @@ def schema_report(df: DataFrame, enum_max: int = 8) -> DataFrame:
                 rows.append((name, kw, None, str(v)))
     for name in schema.get("required", []):
         rows.append((name, "required", None, "true"))
-    return spark.createDataFrame(
-        rows, "path string, keyword string, value_num double, value_str string"
+    from jsschema_spark.localdf import local_df
+
+    return local_df(
+        spark, rows, "path string, keyword string, value_num double, value_str string"
     )
 
 

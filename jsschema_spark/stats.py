@@ -181,7 +181,9 @@ def column_stats(
             T.StructField("p75", T.DoubleType()),
         ]
     )
-    return df.sparkSession.createDataFrame(out_rows, schema)
+    from jsschema_spark.localdf import local_df
+
+    return local_df(df.sparkSession, out_rows, schema)
 
 
 def histogram(df: DataFrame, col: str, lo: float, hi: float, nbins: int = 32) -> DataFrame:

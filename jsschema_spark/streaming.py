@@ -252,7 +252,9 @@ def start_dedup_admission_sink(
                 F.col("batch_id") != int(batch_id)
             )
         except AnalysisException:
-            index = spark.createDataFrame([], "fingerprint long, doc_id long")
+            from jsschema_spark.localdf import local_df
+
+            index = local_df(spark, [], "fingerprint long, doc_id long")
         kept = incremental_exact_dedup(batch_df, index, id_col, text_col)
         # two consumers (admitted rows + index fingerprints) — materialize
         # the dedup result once; the index MUST fingerprint original text,
@@ -390,8 +392,10 @@ def _admit_embedding_batch(
         p_dim, p_planes, p_seed = meta["dim"], meta["n_planes"], meta["seed"]
     except AnalysisException:
         p_dim, p_planes, p_seed = dim, n_planes, seed
-        spark.createDataFrame(
-            [(p_dim, p_planes, p_seed)], "dim int, n_planes int, seed int"
+        from jsschema_spark.localdf import local_df
+
+        local_df(
+            spark, [(p_dim, p_planes, p_seed)], "dim int, n_planes int, seed int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_meta")
     planes = hyperplanes(p_dim, p_planes, p_seed)
 

@@ -37,7 +37,9 @@ def clips_audio_to_parquet(
     bounds = [
         (i, (n * i) // n_files, (n * (i + 1)) // n_files) for i in range(n_files)
     ]
-    ranges = spark.createDataFrame(bounds, "file_idx int, lo long, hi long").repartition(n_files)
+    from jsschema_spark.localdf import local_df
+
+    ranges = local_df(spark, bounds, "file_idx int, lo long, hi long").repartition(n_files)
 
     def gen(batches):
         import pyarrow as pa
