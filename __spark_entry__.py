@@ -43,9 +43,23 @@ CONFORMANCE_SUITES = [
 _SPREAD_CAP_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_CAP_MB", "64")) << 20
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: "bool | None" = None
+) -> DataFrame:
+    """Read a driver table; optionally spread a single-file scan.
+
+    ``spread=None`` (default) auto-spreads only the documents table: its
+    queries do heavy per-row text work (measured wins up to 30s/query at
+    sf1.0) while the repartition of 5.9MB costs ~0.1s. The other tables'
+    query mix is dominated by plain map-side-combined aggregates, where
+    the extra exchange is a pure ~0.3-0.8s tax per query (measured:
+    uniqueness_events_user 0.84s unspread vs 1.49s spread) — those stay
+    on the natural scan and heavy exceptions opt in with
+    ``spread=True`` (e.g. json_key_profile_events: 4.0s -> 1.3s)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    if spread is None:
+        spread = name == "documents"
     if (
         spread
         and os.path.isfile(path)
@@ -364,7 +378,7 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # auto tier: this flat schema compiles to the JVM Variant path (no Python)
     from jsschema_spark.variant import validate_json_auto
 
-    df = _t(spark, sf_dir, "events")
+    df = _t(spark, sf_dir, "events", spread=True)
     out = validate_json_auto(df, "props", PROPS_SCHEMA)
     return out.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -1410,7 +1424,7 @@ def q_violation_samples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsschema_spark import parse_schema
     from jsschema_spark.compiler import TableValidator
 
-    df = _t(spark, sf_dir, "orders")
+    df = _t(spark, sf_dir, "orders", spread=True)
     tv = TableValidator(parse_schema(ORDERS_SCHEMA), df.schema)
     out = tv.violation_samples(df, k=3, id_cols=["o_orderkey"])
     return out.select(
@@ -1491,7 +1505,7 @@ def q_violations_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsschema_spark import parse_schema
     from jsschema_spark.compiler import TableValidator
 
-    df = _t(spark, sf_dir, "orders")
+    df = _t(spark, sf_dir, "orders", spread=True)
     tv = TableValidator(parse_schema(ORDERS_SCHEMA), df.schema)
     applied = tv.apply(df, with_violations=True)
     ex = applied.where(~F.col("valid")).select(
@@ -1782,7 +1796,7 @@ def q_cooccurrence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the event-type vocabulary), never on event rows."""
     from jsschema_spark.functions.events import cooccurrence_counts
 
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", spread=True).withColumn(
         "day", F.date_trunc("day", F.col("ts")).cast("date")
     )
     return cooccurrence_counts(ev, ["user_id", "day"], "event_type", min_support=5)
@@ -2026,7 +2040,7 @@ def q_rolling_actives_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-equal on this cardinality."""
     from jsschema_spark.functions.events import rolling_distinct_actives
 
-    df = _t(spark, sf_dir, "events")
+    df = _t(spark, sf_dir, "events", spread=True)
     out = rolling_distinct_actives(df, "ts", "user_id", 7, exact=True)
     return out.select(F.col("period").cast("date").alias("day"), "n_active")
 
@@ -2340,7 +2354,7 @@ def q_mask_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     column; a second mask appearing is the format regression."""
     from jsschema_spark.stats import mask_profile
 
-    df = _t(spark, sf_dir, "customer")
+    df = _t(spark, sf_dir, "customer", spread=True)
     return mask_profile(df, "c_name", k=20)
 
 
@@ -2869,7 +2883,7 @@ def q_json_key_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(i % 4 == 2, F.format_string('{"k": %.1f}', v))
         .otherwise(F.lit('{"device": "web", "ref": "ad"}'))
     )
-    df = _t(spark, sf_dir, "events").withColumn("props2", props2)
+    df = _t(spark, sf_dir, "events", spread=True).withColumn("props2", props2)
     out = json_key_profile(df, "props2")
     return out.select(
         "key",
