@@ -207,24 +207,55 @@ def minhash_signatures(
     independent of document length. ~10× faster at 5k docs; the gap widens
     with corpus size. Docs with no shingles produce no row (the Column
     version yields null)."""
+    import numpy as np
+    import pandas as pd
+
     fam = _hash_family(num_hashes)
+    lane_a = np.array([a for a, _ in fam], dtype=np.int64)
+    lane_b = np.array([b for _, b in fam], dtype=np.int64)
+    m31 = _MERSENNE_31
+
     sh = df.select(
         F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    h = F.pmod(F.xxhash64(F.col("s")), F.lit(_MERSENNE_31))
-    proj = ex.select(
-        "doc_id",
-        *[
-            F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31)).alias(f"h{i}")
-            for i, (a, b) in enumerate(fam)
-        ],
+    # ONE codegen hash per shingle in the JVM (xxhash64 must match Spark's
+    # implementation), then the num_hashes lanes + per-doc min run as a
+    # vectorized NumPy matrix op per Arrow batch: materializing num_hashes
+    # bigint COLUMNS per shingle row in codegen was the stage's real cost
+    # (~512 B of unsafe-row writes per shingle; measured 3.1s wall / 88s
+    # CPU at sf1.0 vs 0.9s for this shape — values bit-identical, h·a+b ≤
+    # 2^62 so int64 never overflows). Shingle rows of a doc are contiguous
+    # per partition, so each batch emits ~one partial row per doc; the
+    # final least-fold merges the few batch-boundary partials.
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.pmod(F.xxhash64(F.col("s")), F.lit(m31)).alias("h")
     )
-    agg = proj.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+
+    def lanes_min(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"), "sig": pd.Series(dtype="object")}
+                )
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            h = pdf["h"].to_numpy()
+            lanes = (h[:, None] * lane_a[None, :] + lane_b[None, :]) % m31
+            order = np.argsort(ids, kind="stable")
+            ids_s, lanes_s = ids[order], lanes[order]
+            cut = np.flatnonzero(np.concatenate(([True], ids_s[1:] != ids_s[:-1])))
+            mins = np.minimum.reduceat(lanes_s, cut, axis=0)
+            yield pd.DataFrame({"doc_id": ids_s[cut], "sig": list(mins)})
+
+    part = ex.mapInPandas(lanes_min, "doc_id long, sig array<long>")
+    # lane values are < M31, so M31 is a safe fold identity; ≤ a few
+    # partials per doc reach this agg (one per touching Arrow batch)
+    return part.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("sig"),
+            F.array_repeat(F.lit(int(m31)).cast("long"), num_hashes),
+            lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)),
+        ).alias("sig")
     )
 
 
