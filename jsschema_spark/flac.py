@@ -211,6 +211,9 @@ class _BitReader:
     def __init__(self, buf: bytes, bit_offset: int = 0) -> None:
         self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
         self.ones = np.flatnonzero(self.bits)
+        # inclusive prefix count of ones — lets rice_block turn its skip
+        # table into two gathers instead of a searchsorted per partition
+        self.cum = np.cumsum(self.bits, dtype=np.int64)
         self.pos = bit_offset
         self.n = len(self.bits)
 
@@ -287,7 +290,15 @@ class _BitReader:
         sub = ones[lo:hi]
         if len(sub) == 0:
             raise ValueError("flac: truncated rice partition")
-        nxt = np.searchsorted(sub, sub + 1 + k)  # local indices, len(sub) = "past end"
+        # nxt[j] = local index of the first one at/past sub[j]+1+k. The k
+        # remainder bits after separator sub[j] occupy [sub[j]+1, sub[j]+k];
+        # the ones-prefix-sum gives their one-count in two gathers — O(m)
+        # with no searchsorted log factor.
+        if k:
+            win_hi = np.minimum(sub + k, self.n - 1)
+            nxt = np.arange(1, len(sub) + 1) + (self.cum[win_hi] - self.cum[sub])
+        else:
+            nxt = np.arange(1, len(sub) + 1)
         idx = np.empty(count, dtype=np.int64)
         j = 0
         m = len(sub)
