@@ -1035,26 +1035,48 @@ def key_candidates(
     Default path: ALL candidates measured in ONE aggregation with HLL
     sketches (``approx_count_distinct``, rsd ~1% — fine for "is this
     ratio near 1", and the reason one pass is possible at all).
-    ``exact=True`` swaps in exact count_distinct for oracle parity —
-    Catalyst plans multi-distinct via Expand (row multiplication ×
-    #candidates), the documented price of exactness at test scale."""
+    ``exact=True`` uses exact count_distinct for oracle parity, one
+    aggregation subtree per candidate unioned together: a single
+    multi-distinct aggregation plans via Expand (row multiplication ×
+    #candidates through one shuffle — 42M rows at sf1.0, measured 4.1s),
+    while the unioned single-distinct aggregates are each a plain
+    two-level distinct aggregate over a pruned scan and run as parallel
+    subtrees (2.3s)."""
+    import functools
+
     cands: list[list[str]] = [[c] for c in cols]
     if max_width >= 2:
         cands += [[a, b] for i, a in enumerate(cols) for b in cols[i + 1:]]
-    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
-    for cand in cands:
-        name = "+".join(cand)
-        tgt = (
+
+    def tgt(cand: list) -> Column:
+        return (
             F.col(cand[0])
             if len(cand) == 1
             else F.struct(*[F.col(c) for c in cand])
         )
+
+    if exact:
+        parts = [
+            df.select(tgt(cand).alias("__t")).agg(
+                F.lit("+".join(cand)).alias("candidate"),
+                F.count_distinct(F.col("__t")).cast("long").alias("n_distinct"),
+            )
+            for cand in cands
+        ]
+        u = functools.reduce(lambda a, b: a.unionByName(b), parts)
+        n = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        return u.crossJoin(n).select(
+            "candidate",
+            "n_distinct",
+            "n_rows",
+            (F.col("n_distinct") / F.col("n_rows")).alias("uniqueness_ratio"),
+        )
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for cand in cands:
+        name = "+".join(cand)
         aggs.append(
-            (
-                F.count_distinct(tgt)
-                if exact
-                else F.approx_count_distinct(tgt, rsd)
-            ).cast("long").alias(f"__d_{name}")
+            F.approx_count_distinct(tgt(cand), rsd).cast("long").alias(f"__d_{name}")
         )
     wide = df.agg(*aggs)
     stack_args = ", ".join(

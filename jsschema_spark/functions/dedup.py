@@ -695,12 +695,18 @@ def simhash_values(
     n_bits: int = 64,
     hash_fn: Optional[Callable[[Column], Column]] = None,
 ) -> DataFrame:
-    """``(doc_id, sh)`` SimHash values via explode + per-bit sum aggregates —
-    the whole-stage-codegen formulation of the ``simhash`` Column (same
-    values; Catalyst interprets HOF folds, see ``minhash_signatures``).
-    One hash per token (CSE'd in the projection), ``n_bits`` ±1 sums with
-    map-side combine, sign-pack on the aggregated row. Docs whose token
-    array is null (null text) produce no row."""
+    """``(doc_id, sh)`` SimHash values (same values as the ``simhash``
+    Column — pinned by test). One hash per token in the JVM (the hash
+    function must match Spark's), then the ``n_bits`` ±1 bit
+    contributions and the per-doc sums run as one NumPy pass per Arrow
+    batch: like ``minhash_signatures``, materializing n_bits bigint
+    columns per token row in codegen was the stage's dominant cost.
+    Batch-boundary partial sums merge with a zip_with fold; the sign-pack
+    happens on the merged row. Docs whose token array is null (null text)
+    produce no row."""
+    import numpy as np
+    import pandas as pd
+
     units = (
         word_shingles(F.col(text_col), shingle_k)
         if shingle_k > 1
@@ -708,22 +714,43 @@ def simhash_values(
     )
     ex = df.select(F.col(id_col).alias("doc_id"), F.explode(units).alias("u"))
     h = (hash_fn or (lambda c: F.xxhash64(c)))(F.col("u"))
-    proj = ex.select(
-        "doc_id",
-        *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias(f"b{i}")
-            for i in range(n_bits)
-        ],
+    hx = ex.select("doc_id", h.alias("h"))
+
+    def bit_sums(batches):
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"), "bs": pd.Series(dtype="object")}
+                )
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            hv = pdf["h"].to_numpy().astype(np.int64).view(np.uint64)
+            # (n, n_bits) in {-1, +1}: bit set -> +1
+            contrib = (
+                ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+            )
+            order = np.argsort(ids, kind="stable")
+            ids_s, contrib_s = ids[order], contrib[order]
+            cut = np.flatnonzero(np.concatenate(([True], ids_s[1:] != ids_s[:-1])))
+            sums = np.add.reduceat(contrib_s, cut, axis=0)
+            yield pd.DataFrame({"doc_id": ids_s[cut], "bs": list(sums)})
+
+    part = hx.mapInPandas(bit_sums, "doc_id long, bs array<long>")
+    agg = part.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("bs"),
+            F.array_repeat(F.lit(0).cast("long"), n_bits),
+            lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+        ).alias("__bs")
     )
-    agg = proj.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(n_bits)])
     out = F.lit(0).cast("long")
     for i in range(n_bits):
         out = out.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.element_at(F.col("__bs"), i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
         )
     return agg.select("doc_id", out.alias("sh"))
 
