@@ -35,13 +35,82 @@ def brute_force_topk(
     corpus_id: str = "vec_id", query_id: str = "query_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, vec_id, cos, rank). Queries are
-    broadcast — keep the query batch ≤ a few MB; corpus scan stays fully
-    parallel with no corpus-side shuffle before the top-k."""
-    q = F.broadcast(
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
+    collected driver-side (a query BATCH is small by contract — same
+    size class as the probe sets ivf/lsh_search collect) and scored
+    against each corpus Arrow batch with one NumPy matmul; rows at or
+    above the batch's k-th NumPy score minus 1e-9 are candidates — a
+    provable superset of the exact batch top-k, since the exact Catalyst
+    cosine differs from the float64 matmul by summation-order ulps only.
+    Null/ragged rows are unioned in wholesale (they re-score to null and
+    rank after every scored row, exactly as in the naive plan).
+    Candidates are then re-scored with the SAME Catalyst ``cosine``
+    expression and window as the naive cross join, so the output is
+    bit-identical. The naive plan evaluated the interpreted cosine fold
+    |corpus|·|queries| times (~2.3s at 20k×5, sf1.0 — vs ~0.5s)."""
+    import numpy as np
+    import pandas as pd
+
+    qdf = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"))
+    qrows = [r for r in qdf.collect()]
+    if not qrows:
+        c0 = corpus.select(F.col(corpus_id).alias("vec_id"))
+        return (
+            c0.limit(0)
+            .withColumn("query_id", F.lit(None).cast("long"))
+            .withColumn("cos", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("int"))
+            .select("query_id", "vec_id", "cos", "rank")
+        )
+    dims = {len(r["qv"]) for r in qrows if r["qv"] is not None}
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("cv"))
-    scored = c.crossJoin(q).select(
+    if len(dims) != 1 or any(r["qv"] is None for r in qrows):
+        # degenerate query batch (null/ragged queries): keep the naive plan
+        q = F.broadcast(qdf)
+        scored = c.crossJoin(q).select(
+            "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("cos")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+    d = dims.pop()
+    qm = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    np.divide(qm, qn[:, None], out=qm, where=qn[:, None] > 0)
+    qids = [r["query_id"] for r in qrows]
+    kk = int(k)
+
+    def tops(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+                continue
+            vs = pdf["cv"].tolist()
+            good = np.array([v is not None and len(v) == d for v in vs])
+            ids = pdf["vec_id"].to_numpy()
+            out_ids = [ids[~good]]  # null/ragged: always candidates
+            gi = ids[good]
+            if len(gi):
+                m = np.array([vs[i] for i in np.flatnonzero(good)], dtype=np.float64)
+                nr = np.sqrt((m * m).sum(axis=1))
+                np.divide(m, nr[:, None], out=m, where=nr[:, None] > 0)
+                sim = m @ qm.T  # (n_good, n_queries)
+                keep = np.zeros(len(gi), dtype=bool)
+                for j in range(sim.shape[1]):
+                    col = sim[:, j]
+                    kth = (
+                        np.partition(col, len(col) - kk)[len(col) - kk]
+                        if len(col) > kk
+                        else -np.inf
+                    )
+                    keep |= col >= kth - 1e-9
+                out_ids.append(gi[keep])
+            yield pd.DataFrame({"vec_id": np.concatenate(out_ids)})
+
+    id_ddl = f"vec_id {c.schema['vec_id'].dataType.simpleString()}"
+    cand = c.mapInPandas(tops, id_ddl).distinct()
+    pruned = c.join(cand, "vec_id", "left_semi")
+    q = F.broadcast(qdf)
+    scored = pruned.crossJoin(q).select(
         "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
