@@ -1530,7 +1530,21 @@ def containment_pairs(
     # for empty docs cost a few bytes each instead.
     sh = _materialize(sh, "checkpoint")  # shingled once; prefix, index and verify all consume it
     sh = sh.where(F.size("sh") > 0)
-    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    # Candidate generation runs entirely on 64-bit shingle ids
+    # (xxhash64(g)) instead of ~30-char shingle strings: the Σ_prefix-df
+    # join fan-out, document-frequency agg and per-doc (df, id) ranking
+    # sort all get long keys/comparators instead of UTF8 ones. SOUND as a
+    # superset: string-level hits are a subset of id-level hits (equal
+    # strings ⇒ equal ids), so the evidence quota and the positional
+    # bound — both lower-bound arguments about how many/where shared
+    # shingles must appear — only ever over-admit under id collisions,
+    # and the verify join still computes `shared` exactly on the full
+    # string shingle sets. Per-doc rank ties from colliding ids are
+    # resolved once (ranked is computed once and reused by both sides),
+    # so positions stay consistent.
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("__g0")
+    ).select("doc_id", "n", F.xxhash64("__g0").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc GLOBAL (df, g)-ascending ranking, computed once and shared
     # by the prefix and index sides: positions in this total order drive
