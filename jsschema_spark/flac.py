@@ -210,12 +210,26 @@ class _BitReader:
 
     def __init__(self, buf: bytes, bit_offset: int = 0) -> None:
         self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
-        self.ones = np.flatnonzero(self.bits)
-        # inclusive prefix count of ones — lets rice_block turn its skip
-        # table into two gathers instead of a searchsorted per partition
-        self.cum = np.cumsum(self.bits, dtype=np.int64)
         self.pos = bit_offset
         self.n = len(self.bits)
+        self._ones = None
+        self._cum = None
+
+    @property
+    def ones(self) -> np.ndarray:
+        # lazy: header-only readers (flac_stream_info) never pay for it
+        if self._ones is None:
+            self._ones = np.flatnonzero(self.bits)
+        return self._ones
+
+    @property
+    def cum(self) -> np.ndarray:
+        """Inclusive prefix count of ones — lets rice_block turn its skip
+        table into two gathers instead of a searchsorted per partition.
+        int32: bit positions fit, and the narrower cumsum halves the pass."""
+        if self._cum is None:
+            self._cum = np.cumsum(self.bits, dtype=np.int32)
+        return self._cum
 
     def _need(self, n: int) -> None:
         if self.pos + n > self.n:
@@ -299,13 +313,14 @@ class _BitReader:
             nxt = np.arange(1, len(sub) + 1) + (self.cum[win_hi] - self.cum[sub])
         else:
             nxt = np.arange(1, len(sub) + 1)
-        idx = np.empty(count, dtype=np.int64)
-        j = 0
         m = len(sub)
+        nxt_l = nxt.tolist()  # plain-int hops are ~2x faster than ndarray
+        idx = [0] * count
+        j = 0
         try:
             for i in range(count):
                 idx[i] = j
-                j = nxt[j]
+                j = nxt_l[j]
         except IndexError:
             raise ValueError("flac: truncated rice partition") from None
         if idx[count - 1] >= m:
