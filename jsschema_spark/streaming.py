@@ -880,23 +880,32 @@ def start_transcode_sink(
             F.col(bytes_col).alias("__orig"),
             _transcode(F.col(codec_col), F.col(bytes_col)).alias("__t"),
         )
-        archived = enc.where(F.col("__t.ok")).select(
-            F.col(id_col),
-            F.lit(target_codec).alias("codec"),
-            F.col("__t.bytes").alias("bytes"),
-            "orig_codec",
-            F.length("__orig").cast("long").alias("orig_bytes"),
-            F.length("__t.bytes").cast("long").alias("out_bytes"),
-        )
-        quarantined = enc.where(~F.col("__t.ok")).select(
-            F.col(id_col), "orig_codec",
-            F.col("__t.reason").alias("reason"),
-            F.length("__orig").cast("long").alias("orig_bytes"),
-        )
-        archived.write.mode("overwrite").parquet(f"{archived_dir}/batch_id={bid}")
-        quarantined.write.mode("overwrite").parquet(
-            f"{quarantine_dir}/batch_id={bid}"
-        )
+        # The CPU-bound decode->re-encode UDF feeds BOTH writes below;
+        # without a persist each write re-executes it over the whole
+        # micro-batch, doubling per-batch transcode cost.
+        enc = enc.persist()
+        try:
+            archived = enc.where(F.col("__t.ok")).select(
+                F.col(id_col),
+                F.lit(target_codec).alias("codec"),
+                F.col("__t.bytes").alias("bytes"),
+                "orig_codec",
+                F.length("__orig").cast("long").alias("orig_bytes"),
+                F.length("__t.bytes").cast("long").alias("out_bytes"),
+            )
+            quarantined = enc.where(~F.col("__t.ok")).select(
+                F.col(id_col), "orig_codec",
+                F.col("__t.reason").alias("reason"),
+                F.length("__orig").cast("long").alias("orig_bytes"),
+            )
+            archived.write.mode("overwrite").parquet(
+                f"{archived_dir}/batch_id={bid}"
+            )
+            quarantined.write.mode("overwrite").parquet(
+                f"{quarantine_dir}/batch_id={bid}"
+            )
+        finally:
+            enc.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
